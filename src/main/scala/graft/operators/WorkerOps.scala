@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Worker-side query layer: liveness, capacity, load, assignment joins —
+  * the Spark re-expression of /root/reference/tasks/api.go:243-310 and
+  * the dispatcher's worker selection (/root/reference/tasks/dispatcher.go:515-655).
+  *
+  * `workers` is a bounded dim table, so every join here is a broadcast
+  * join — zero shuffle of the (large) task side at any scale.
+  */
+object WorkerOps {
+
+  private def asOfTs = expr(s"TIMESTAMP '${Tables.AsOf}'")
+
+  /** P5: ListWorkers with is_active = heartbeat age < 30s
+    * (tasks/api.go:243-277). */
+  def activeWorkers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.workers(spark, sfDir)
+      .select(col("worker_id"), col("task_count"), col("capacity"),
+        (col("last_heartbeat") > asOfTs - expr("INTERVAL 30 SECONDS"))
+          .as("is_active"))
+      .orderBy("worker_id")
+
+  /** P3/P4: capacity-gated workers (tasks/dispatcher.go:536-544) with
+    * the negative-count clamp. */
+  def availableWorkers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.workers(spark, sfDir)
+      .withColumn("task_count", greatest(lit(0), col("task_count")))
+      .filter(col("capacity") > 0 && col("task_count") < col("capacity"))
+      .select("worker_id", "task_count", "capacity")
+      .orderBy("worker_id")
+
+  /** F7: heartbeat age in seconds vs the fixed as-of instant
+    * (tasks/api.go:263). */
+  def heartbeatAge(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.workers(spark, sfDir)
+      .select(col("worker_id"),
+        (unix_timestamp(asOfTs) - unix_timestamp(col("last_heartbeat")))
+          .as("age_sec"))
+      .orderBy("worker_id")
+
+  /** A2 (batch analog): per-worker in-flight count — groupBy over
+    * processing tasks replaces the reference's CAS counter loop
+    * (tasks/worker.go:168-226). */
+  def workerLoad(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.assignedTasks(spark, sfDir)
+      .filter(col("status") === Tables.Processing)
+      .groupBy("worker_id")
+      .agg(count(lit(1)).as("n_tasks"))
+      .orderBy("worker_id")
+
+  /** A3: least-loaded worker argmin (tasks/dispatcher.go:612-633) with a
+    * deterministic worker_id tiebreak. TakeOrdered(1) — no global sort. */
+  def leastLoadedWorker(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.workers(spark, sfDir)
+      .select("worker_id", "task_count")
+      .orderBy(asc("task_count"), asc("worker_id"))
+      .limit(1)
+
+  /** J1: task ⋈ worker on the materialized assignment
+    * (tasks/dispatcher.go:580). Broadcast hash join on the dim side. */
+  def workerTasksJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.assignedTasks(spark, sfDir)
+      .filter(col("status") === Tables.Processing)
+      .select("id", "priority", "worker_id")
+    val w = Tables.workers(spark, sfDir)
+      .select("worker_id", "task_count", "capacity")
+    t.join(broadcast(w), Seq("worker_id"))
+      .select("worker_id", "id", "priority", "task_count", "capacity")
+      .orderBy("worker_id", "id")
+  }
+
+  /** ST5 (batch analog): orphaned in-flight tasks — processing tasks
+    * whose worker is no longer live (tasks/dispatcher.go:657-708), as a
+    * broadcast left-anti join. */
+  def orphanedTasks(spark: SparkSession, sfDir: String): DataFrame = {
+    val live = Tables.workers(spark, sfDir)
+      .filter(col("last_heartbeat") > asOfTs - expr("INTERVAL 30 SECONDS"))
+      .select("worker_id")
+    Tables.assignedTasks(spark, sfDir)
+      .filter(col("status") === Tables.Processing)
+      .join(broadcast(live), Seq("worker_id"), "left_anti")
+      .select("id", "worker_id", "priority")
+      .orderBy("id")
+  }
+}

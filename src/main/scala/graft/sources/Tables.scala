@@ -1,0 +1,105 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture readers plus the deterministic derivation of reference-shaped
+  * entities (`tasks`, `workers`, assignment) from the driver's star-schema
+  * parquet fixtures. The derivation is mirrored verbatim in
+  * [[graft.Oracles.CTE]] so the DuckDB oracle sees byte-identical inputs
+  * (FIXTURES.md §C).
+  *
+  * Reference data model being re-expressed:
+  *  - Task record: /root/reference/model/model.go:11-22 (id, payload,
+  *    priority 1-10 default 5, status enum, createTime, retryCount, type).
+  *  - Status enum 0=pending 1=processing 2=completed 3=failed 4=delayed:
+  *    /root/reference/common/constants.go:37-46.
+  *  - Worker record: /root/reference/tasks/worker.go:21-27 (ID, TaskCount,
+  *    LastHeartbeat, Capacity; default capacity 10:
+  *    /root/reference/taskhive/taskhive.go:52).
+  *  - Task↔worker assignment is materialized in the etcd key
+  *    `/tasks/processing/{workerID}/{taskID}`
+  *    (/root/reference/tasks/dispatcher.go:580); here it is a nullable
+  *    `worker_id` column on processing-status rows.
+  *
+  * Scale notes (100 TB): every derivation below is a narrow projection or
+  * a broadcast join against the `supplier` dim — no wide shuffle. At
+  * production scale `tasks` would be a parquet table partitioned by
+  * (status, date) so the per-status scans in the query layer become
+  * partition-pruned reads (the Spark analog of the reference's key-prefix
+  * partitioning, /root/reference/common/constants.go:5-14).
+  */
+object Tables {
+
+  /** Status enum values (reference common/constants.go:37-46). */
+  val Pending = 0
+  val Processing = 1
+  val Completed = 2
+  val Failed = 3
+  val Delayed = 4
+
+  /** Fixed "now" used by liveness predicates so oracle SQL is
+    * deterministic (reference uses wall-clock `time.Since`,
+    * /root/reference/tasks/api.go:263). */
+  val HeartbeatBase = "2024-01-01 00:00:00"
+  val AsOf = "2024-01-01 00:00:40"
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** `tasks` derived from `orders` — pure narrow projection, fully
+    * pushdown-friendly (scan reads only the 6 source columns). */
+  def tasks(spark: SparkSession, sfDir: String): DataFrame =
+    orders(spark, sfDir).select(
+      col("o_orderkey").cast("string").as("id"),
+      (lit(1) + col("o_orderkey") % 10).cast("int").as("priority"),
+      when(col("o_orderstatus") === "P", lit(1))
+        .when(col("o_orderstatus") === "O", lit(0))
+        .otherwise(lit(2) + col("o_orderkey") % 3)
+        .cast("int").as("status"),
+      col("o_orderdate").as("create_time"),
+      col("o_orderpriority").as("task_type"),
+      (col("o_orderkey") % 4).cast("int").as("retry_count"),
+      col("o_totalprice").as("total_price"),
+      col("o_orderkey"),
+      col("o_custkey"))
+
+  /** `workers` derived from `supplier` — a bounded dim table (always
+    * broadcastable: |supplier| = 0.01% of |lineitem| in TPC-H). */
+  def workers(spark: SparkSession, sfDir: String): DataFrame =
+    supplier(spark, sfDir).select(
+      col("s_name").as("worker_id"),
+      col("s_suppkey"),
+      lit(10).as("capacity"),
+      (col("s_suppkey") % 11).cast("int").as("task_count"),
+      expr(s"TIMESTAMP '$HeartbeatBase' + make_dt_interval(0, 0, 0, CAST(s_suppkey % 60 AS DOUBLE))")
+        .as("last_heartbeat"))
+
+  /** tasks + nullable worker_id: processing rows join their worker by
+    * `s_suppkey = o_orderkey % |supplier|` (the deterministic stand-in for
+    * the dispatcher's assignment). Broadcast join — workers is a dim. */
+  def assignedTasks(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tasks(spark, sfDir)
+    // |supplier| is a handful of rows per SF; a driver-side count of a
+    // dim table parameterizes the modulo identically to the oracle's
+    // scalar subquery. Not a data-path collect.
+    val nSup = supplier(spark, sfDir).count()
+    val w = workers(spark, sfDir).select(col("worker_id"), col("s_suppkey"))
+    t.join(
+        broadcast(w),
+        t("status") === Processing && w("s_suppkey") === t("o_orderkey") % nSup,
+        "left")
+      .drop("s_suppkey")
+  }
+}
