@@ -53,7 +53,13 @@ object Oracles {
 
   private def q(sql: String): String = CTE + sql
 
-  val sql: Map[String, String] = Map(
+  /** Query with extra CTE blocks appended to the shared prefix (the
+    * extra string must start with ", name AS ("). */
+  private def qx(extraCte: String, sql: String): String =
+    CTE + extraCte + "\n" + sql
+
+  val sql: Map[String, String] = windowSql ++ joinSql ++ eventSql ++
+    textSql ++ Map(
     "scan_tasks" -> q(
       "SELECT id, priority, status, task_type, create_time FROM tasks ORDER BY id"),
     "project_tasks" -> q(
@@ -126,5 +132,194 @@ object Oracles {
         |  SELECT worker_id FROM workers
         |  WHERE last_heartbeat > TIMESTAMP '2024-01-01 00:00:40' - INTERVAL 30 SECOND)
         |ORDER BY id""".stripMargin),
+  )
+
+  private def windowSql: Map[String, String] = Map(
+    "topk_per_worker" -> q(
+      """SELECT worker_id, id, priority, rn FROM (
+        |  SELECT worker_id, id, priority,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY worker_id ORDER BY priority DESC, id) AS INT) AS rn
+        |  FROM assigned WHERE worker_id IS NOT NULL) t
+        |WHERE rn <= 3 ORDER BY worker_id, rn""".stripMargin),
+    "running_load" -> q(
+      """SELECT worker_id, id, create_time,
+        |       COUNT(*) OVER (PARTITION BY worker_id ORDER BY create_time, id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cnt
+        |FROM assigned WHERE status = 1
+        |ORDER BY worker_id, create_time, id""".stripMargin),
+    "task_event_lag" -> q(
+      """SELECT user_id, event_id, event_type,
+        |       lag(event_type) OVER w AS prev_type,
+        |       CAST(floor(epoch(ts)) AS BIGINT)
+        |         - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_sec
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin),
+    "worker_rank" -> q(
+      """SELECT worker_id, task_count,
+        |       CAST(RANK() OVER (ORDER BY task_count) AS INT) AS load_rank,
+        |       CAST(DENSE_RANK() OVER (ORDER BY task_count) AS INT) AS load_dense_rank
+        |FROM workers ORDER BY worker_id""".stripMargin),
+  )
+
+  private def joinSql: Map[String, String] = Map(
+    "join_orders_customer" -> q(
+      """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin),
+    "semi_join_customers" -> q(
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin),
+    "set_intersect" -> q(
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY c_custkey""".stripMargin),
+    "set_except" -> q(
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT o_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin),
+    "stats_rollup" -> q(
+      """SELECT status, priority, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM tasks GROUP BY ROLLUP(status, priority)
+        |ORDER BY status ASC NULLS FIRST, priority ASC NULLS FIRST""".stripMargin),
+    "lineitem_supplier_nation" -> q(
+      """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin),
+  )
+
+  private def eventSql: Map[String, String] = Map(
+    "events_tumbling" -> q(
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+        |       event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "events_sliding" -> qx(
+      """, slid AS (
+        |  SELECT CAST(floor(epoch(ts) / 1800) * 1800 - offs.k AS BIGINT) AS window_start,
+        |         event_type
+        |  FROM events CROSS JOIN (VALUES (0), (1800)) AS offs(k)
+        |)""".stripMargin,
+      """SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM slid GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "events_session" -> qx(
+      """, marks AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), isl AS (
+        |  SELECT user_id, ts,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marks
+        |)""".stripMargin,
+      """SELECT user_id,
+        |       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+        |       CAST(floor(epoch(MAX(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS session_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM isl GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin),
+    "events_props_json" -> q(
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+  )
+
+  private def textSql: Map[String, String] = Map(
+    "dedup_exact" -> q(
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin),
+    "token_count" -> q(
+      """SELECT doc_id,
+        |       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin),
+    "quality_score" -> qx(
+      """, tq AS (
+        |  SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+        |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS n_tokens,
+        |         CAST((length(' ' || text || ' ')
+        |               - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS INT) AS the_hits
+        |  FROM documents
+        |)""".stripMargin,
+      """SELECT doc_id, n_chars, n_tokens,
+        |       CAST(ROUND(1000.0 * (n_chars - (n_tokens - 1)) / n_tokens) AS BIGINT) AS avg_token_len_milli,
+        |       CAST(ROUND(1000.0 * the_hits / n_tokens) AS BIGINT) AS stopword_milli,
+        |       n_tokens >= 10 AND n_tokens <= 10000
+        |         AND (n_chars - (n_tokens - 1)) / n_tokens <= 20 AS keep
+        |FROM tq ORDER BY doc_id""".stripMargin),
+    "lang_id" -> qx(
+      """, lh AS (
+        |  SELECT doc_id, lang,
+        |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5 AS INT) AS en,
+        |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' der ', ''))) / 5 AS INT) AS de,
+        |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' le ', ''))) / 4 AS INT) AS fr,
+        |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' el ', ''))) / 4 AS INT) AS es
+        |  FROM documents
+        |)""".stripMargin,
+      """SELECT doc_id, lang,
+        |       CASE WHEN GREATEST(en, de, fr, es) = 0 THEN 'unknown'
+        |            WHEN en = GREATEST(en, de, fr, es) THEN 'en'
+        |            WHEN de = GREATEST(en, de, fr, es) THEN 'de'
+        |            WHEN fr = GREATEST(en, de, fr, es) THEN 'fr'
+        |            ELSE 'es' END AS lang_pred
+        |FROM lh ORDER BY doc_id""".stripMargin),
+    "doc_fingerprint" -> q(
+      "SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id"),
+    "ngram_jaccard" -> qx(
+      """, toksl AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+        |), toks AS (
+        |  SELECT doc_id, source,
+        |         unnest(list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+        |           i -> array_to_string(tk[i:i+2], ' ')))) AS tok
+        |  FROM toksl
+        |), sizes AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM toks GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM toks a JOIN toks b
+        |    ON a.source = b.source AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)""".stripMargin,
+      """SELECT p.a_id, p.b_id,
+        |       CAST(ROUND(1000.0 * p.inter / (sa.sz + sb.sz - p.inter)) AS BIGINT) AS jaccard_milli
+        |FROM pairs p
+        |JOIN sizes sa ON sa.doc_id = p.a_id
+        |JOIN sizes sb ON sb.doc_id = p.b_id
+        |WHERE 2 * p.inter >= sa.sz + sb.sz - p.inter
+        |ORDER BY p.a_id, p.b_id""".stripMargin),
+    "cosine_topk" -> qx(
+      """, qv AS (
+        |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_sum(list_transform(range(1, len(q.qe)+1),
+        |      i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, len(q.qe)+1),
+        |      i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM qv q JOIN embeddings e ON e.vec_id <> q.query_id
+        |), ranked AS (
+        |  SELECT query_id, vec_id, cos,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+        |  FROM scored
+        |)""".stripMargin,
+      """SELECT query_id, vec_id, rank, CAST(ROUND(cos * 10000) AS BIGINT) AS cos_e4
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    "multimodal_meta" -> q(
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |       hex(substring(text, 1, 8)) AS header_hex,
+        |       'text/plain' AS mime
+        |FROM documents ORDER BY doc_id""".stripMargin),
   )
 }

@@ -40,6 +40,40 @@ object SparkEntry {
     // §2.2 worker predicates
     "active_workers" -> (WorkerOps.activeWorkers _),
     "available_workers" -> (WorkerOps.availableWorkers _),
+    // §2.7 windows
+    "topk_per_worker" -> (WindowOps.topkPerWorker _),
+    "running_load" -> (WindowOps.runningLoad _),
+    "task_event_lag" -> (WindowOps.taskEventLag _),
+    "worker_rank" -> (WindowOps.workerRank _),
+    // §2.3/2.6 star-schema joins + set ops
+    "join_orders_customer" -> (JoinOps.joinOrdersCustomer _),
+    "semi_join_customers" -> (JoinOps.semiJoinCustomers _),
+    "set_intersect" -> (JoinOps.setIntersect _),
+    "set_except" -> (JoinOps.setExcept _),
+    "stats_rollup" -> (JoinOps.statsRollup _),
+    "lineitem_supplier_nation" -> (JoinOps.lineitemBySupplierNation _),
+    // §2.9 event-time (batch forms)
+    "events_tumbling" -> (EventOps.eventsTumbling _),
+    "events_sliding" -> (EventOps.eventsSliding _),
+    "events_session" -> (EventOps.eventsSession _),
+    "events_props_json" -> (EventOps.eventsPropsJson _),
+    // LLM-pipeline: text analysis + dedup
+    "dedup_exact" -> (TextOps.dedupExact _),
+    "token_count" -> (TextOps.tokenCount _),
+    "quality_score" -> (TextOps.qualityScore _),
+    "lang_id" -> (TextOps.langId _),
+    "doc_fingerprint" -> (TextOps.docFingerprint _),
+    "fingerprint_rolling" -> (TextOps.fingerprintRolling _),
+    "ngram_jaccard" -> (TextOps.ngramJaccard _),
+    // LLM-pipeline: similarity + fuzzy dedup (minhash/simhash/LSH are
+    // rows-only: xxhash64 has no DuckDB equivalent)
+    "cosine_topk" -> (SimilarityOps.cosineTopk _),
+    "ann_lsh_topk" -> (SimilarityOps.annLshTopk _),
+    "minhash_dedup" -> (SimilarityOps.minhashDedup _),
+    "simhash_dedup" -> (SimilarityOps.simhashDedup _),
+    // LLM-pipeline: multimodal plumbing
+    "multimodal_meta" -> (MultimodalOps.multimodalMeta _),
+    "multimodal_decode" -> (MultimodalOps.multimodalDecode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

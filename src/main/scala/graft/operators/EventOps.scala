@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.functions.Exprs
+
+/** Event-time analytics over the `events` fixture (SURVEY.md §2.9 —
+  * watermark/window semantics the reference lacks; these are the batch
+  * forms, the streaming forms run in graft.streaming with the same
+  * expressions).
+  *
+  * Cross-engine rule: events.ts is nanosecond parquet; all emitted
+  * timestamps are floor-epoch-second BIGINTs (see Oracles scaladoc).
+  *
+  * Scale: one shuffle per aggregation on (window, event_type) /
+  * (user_id) — both high-cardinality, no hot keys; value sums are exact
+  * integer cents.
+  */
+object EventOps {
+
+  private def valueCents = round(col("value") * 100).cast("long")
+
+  /** Tumbling 1-hour windows: count + exact value cents per
+    * (window, event_type). */
+  def eventsTumbling(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(valueCents).as("sum_cents"))
+      .select(Exprs.epochSec(col("w.start")).as("window_start"),
+        col("event_type"), col("n"), col("sum_cents"))
+      .orderBy("window_start", "event_type")
+
+  /** Sliding windows: 1 hour wide, 30-minute slide (each event lands in
+    * exactly two windows). */
+  def eventsSliding(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(Exprs.epochSec(col("w.start")).as("window_start"),
+        col("event_type"), col("n"))
+      .orderBy("window_start", "event_type")
+
+  /** Session windows with a 30-minute inactivity gap per user.
+    * session_end = last event + gap (Spark session semantics; the
+    * oracle's gaps-and-islands reproduces it exactly, including the
+    * split-at-exactly-gap boundary). */
+  def eventsSession(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        Exprs.epochSec(col("w.start")).as("session_start"),
+        Exprs.epochSec(col("w.end")).as("session_end"),
+        col("n"))
+      .orderBy("user_id", "session_start")
+
+  /** JSON prop extraction (events.props is a JSON string): per-type
+    * stats over get_json_object-extracted values. */
+  def eventsPropsJson(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("k").as("min_k"),
+        max("k").as("max_k"), sum("k").as("sum_k"))
+      .orderBy("event_type")
+}

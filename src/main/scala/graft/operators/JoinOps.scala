@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational join / set-op / grouping-set surface over the star schema
+  * (SURVEY.md §2.3/2.6 — the reference's join surface is thin, so the
+  * full Spark join family is demonstrated on the fixtures, with the
+  * task↔worker association as the anchor).
+  *
+  * Scale: dims (region/nation/supplier) are broadcast; fact-fact joins
+  * shuffle on the join key and rely on AQE for skew; money sums use
+  * exact integer cents so plans can be AQE-reordered without float
+  * nondeterminism.
+  */
+object JoinOps {
+
+  private def cents(c: String) =
+    round(col(c) * 100).cast("long")
+
+  /** Inner equi-join orders ⋈ customer ⋈ nation with broadcast dims:
+    * per-nation order count + exact revenue cents. */
+  def joinOrdersCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), cents("o_totalprice").as("price_cents"))
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_orders"), sum("price_cents").as("total_cents"))
+      .orderBy("n_name")
+  }
+
+  /** Left-semi: customers that have at least one urgent order. */
+  def semiJoinCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    Tables.customer(spark, sfDir)
+      .join(urgent, Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Set op: BUILDING-segment customers ∩ urgent-order customers. */
+  def setIntersect(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+      .intersect(
+        Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+
+  /** Set op: BUILDING-segment customers with no orders at all. */
+  def setExcept(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+      .except(Tables.orders(spark, sfDir).select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+
+  /** Grouping sets: ROLLUP(status, priority) task counts — declares the
+    * cube/rollup capability absent from the reference (SURVEY.md §2.4). */
+  def statsRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.tasks(spark, sfDir)
+      .rollup("status", "priority")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("status"), asc_nulls_first("priority"))
+
+  /** Multi-way star join with two fact tables: revenue by supplier
+    * nation across lineitem ⋈ supplier ⋈ nation, exact cents. */
+  def lineitemBySupplierNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"), cents("l_extendedprice").as("price_cents"))
+    val s = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    l.join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_items"), sum("price_cents").as("revenue_cents"))
+      .orderBy("n_name")
+  }
+}

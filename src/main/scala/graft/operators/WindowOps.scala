@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.functions.Exprs
+
+/** Window-function operators (SURVEY.md §2.7). The reference's
+  * argmin/top-k dispatch patterns (/root/reference/tasks/dispatcher.go:612-633,
+  * 401-408) carried into ranking, analytic and frame-spec windows.
+  *
+  * Scale: each window shuffles once on its partition key (worker_id /
+  * user_id). Keys are bounded (workers) or high-cardinality (users) —
+  * no single-partition global windows anywhere.
+  */
+object WindowOps {
+
+  /** O4: per-worker top-k pending work — row_number over (worker,
+    * priority desc) (dispatcher grabs ≤10 per freed worker). */
+  def topkPerWorker(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("worker_id").orderBy(desc("priority"), asc("id"))
+    Tables.assignedTasks(spark, sfDir)
+      .filter(col("worker_id").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("worker_id", "id", "priority", "rn")
+      .orderBy("worker_id", "rn")
+  }
+
+  /** Frame-spec aggregation: running in-flight count per worker in
+    * create_time order (the batch view of the A2 running counter). */
+  def runningLoad(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("worker_id")
+      .orderBy(asc("create_time"), asc("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.assignedTasks(spark, sfDir)
+      .filter(col("status") === Tables.Processing)
+      .withColumn("running_cnt", count(lit(1)).over(w))
+      .select("worker_id", "id", "create_time", "running_cnt")
+      .orderBy("worker_id", "create_time", "id")
+  }
+
+  /** Analytic lag over the task-event history (events fixture): previous
+    * event type + gap seconds per user. Event timestamps exit only as
+    * floor-epoch-seconds (ns-parquet cross-engine rule, Exprs.epochSec). */
+  def taskEventLag(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("gap_sec",
+        Exprs.epochSec(col("ts")) - Exprs.epochSec(lag(col("ts"), 1).over(w)))
+      .select("user_id", "event_id", "event_type", "prev_type", "gap_sec")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Ranking family: rank + dense_rank of workers by load (the
+    * least-loaded strategy generalized to a full ranking). */
+  def workerRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy(asc("task_count"))
+    // Global window over the bounded workers dim only (never over tasks).
+    Tables.workers(spark, sfDir)
+      .select(col("worker_id"), col("task_count"),
+        rank().over(w).as("load_rank"),
+        dense_rank().over(w).as("load_dense_rank"))
+      .orderBy("worker_id")
+  }
+}
