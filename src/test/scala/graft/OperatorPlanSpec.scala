@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Every declared query runs; plan-shape assertions for the
+  * scale-critical ones (pushdown reaches the scan, dims broadcast,
+  * no accidental cartesian products). */
+class OperatorPlanSpec extends SparkSuite {
+
+  test("every SparkEntry query executes and most return rows at sf0.001") {
+    val mayBeEmpty = Set("set_except") // BUILDING ⊂ order customers here
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, s"$name failed")
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle coverage: every oracleSql key is a declared query") {
+    val undeclared = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(undeclared.isEmpty, s"oracleSql without queries: $undeclared")
+  }
+
+  private def executedPlanString(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter_status pushes the status predicate into the parquet scan") {
+    val plan = graft.operators.TaskOps.filterStatus(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the derived status is computed from o_orderstatus; the source filter
+    // on the scanned column must be pushed
+    val optimized = graft.operators.TaskOps.filterStatus(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("PushedFilters") || optimized.contains("isnotnull"),
+      s"no pushdown evidence in plan:\n$plan")
+  }
+
+  test("worker_tasks_join broadcasts the workers dim (no shuffle of tasks)") {
+    val plan = executedPlanString(graft.operators.WorkerOps.workerTasksJoin(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("scan_tasks reads only the projected columns") {
+    val plan = graft.operators.TaskOps.scanTasks(spark, sf)
+      .queryExecution.executedPlan.toString
+    // projection needs 6 source cols; o_totalprice/o_custkey must be pruned
+    assert(plan.contains("o_orderkey") && !plan.contains("o_totalprice"),
+      s"column pruning failed:\n$plan")
+  }
+
+  test("priority_queue uses TakeOrderedAndProject (no global sort)") {
+    val plan = graft.operators.TaskOps.priorityQueue(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("cosine_topk broadcasts the query side") {
+    val plan = executedPlanString(graft.operators.SimilarityOps.cosineTopk(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$plan")
+  }
+}
