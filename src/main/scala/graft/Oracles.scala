@@ -321,5 +321,72 @@ object Oracles {
         |       hex(substring(text, 1, 8)) AS header_hex,
         |       'text/plain' AS mime
         |FROM documents ORDER BY doc_id""".stripMargin),
-  )
+  ) ++ aggSql
+
+  private def aggSql: Map[String, String] = {
+    val cosineSql = qx(
+      """, qv AS (
+        |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_sum(list_transform(range(1, len(q.qe)+1),
+        |      i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, len(q.qe)+1),
+        |      i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM qv q JOIN embeddings e ON e.vec_id <> q.query_id
+        |), ranked AS (
+        |  SELECT query_id, vec_id, cos,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+        |  FROM scored
+        |)""".stripMargin,
+      """SELECT query_id, vec_id, rank, CAST(ROUND(cos * 10000) AS BIGINT) AS cos_e4
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+    Map(
+      "source_token_stats" -> qx(
+        """, dt AS (
+          |  SELECT source,
+          |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS n_tokens
+          |  FROM documents
+          |)""".stripMargin,
+        """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+          |       CAST(ROUND(1000.0 * SUM(n_tokens) / COUNT(*)) AS BIGINT) AS avg_tokens_milli
+          |FROM dt GROUP BY source ORDER BY source""".stripMargin),
+      "stats_cube" -> q(
+        """SELECT status, task_type, CAST(COUNT(*) AS BIGINT) AS cnt
+          |FROM tasks GROUP BY CUBE(status, task_type)
+          |ORDER BY status ASC NULLS FIRST, task_type ASC NULLS FIRST""".stripMargin),
+      "sql_task_stats" -> q(
+        """SELECT status, CAST(COUNT(*) AS BIGINT) AS cnt,
+          |       CAST(MIN(priority) AS INT) AS min_prio,
+          |       CAST(MAX(priority) AS INT) AS max_prio
+          |FROM tasks GROUP BY status ORDER BY status""".stripMargin),
+      "round_robin_assign" -> qx(
+        """, pend AS (
+          |  SELECT id, priority, CAST(ROW_NUMBER() OVER (ORDER BY create_time, id) AS INT) AS rn
+          |  FROM tasks WHERE status = 0
+          |), widx AS (
+          |  SELECT worker_id, CAST(ROW_NUMBER() OVER (ORDER BY worker_id) AS INT) AS wrn,
+          |         CAST(COUNT(*) OVER () AS INT) AS nw
+          |  FROM workers
+          |)""".stripMargin,
+        """SELECT p.id, p.priority, w.worker_id
+          |FROM pend p JOIN widx w ON (p.rn - 1) % w.nw + 1 = w.wrn
+          |ORDER BY p.id""".stripMargin),
+      "hash_assign" -> qx(
+        """, pend AS (
+          |  SELECT id, o_orderkey FROM tasks WHERE status = 0
+          |), widx AS (
+          |  SELECT worker_id, CAST(ROW_NUMBER() OVER (ORDER BY worker_id) AS INT) AS wrn,
+          |         CAST(COUNT(*) OVER () AS INT) AS nw
+          |  FROM workers
+          |)""".stripMargin,
+        """SELECT p.id, w.worker_id
+          |FROM pend p JOIN widx w ON (p.o_orderkey * 2654435761) % w.nw + 1 = w.wrn
+          |ORDER BY p.id""".stripMargin),
+      "cosine_topk_native" -> cosineSql,
+    )
+  }
 }

@@ -74,6 +74,13 @@ object SparkEntry {
     // LLM-pipeline: multimodal plumbing
     "multimodal_meta" -> (MultimodalOps.multimodalMeta _),
     "multimodal_decode" -> (MultimodalOps.multimodalDecode _),
+    // §2.10 UDAF + SQL surface + LB strategies + native expression
+    "source_token_stats" -> (AggOps.sourceTokenStats _),
+    "stats_cube" -> (AggOps.statsCube _),
+    "sql_task_stats" -> (AggOps.sqlTaskStats _),
+    "round_robin_assign" -> (AggOps.roundRobinAssign _),
+    "hash_assign" -> (AggOps.hashAssign _),
+    "cosine_topk_native" -> (AggOps.cosineTopkNative _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

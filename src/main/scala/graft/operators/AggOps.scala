@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exprs
+import graft.sources.Tables
+
+/** Typed-Aggregator UDAF surface, cube grouping, the spark.sql SQL
+  * surface, the dispatcher's load-balancing strategies as batch
+  * queries, and the native-Expression cosine variant.
+  */
+object AggOps {
+
+  case class DocTok(source: String, n_tokens: Int)
+  case class TokBuf(var n: Long, var tokens: Long)
+
+  /** Typed UDAF (Aggregator[IN,BUF,OUT]): per-group doc count + token
+    * sum in one pass — the engine-grade replacement for the reference's
+    * CAS counter accumulation (SURVEY.md §2.10). */
+  object TokenStatsAgg extends Aggregator[DocTok, TokBuf, (Long, Long)] {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    def zero: TokBuf = TokBuf(0L, 0L)
+    def reduce(b: TokBuf, d: DocTok): TokBuf = { b.n += 1; b.tokens += d.n_tokens; b }
+    def merge(x: TokBuf, y: TokBuf): TokBuf = { x.n += y.n; x.tokens += y.tokens; x }
+    def finish(b: TokBuf): (Long, Long) = (b.n, b.tokens)
+    def bufferEncoder: Encoder[TokBuf] = Encoders.product[TokBuf]
+    def outputEncoder: Encoder[(Long, Long)] = Encoders.product[(Long, Long)]
+  }
+
+  /** Per-source token stats via the typed Aggregator (oracle: plain
+    * SUM/COUNT — the Aggregator must agree with SQL semantics). */
+  def sourceTokenStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("source"), Exprs.tokenCount(col("text")).as("n_tokens"))
+      .as[DocTok]
+      .groupByKey(_.source)
+      .agg(TokenStatsAgg.toColumn.name("stats"))
+      .select(col("key").as("source"),
+        col("stats._1").as("n_docs"),
+        col("stats._2").as("sum_tokens"))
+      .withColumn("avg_tokens_milli",
+        round(lit(1000.0) * col("sum_tokens") / col("n_docs")).cast("long"))
+      .orderBy("source")
+  }
+
+  /** CUBE over (status, task_type) — full grouping-set surface
+    * (SURVEY.md §2.4: absent from the reference, declared here). */
+  def statsCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.tasks(spark, sfDir)
+      .cube("status", "task_type")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("status"), asc_nulls_first("task_type"))
+
+  /** The SQL surface (E3 generalized): register derived views, run
+    * spark.sql — same text shape as the DuckDB oracle. */
+  def sqlTaskStats(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tasks(spark, sfDir).createOrReplaceTempView("graft_tasks")
+    spark.sql(
+      """SELECT status, COUNT(*) AS cnt, MIN(priority) AS min_prio,
+        |       MAX(priority) AS max_prio
+        |FROM graft_tasks GROUP BY status ORDER BY status""".stripMargin)
+  }
+
+  /** Round-robin dispatch strategy as a batch query
+    * (tasks/dispatcher.go:636-644): pending task i → worker (i-1) mod n.
+    * The reference's cursor skips index 0 on first call — a bug we do
+    * not replicate (SURVEY.md §7.5). */
+  def roundRobinAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pend = Tables.tasks(spark, sfDir)
+      .filter(col("status") === Tables.Pending)
+      .select(col("id"), col("create_time"), col("priority"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(asc("create_time"), asc("id"))))
+    val w = Tables.workers(spark, sfDir)
+      .select(col("worker_id"))
+      .withColumn("wrn", row_number().over(Window.orderBy(asc("worker_id"))))
+      .withColumn("nw", count(lit(1)).over(Window.partitionBy()))
+    pend.join(broadcast(w), pmod(col("rn") - 1, col("nw")) + 1 === col("wrn"))
+      .select("id", "priority", "worker_id")
+      .orderBy("id")
+  }
+
+  /** "Random" dispatch strategy (tasks/dispatcher.go:646-655) made
+    * deterministic for the oracle: Knuth multiplicative hash of the
+    * order key picks the worker. */
+  def hashAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.tasks(spark, sfDir)
+      .filter(col("status") === Tables.Pending)
+      .select(col("id"), col("o_orderkey"))
+    val w = Tables.workers(spark, sfDir)
+      .select(col("worker_id"))
+      .withColumn("wrn", row_number().over(Window.orderBy(asc("worker_id"))))
+      .withColumn("nw", count(lit(1)).over(Window.partitionBy()))
+    t.join(broadcast(w),
+        pmod(col("o_orderkey") * 2654435761L, col("nw")) + 1 === col("wrn"))
+      .select("id", "worker_id")
+      .orderBy("id")
+  }
+
+  /** cosineTopk re-expressed on the native fused-loop Expression
+    * (graft.functions.CosineSimilarity) — identical results (same fold
+    * order), one array traversal instead of three, whole-stage codegen.
+    * Shares cosine_topk's oracle. */
+  def cosineTopkNative(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", call_function("cosine_sim", col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id"), col("rank").cast("int").as("rank"),
+        round(col("cos") * 10000).cast("long").as("cos_e4"))
+      .orderBy("query_id", "rank")
+  }
+}

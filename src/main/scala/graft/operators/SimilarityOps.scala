@@ -74,12 +74,14 @@ object SimilarityOps {
       Seq.fill(nTables * bitsPerTable)(Seq.fill(dim)(rnd.nextGaussian()))
     def signBits(v: Column): Column =
       transform(typedlit(planes), plane => when(dot(plane, v) >= 0, 1).otherwise(0))
-    def buckets(v: Column): Column =
+    def buckets(bits: Column): Column =
       transform(sequence(lit(0), lit(nTables - 1)),
-        t => bitsToLong(slice(signBits(v), t * bitsPerTable + 1, lit(bitsPerTable))))
+        t => bitsToLong(slice(bits, t * bitsPerTable + 1, lit(bitsPerTable))))
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .select(col("vec_id"), col("v"), posexplode(buckets(col("v"))))
+      // materialize the 32 plane signs once per row; buckets only slice
+      .withColumn("bits", signBits(col("v")))
+      .select(col("vec_id"), col("v"), posexplode(buckets(col("bits"))))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
