@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -103,20 +104,46 @@ object SimilarityOps {
   private val MinhashPerms = 32
   private val Bands = 8 // 8 bands × 4 rows
 
+  /** Typed UDAF: elementwise minimum of fixed-width long vectors —
+    * reduces one 32-hash array per shingle into the per-doc signature
+    * with partial (map-side) aggregation, instead of exploding
+    * 32 rows/shingle through the shuffle. */
+  object ElementwiseMin extends Aggregator[(Long, Seq[Long]), Array[Long], Seq[Long]] {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    def zero: Array[Long] = Array.fill(MinhashPerms)(Long.MaxValue)
+    def reduce(b: Array[Long], in: (Long, Seq[Long])): Array[Long] = {
+      var i = 0
+      val v = in._2
+      while (i < b.length) { if (v(i) < b(i)) b(i) = v(i); i += 1 }
+      b
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { if (y(i) < x(i)) x(i) = y(i); i += 1 }
+      x
+    }
+    def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
   /** MinHash signatures over word 3-shingles: per-doc array of 32
     * permutation minima, h_i = min over shingles of xxhash64(shingle, i).
-    * Shuffles only (doc_id, perm, hash) triples. */
-  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    * One row per shingle enters the aggregation; map-side combine means
+    * the shuffle carries one 32-long vector per (partition, doc). */
+  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(shingleArray(col("text"), 3)).as("shingle"))
-      .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), lit(MinhashPerms - 1)),
-          i => xxhash64(col("shingle"), i))))
-      .groupBy(col("doc_id"), col("pos").as("perm"))
-      .agg(min("col").as("h"))
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("perm"), col("h")))).as("sigp"))
-      .select(col("doc_id"), transform(col("sigp"), s => s("h")).as("signature"))
+      .select(col("doc_id"), transform(sequence(lit(0), lit(MinhashPerms - 1)),
+        i => xxhash64(col("shingle"), i)).as("hs"))
+      .toDF("_1", "_2")
+      .as[(Long, Seq[Long])]
+      .groupByKey(_._1)
+      .agg(ElementwiseMin.toColumn.name("signature"))
+      .select(col("key").as("doc_id"), col("signature"))
+  }
 
   /** MinHash+LSH near-dup pairs: docs sharing any band bucket, with
     * estimated Jaccard = fraction of matching permutation minima. */
@@ -163,24 +190,49 @@ object SimilarityOps {
       .orderBy("a_id", "b_id")
   }
 
-  /** Per-doc 64-bit SimHash: sum ±1 per bit over token xxhash64s, then
-    * Horner-fold the sign bits (bit 63 first). */
-  def simhashes(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+  /** Typed UDAF: elementwise sum of 64-long bit-weight vectors (the
+    * SimHash accumulator) with map-side combine — replaces a 64
+    * rows/token explode through the shuffle. */
+  object ElementwiseSum extends Aggregator[((Long, String), Seq[Long]), Array[Long], Seq[Long]] {
+    import org.apache.spark.sql.Encoder
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    def zero: Array[Long] = Array.fill(64)(0L)
+    def reduce(b: Array[Long], in: ((Long, String), Seq[Long])): Array[Long] = {
+      var i = 0
+      val v = in._2
+      while (i < b.length) { b(i) += v(i); i += 1 }
+      b
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Per-doc 64-bit SimHash: per-token xxhash64 expanded to a ±1 weight
+    * vector (bit 63 first), summed elementwise per doc, sign bits
+    * Horner-folded into one long. */
+  def simhashes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val weights = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-      .select(col("doc_id"), col("source"), col("h"),
-        explode(sequence(lit(0), lit(63))).as("bit"))
-      .withColumn("w",
-        when(expr("(shiftright(h, bit) & 1) = 1"), lit(1L)).otherwise(lit(-1L)))
-      .groupBy("doc_id", "source", "bit")
-      .agg(sum("w").as("s"))
-      .groupBy("doc_id", "source")
-      .agg(bitsToLong(reverse(transform(
-        array_sort(collect_list(struct(col("bit"),
-          when(col("s") > 0, 1).otherwise(0).as("bv")))),
-        p => p("bv")))).as("simhash"))
+      .select(struct(col("doc_id").as("_1"), col("source").as("_2")).as("_1"),
+        expr("transform(sequence(63, 0, -1), bit -> " +
+          "CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1L ELSE -1L END)").as("_2"))
+      .as[((Long, String), Seq[Long])]
+    weights
+      .groupByKey(_._1)
+      .agg(ElementwiseSum.toColumn.name("sums"))
+      .select(col("key._1").as("doc_id"), col("key._2").as("source"),
+        bitsToLong(transform(col("sums"),
+          s => when(s > 0, 1).otherwise(0))).as("simhash"))
+  }
 
   /** Word n-gram shingles of `text` as a distinct array column. */
   private def shingleArray(text: Column, n: Int): Column = {

@@ -102,15 +102,23 @@ object TextOps {
     * is exact integer arithmetic (2*|A∩B| >= |A∪B|); the reported
     * similarity is scaled to millis. */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    // join key is the shingle's xxhash64, not the string: the shuffle
+    // carries 8 bytes per shingle instead of ~20+ chars (collision odds
+    // ~|shingles|²/2⁶⁴ — immaterial)
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         explode(shingles3(col("text"))).as("tok"))
+      .select(col("doc_id"), col("source"), xxhash64(col("tok")).as("tok_h"))
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = toks.alias("a")
     val b = toks.alias("b")
-    val inter = a.join(b,
+    // the exploded token table is |docs|×|shingles| rows — never
+    // broadcast it (Catalyst's width-based estimate undershoots after
+    // the 8-byte hash projection); shuffle-hash co-locates both sides
+    // on (source, tok_h)
+    val inter = a.hint("shuffle_hash").join(b,
         col("a.source") === col("b.source") &&
-        col("a.tok") === col("b.tok") &&
+        col("a.tok_h") === col("b.tok_h") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
