@@ -387,6 +387,29 @@ object Oracles {
           |FROM pend p JOIN widx w ON (p.o_orderkey * 2654435761) % w.nw + 1 = w.wrn
           |ORDER BY p.id""".stripMargin),
       "cosine_topk_native" -> cosineSql,
+      "worker_load_salted" -> q(
+        """SELECT worker_id, COUNT(*) AS n_tasks FROM assigned
+          |WHERE status = 1 GROUP BY worker_id ORDER BY worker_id""".stripMargin),
+      "event_user_stats" -> q(
+        """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+          |       CAST(COUNT(*) AS BIGINT) AS n
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "embedding_dedup" -> qx(
+        """, pairs AS (
+          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
+          |    CAST(ROUND(10000 *
+          |      list_sum(list_transform(range(1, len(a.embedding)+1),
+          |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+          |      (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+          |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+          |       sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
+          |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+          |    ) AS BIGINT) AS cos_e4
+          |  FROM embeddings a JOIN embeddings b
+          |    ON a.label = b.label AND a.vec_id < b.vec_id
+          |)""".stripMargin,
+        """SELECT a_id, b_id, label, cos_e4 FROM pairs
+          |WHERE cos_e4 >= 2500 ORDER BY a_id, b_id""".stripMargin),
     )
   }
 }

@@ -81,6 +81,11 @@ object SparkEntry {
     "round_robin_assign" -> (AggOps.roundRobinAssign _),
     "hash_assign" -> (AggOps.hashAssign _),
     "cosine_topk_native" -> (AggOps.cosineTopkNative _),
+    // skew + distinct-agg surface
+    "worker_load_salted" -> (WorkerOps.workerLoadSalted _),
+    "embedding_dedup" -> (SimilarityOps.embeddingDedup _),
+    "event_user_stats" -> (EventOps.eventUserStats _),
+    "event_user_stats_approx" -> (EventOps.eventUserStatsApprox _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

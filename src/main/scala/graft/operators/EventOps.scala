@@ -56,6 +56,23 @@ object EventOps {
         col("n"))
       .orderBy("user_id", "session_start")
 
+  /** Exact distinct users per event type (shuffled distinct-agg). */
+  def eventUserStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** HLL approximate distinct users (rows-only: sketch results are
+    * engine-specific; EventOpsSpec bounds the error vs the exact
+    * count). The 100 TB form: one pass, no distinct shuffle. */
+  def eventUserStatsApprox(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id").as("n_users_approx"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   /** JSON prop extraction (events.props is a JSON string): per-type
     * stats over get_json_object-extracted values. */
   def eventsPropsJson(spark: SparkSession, sfDir: String): DataFrame =

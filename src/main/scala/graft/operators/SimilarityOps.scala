@@ -101,6 +101,28 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-cosine near-dup pairs: same-label vector pairs above a
+    * cosine threshold. Blocking key = label (the production analog:
+    * a coarse cluster/bucket id), so the pair space is |label-block|²,
+    * not |corpus|². Threshold compares the *rounded integer* e4 value —
+    * exact in both engines, no float knife-edges in the oracle. */
+  def embeddingDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val a = e.alias("a")
+    val b = e.alias("b")
+    a.join(b,
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_e4",
+        round(call_function("cosine_sim", col("a.v"), col("b.v")) * 10000)
+          .cast("long"))
+      .filter(col("cos_e4") >= 2500)
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.label").as("label"), col("cos_e4"))
+      .orderBy("a_id", "b_id")
+  }
+
   private val MinhashPerms = 32
   private val Bands = 8 // 8 bands × 4 rows
 

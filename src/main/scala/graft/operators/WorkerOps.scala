@@ -53,6 +53,20 @@ object WorkerOps {
       .agg(count(lit(1)).as("n_tasks"))
       .orderBy("worker_id")
 
+  /** workerLoad under key skew: two-phase salted aggregation — partial
+    * counts on (worker_id, salt) spread a hot worker over 8 reducers,
+    * then a tiny final combine. Identical results to workerLoad (same
+    * oracle); the 100 TB answer to a skewed worker_id distribution. */
+  def workerLoadSalted(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.assignedTasks(spark, sfDir)
+      .filter(col("status") === Tables.Processing)
+      .withColumn("salt", pmod(xxhash64(col("id")), lit(8)))
+      .groupBy("worker_id", "salt")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("worker_id")
+      .agg(sum("c").as("n_tasks"))
+      .orderBy("worker_id")
+
   /** A3: least-loaded worker argmin (tasks/dispatcher.go:612-633) with a
     * deterministic worker_id tiebreak. TakeOrdered(1) — no global sort. */
   def leastLoadedWorker(spark: SparkSession, sfDir: String): DataFrame =

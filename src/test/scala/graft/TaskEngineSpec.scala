@@ -80,4 +80,37 @@ class TaskEngineSpec extends SparkSuite {
       assert(c.map(_.to).toSet == Set(Pending, Processing, Completed))
     } finally q.stop()
   }
+
+  test("end-to-end pipeline: event stream → state machine → per-batch stats sink") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TaskEvent]
+    // ST6-style micro-batch sink: every batch folds its transitions into
+    // a live status-count table (the streaming form of task_stats)
+    val counts = scala.collection.concurrent.TrieMap.empty[Int, Long]
+    val q = TaskEngine.transitions(spark, input.toDS())
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[TaskTransition], _: Long) =>
+        batch.groupBy("to").count().collect()
+          .foreach(r => counts.updateWith(r.getInt(0)) {
+            case Some(v) => Some(v + r.getLong(1))
+            case None => Some(r.getLong(1))
+          })
+      }
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1 to 20).map(i => TaskEvent(s"t$i", "submit", null, 1)): _*)
+      q.processAllAvailable()
+      input.addData((1 to 20).map(i => TaskEvent(s"t$i", "assign", s"w${i % 3}", 2)): _*)
+      q.processAllAvailable()
+      input.addData((1 to 10).map(i => TaskEvent(s"t$i", "complete", null, 3)) ++
+        (11 to 20).map(i => TaskEvent(s"t$i", "fail", null, 3)): _*)
+      q.processAllAvailable()
+      assert(counts(Pending) == 20L)
+      assert(counts(Processing) == 20L)
+      assert(counts(Completed) == 10L)
+      assert(counts(Delayed) == 10L) // first failure → retry, not FAILED
+    } finally q.stop()
+  }
 }
