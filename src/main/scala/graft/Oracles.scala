@@ -154,6 +154,15 @@ object Oracles {
         |         - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_sec
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin),
+    "task_event_lead" -> q(
+      """SELECT user_id, event_id, event_type,
+        |       lead(event_type) OVER w AS next_type,
+        |       first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type,
+        |       last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin),
     "worker_rank" -> q(
       """SELECT worker_id, task_count,
         |       CAST(RANK() OVER (ORDER BY task_count) AS INT) AS load_rank,

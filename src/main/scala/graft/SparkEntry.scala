@@ -44,6 +44,7 @@ object SparkEntry {
     "topk_per_worker" -> (WindowOps.topkPerWorker _),
     "running_load" -> (WindowOps.runningLoad _),
     "task_event_lag" -> (WindowOps.taskEventLag _),
+    "task_event_lead" -> (WindowOps.taskEventLead _),
     "worker_rank" -> (WindowOps.workerRank _),
     // §2.3/2.6 star-schema joins + set ops
     "join_orders_customer" -> (JoinOps.joinOrdersCustomer _),

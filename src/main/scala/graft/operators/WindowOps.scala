@@ -55,6 +55,21 @@ object WindowOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** Analytic lead + frame-spec first/last: next event type and the
+    * session's first/last event per user (rounds out the window-function
+    * family with lead/first_value/last_value). */
+  def taskEventLead(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, sfDir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("first_type", first(col("event_type")).over(frame))
+      .withColumn("last_type", last(col("event_type")).over(frame))
+      .select("user_id", "event_id", "event_type", "next_type",
+        "first_type", "last_type")
+      .orderBy("user_id", "event_id")
+  }
+
   /** Ranking family: rank + dense_rank of workers by load (the
     * least-loaded strategy generalized to a full ranking). */
   def workerRank(spark: SparkSession, sfDir: String): DataFrame = {
