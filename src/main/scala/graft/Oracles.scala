@@ -195,6 +195,23 @@ object Oracles {
       """SELECT status, priority, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM tasks GROUP BY ROLLUP(status, priority)
         |ORDER BY status ASC NULLS FIRST, priority ASC NULLS FIRST""".stripMargin),
+    "pricing_summary" -> q(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+        |       CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    "top_customers" -> q(
+      """SELECT c_custkey, c_name, n_name,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue_cents DESC, c_custkey ASC LIMIT 20""".stripMargin),
     "lineitem_supplier_nation" -> q(
       """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_items,
         |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

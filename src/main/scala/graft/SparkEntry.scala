@@ -53,6 +53,8 @@ object SparkEntry {
     "set_except" -> (JoinOps.setExcept _),
     "stats_rollup" -> (JoinOps.statsRollup _),
     "lineitem_supplier_nation" -> (JoinOps.lineitemBySupplierNation _),
+    "pricing_summary" -> (JoinOps.pricingSummary _),
+    "top_customers" -> (JoinOps.topCustomers _),
     // §2.9 event-time (batch forms)
     "events_tumbling" -> (EventOps.eventsTumbling _),
     "events_sliding" -> (EventOps.eventsSliding _),

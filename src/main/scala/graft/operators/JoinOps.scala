@@ -72,6 +72,39 @@ object JoinOps {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(asc_nulls_first("status"), asc_nulls_first("priority"))
 
+  /** Headline wide-scan aggregation (TPC-H Q1 shape): pricing summary
+    * over lineitem with exact integer cents — the biggest-table scan
+    * in the suite; partial aggregation means the shuffle carries one
+    * row per (flag, status) per partition. */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_c"),
+        sum(cents("l_extendedprice")).as("sum_base_c"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")).as("sum_disc_c"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Top-20 customers by exact revenue cents (TPC-H Q10 shape):
+    * fact⋈fact join on o_custkey with a broadcast nation dim, then
+    * TakeOrdered(20) — no global sort. */
+  def topCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), cents("o_totalprice").as("price_cents"))
+    val c = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_nationkey")
+    val n = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum("price_cents").as("revenue_cents"), count(lit(1)).as("n_orders"))
+      .orderBy(desc("revenue_cents"), asc("c_custkey"))
+      .limit(20)
+  }
+
   /** Multi-way star join with two fact tables: revenue by supplier
     * nation across lineitem ⋈ supplier ⋈ nation, exact cents. */
   def lineitemBySupplierNation(spark: SparkSession, sfDir: String): DataFrame = {
