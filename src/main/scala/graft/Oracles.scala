@@ -300,6 +300,12 @@ object Oracles {
         |FROM lh ORDER BY doc_id""".stripMargin),
     "doc_fingerprint" -> q(
       "SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id"),
+    "token_freq" -> qx(
+      """, tf AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        |)""".stripMargin,
+      """SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM tf
+        |GROUP BY tok ORDER BY freq DESC, tok ASC LIMIT 50""".stripMargin),
     "ngram_jaccard" -> qx(
       """, toksl AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents

@@ -66,6 +66,7 @@ object SparkEntry {
     "quality_score" -> (TextOps.qualityScore _),
     "lang_id" -> (TextOps.langId _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
+    "token_freq" -> (TextOps.tokenFreq _),
     "fingerprint_rolling" -> (TextOps.fingerprintRolling _),
     "ngram_jaccard" -> (TextOps.ngramJaccard _),
     // LLM-pipeline: similarity + fuzzy dedup (minhash/simhash/LSH are

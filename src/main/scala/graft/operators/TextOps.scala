@@ -74,6 +74,17 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus word frequency: explode tokens → count → top 50 with a
+    * total order (the generator/explode surface as a first-class
+    * oracle-checked query; TakeOrdered, no global sort). */
+  def tokenFreq(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("tok"))
+      .limit(50)
+
   /** Document fingerprint: md5 content hash (cross-engine exact). */
   def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
