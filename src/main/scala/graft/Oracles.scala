@@ -126,11 +126,16 @@ object Oracles {
       """SELECT a.worker_id, a.id, a.priority, w.task_count, w.capacity
         |FROM assigned a JOIN workers w ON a.worker_id = w.worker_id
         |WHERE a.status = 1 ORDER BY a.worker_id, a.id""".stripMargin),
+    // NOT EXISTS, not NOT IN: the Spark side is a left-anti join, which
+    // KEEPS rows whose worker_id is NULL — NOT IN would drop them. The
+    // fixture happens to never produce a NULL worker_id on processing
+    // rows, but the semantics must match by construction, not luck.
     "orphaned_tasks" -> q(
-      """SELECT id, worker_id, priority FROM assigned
-        |WHERE status = 1 AND worker_id NOT IN (
-        |  SELECT worker_id FROM workers
-        |  WHERE last_heartbeat > TIMESTAMP '2024-01-01 00:00:40' - INTERVAL 30 SECOND)
+      """SELECT id, worker_id, priority FROM assigned a
+        |WHERE status = 1 AND NOT EXISTS (
+        |  SELECT 1 FROM workers w
+        |  WHERE w.worker_id = a.worker_id
+        |    AND w.last_heartbeat > TIMESTAMP '2024-01-01 00:00:40' - INTERVAL 30 SECOND)
         |ORDER BY id""".stripMargin),
   )
 

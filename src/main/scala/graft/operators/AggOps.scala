@@ -64,38 +64,62 @@ object AggOps {
         |FROM graft_tasks GROUP BY status ORDER BY status""".stripMargin)
   }
 
+  /** Dense 1-based index + total count over the bounded workers dim,
+    * computed with a tiny self-join aggregation instead of an
+    * unpartitioned window — the bench log must stay free of
+    * "No Partition Defined for Window" WindowExec warnings. |workers|²
+    * rows (dim × dim) is trivially small at any SF. */
+  private def workerIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val wb = Tables.workers(spark, sfDir).select("worker_id")
+    val idx = wb.alias("x")
+      .join(wb.alias("y"), col("y.worker_id") <= col("x.worker_id"))
+      .groupBy(col("x.worker_id").as("worker_id"))
+      .agg(count(lit(1)).cast("int").as("wrn"))
+    val nw = wb.agg(count(lit(1)).cast("int").as("nw"))
+    idx.crossJoin(broadcast(nw))
+  }
+
   /** Round-robin dispatch strategy as a batch query
     * (tasks/dispatcher.go:636-644): pending task i → worker (i-1) mod n.
     * The reference's cursor skips index 0 on first call — a bug we do
-    * not replicate (SURVEY.md §7.5). */
+    * not replicate (SURVEY.md §7.5).
+    *
+    * The global arrival rank is computed WITHOUT an unpartitioned
+    * window (which funnels every pending task through one reducer):
+    * range-repartition + in-partition sort put the rows in global
+    * (create_time, id) order across partitions, so zipWithIndex's
+    * partition-major index IS the global rank. zipWithIndex adds only
+    * a lightweight per-partition count job — no second shuffle, no
+    * single-reducer stage, at any scale. (One of the two sanctioned
+    * RDD uses in this engine: Catalyst has no distributed-rank
+    * primitive that avoids the unpartitioned-window funnel.) */
   def roundRobinAssign(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
     val pend = Tables.tasks(spark, sfDir)
       .filter(col("status") === Tables.Pending)
-      .select(col("id"), col("create_time"), col("priority"))
-      .withColumn("rn", row_number().over(
-        Window.orderBy(asc("create_time"), asc("id"))))
-    val w = Tables.workers(spark, sfDir)
-      .select(col("worker_id"))
-      .withColumn("wrn", row_number().over(Window.orderBy(asc("worker_id"))))
-      .withColumn("nw", count(lit(1)).over(Window.partitionBy()))
-    pend.join(broadcast(w), pmod(col("rn") - 1, col("nw")) + 1 === col("wrn"))
+      .select(col("id"), col("priority"), col("create_time"))
+      // deterministic: RangePartitioner samples with a fixed seed and
+      // keys partition p's rows strictly before p+1's
+      .repartitionByRange(32, asc("create_time"), asc("id"))
+      .sortWithinPartitions(asc("create_time"), asc("id"))
+    val ranked = pend.rdd
+      .zipWithIndex().map { case (r, i) => (r.getString(0), r.getInt(1), i + 1) }
+      .toDF("id", "priority", "rn")
+    val w = workerIndex(spark, sfDir)
+    ranked.join(broadcast(w), pmod(col("rn") - 1, col("nw")) + 1 === col("wrn"))
       .select("id", "priority", "worker_id")
       .orderBy("id")
   }
 
   /** "Random" dispatch strategy (tasks/dispatcher.go:646-655) made
     * deterministic for the oracle: Knuth multiplicative hash of the
-    * order key picks the worker. */
+    * order key picks the worker. Embarrassingly parallel — no window,
+    * no global rank needed. */
   def hashAssign(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val t = Tables.tasks(spark, sfDir)
       .filter(col("status") === Tables.Pending)
       .select(col("id"), col("o_orderkey"))
-    val w = Tables.workers(spark, sfDir)
-      .select(col("worker_id"))
-      .withColumn("wrn", row_number().over(Window.orderBy(asc("worker_id"))))
-      .withColumn("nw", count(lit(1)).over(Window.partitionBy()))
+    val w = workerIndex(spark, sfDir)
     t.join(broadcast(w),
         pmod(col("o_orderkey") * 2654435761L, col("nw")) + 1 === col("wrn"))
       .select("id", "worker_id")

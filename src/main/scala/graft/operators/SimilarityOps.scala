@@ -110,23 +110,55 @@ object SimilarityOps {
   }
 
   /** Embedding-cosine near-dup pairs: same-label vector pairs above a
-    * cosine threshold. Blocking key = label (the production analog:
-    * a coarse cluster/bucket id), so the pair space is |label-block|²,
-    * not |corpus|². Threshold compares the *rounded integer* e4 value —
-    * exact in both engines, no float knife-edges in the oracle. */
+    * cosine threshold. Threshold compares the *rounded integer* e4
+    * value — exact in both engines, no float knife-edges in the oracle.
+    *
+    * Scale design — bounded-tile (triangle) all-pairs, NOT LSH pruning:
+    * the fixture's qualifying pairs hug the τ=0.25 threshold (measured:
+    * min cos 0.250, p5 0.253, median 0.28 at sf0.1), i.e. angle ≈ 75°,
+    * where a sign-random-projection bit agrees with probability
+    * 1 − θ/π ≈ 0.58. Recall-1 SRP blocking at that angle needs >100
+    * OR-ed tables before the per-table miss rate (0.58^b per b-bit
+    * table) vanishes — and 100 tables × bucket collisions generate MORE
+    * candidate pairs than the n²/2 it replaces. Exact low-threshold
+    * all-pairs is inherently quadratic; the scalable form bounds the
+    * work per task instead of (unsoundly) skipping pairs:
+    * each vector lands in bucket g = hash(id) mod B inside its label;
+    * vector in bucket i is replicated to tiles {(i,j): j ≥ i} on the
+    * left and {(j,i): j ≤ i} on the right, so every pair meets in
+    * EXACTLY one (label, ti, tj) tile — no distinct needed. Shuffle is
+    * (B+1)× the vectors; one reducer task handles at most
+    * (|label|/B)² comparisons, so B tunes task size independently of
+    * block size (at 100 TB: B ≈ |label|/√(mem-bounded tile)).
+    * Sub-quadratic similarity at scale is the *approximate* path —
+    * annLshTopk — which is sound at top-k's high-cosine operating
+    * point, not at τ=0.25. */
   def embeddingDedup(spark: SparkSession, sfDir: String): DataFrame = {
     graft.GraftExtensions.register(spark)
+    val B = 8
     val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-    val a = e.alias("a")
-    val b = e.alias("b")
-    a.join(b,
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"),
+        pmod(xxhash64(col("vec_id")), lit(B)).cast("int").as("g"))
+    val left = e
+      .select(col("vec_id"), col("label"), col("v"),
+        col("g").as("ti"), explode(sequence(col("g"), lit(B - 1))).as("tj"))
+    val right = e
+      .select(col("vec_id"), col("label"), col("v"),
+        explode(sequence(lit(0), col("g"))).as("ti"), col("g").as("tj"))
+    // Cross-bucket tiles (ti < tj) hold each unordered pair exactly once
+    // with roles fixed by bucket (not by id) — keep all, normalize ids
+    // with least/greatest. Same-bucket tiles (ti = tj) hold both
+    // orderings — id order dedups them.
+    left.alias("a").join(right.alias("b"),
+        col("a.label") === col("b.label") &&
+        col("a.ti") === col("b.ti") && col("a.tj") === col("b.tj") &&
+        (col("a.ti") =!= col("a.tj") || col("a.vec_id") < col("b.vec_id")))
       .withColumn("cos_e4",
         round(call_function("cosine_sim", col("a.v"), col("b.v")) * 10000)
           .cast("long"))
       .filter(col("cos_e4") >= 2500)
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("a_id"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("b_id"),
         col("a.label").as("label"), col("cos_e4"))
       .orderBy("a_id", "b_id")
   }
@@ -134,45 +166,24 @@ object SimilarityOps {
   private val MinhashPerms = 32
   private val Bands = 8 // 8 bands × 4 rows
 
-  /** Typed UDAF: elementwise minimum of fixed-width long vectors —
-    * reduces one 32-hash array per shingle into the per-doc signature
-    * with partial (map-side) aggregation, instead of exploding
-    * 32 rows/shingle through the shuffle. */
-  object ElementwiseMin extends Aggregator[(Long, Seq[Long]), Array[Long], Seq[Long]] {
-    import org.apache.spark.sql.{Encoder, Encoders}
-    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    def zero: Array[Long] = Array.fill(MinhashPerms)(Long.MaxValue)
-    def reduce(b: Array[Long], in: (Long, Seq[Long])): Array[Long] = {
-      var i = 0
-      val v = in._2
-      while (i < b.length) { if (v(i) < b(i)) b(i) = v(i); i += 1 }
-      b
-    }
-    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
-      var i = 0
-      while (i < x.length) { if (y(i) < x(i)) x(i) = y(i); i += 1 }
-      x
-    }
-    def finish(b: Array[Long]): Seq[Long] = b.toSeq
-    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
-    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
-  }
-
   /** MinHash signatures over word 3-shingles: per-doc array of 32
     * permutation minima, h_i = min over shingles of xxhash64(shingle, i).
-    * One row per shingle enters the aggregation; map-side combine means
-    * the shuffle carries one 32-long vector per (partition, doc). */
+    *
+    * One plain `min` aggregate column per permutation — 32 primitive
+    * longs in the HashAggregate buffer, fully codegen'd with map-side
+    * partial aggregation. (Round 1 used a typed Aggregator over
+    * Seq[Long]; the per-row array allocation + element boxing made the
+    * signature pipeline the dominant cost of minhash_dedup — measured
+    * ~2× slower than this form at sf0.1.) */
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+    val mins = (0 until MinhashPerms).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(shingleArray(col("text"), 3)).as("shingle"))
-      .select(col("doc_id"), transform(sequence(lit(0), lit(MinhashPerms - 1)),
-        i => xxhash64(col("shingle"), i)).as("hs"))
-      .toDF("_1", "_2")
-      .as[(Long, Seq[Long])]
-      .groupByKey(_._1)
-      .agg(ElementwiseMin.toColumn.name("signature"))
-      .select(col("key").as("doc_id"), col("signature"))
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinhashPerms).map(i => col(s"h$i")): _*).as("signature"))
   }
 
   /** MinHash+LSH near-dup pairs: docs sharing any band bucket, with
@@ -207,65 +218,78 @@ object SimilarityOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** Number of pigeonhole bands the 64-bit simhash splits into: with
+    * Hamming radius 8, the ≤8 differing bits can touch at most 8 of 9
+    * disjoint chunks, so every qualifying pair shares ≥1 intact chunk. */
+  private val SimhashBands = 9
+
   /** 64-bit SimHash per doc from token hashes; near-dup pairs at
-    * Hamming distance ≤ 8 within the same source. */
+    * Hamming distance ≤ 8 within the same source.
+    *
+    * Scale design — pigeonhole banding, not an all-pairs block join:
+    * the simhash is split into 9 disjoint chunks (8×7 bits + 1×8 bits);
+    * Hamming ≤ 8 guarantees at least one chunk is bit-identical
+    * (pigeonhole), so joining on (source, band, chunk) finds every
+    * qualifying pair with recall 1 by construction. The shuffle is
+    * 9 narrow rows per doc bucketed by chunk value instead of
+    * |source-block|² pairs; the exact `bit_count(xor) ≤ 8` verify runs
+    * only on bucket collisions. Candidates hit in several bands are
+    * deduped on ids+hashes (8+8 bytes) before the verify. */
   def simhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = simhashes(spark, sfDir)
-    val a = sh.alias("a")
-    val b = sh.alias("b")
+    val chunks = (0 until SimhashBands).map { i =>
+      val start = i * 7
+      val width = if (i == SimhashBands - 1) 64 - start else 7
+      // arithmetic shiftright sign-extends on the top chunk; the mask
+      // keeps exactly `width` bits
+      shiftright(col("simhash"), start).bitwiseAND(lit((1L << width) - 1L))
+    }
+    val banded = sh
+      .select(col("doc_id"), col("source"), col("simhash"),
+        posexplode(array(chunks: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val a = banded.alias("a")
+    val b = banded.alias("b")
     a.join(b,
         col("a.source") === col("b.source") &&
+        col("a.band") === col("b.band") &&
+        col("a.chunk") === col("b.chunk") &&
         col("a.doc_id") < col("b.doc_id"))
-      .withColumn("hamming",
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
-      .filter(col("hamming") <= 8)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("hamming").cast("int").as("hamming"))
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= 8)
+      .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
       .orderBy("a_id", "b_id")
   }
 
-  /** Typed UDAF: elementwise sum of 64-long bit-weight vectors (the
-    * SimHash accumulator) with map-side combine — replaces a 64
-    * rows/token explode through the shuffle. */
-  object ElementwiseSum extends Aggregator[((Long, String), Seq[Long]), Array[Long], Seq[Long]] {
-    import org.apache.spark.sql.Encoder
-    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    def zero: Array[Long] = Array.fill(64)(0L)
-    def reduce(b: Array[Long], in: ((Long, String), Seq[Long])): Array[Long] = {
-      var i = 0
-      val v = in._2
-      while (i < b.length) { b(i) += v(i); i += 1 }
-      b
-    }
-    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
-      var i = 0
-      while (i < x.length) { x(i) += y(i); i += 1 }
-      x
-    }
-    def finish(b: Array[Long]): Seq[Long] = b.toSeq
-    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
-    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
-  }
-
-  /** Per-doc 64-bit SimHash: per-token xxhash64 expanded to a ±1 weight
-    * vector (bit 63 first), summed elementwise per doc, sign bits
-    * Horner-folded into one long. */
+  /** Per-doc 64-bit SimHash from per-token xxhash64: bit b of the
+    * simhash is set iff more than half the doc's tokens have bit b set
+    * (the sign of the classic ±1 weight sum: Σ±1 > 0 ⟺ 2·ones > n).
+    *
+    * One plain `sum((h >> b) & 1)` aggregate column per bit — 64
+    * primitive longs in the HashAggregate buffer plus a count, fully
+    * codegen'd with map-side partial aggregation, then one Horner
+    * fold into the long. (Round 1 built a 64-element ±1 Seq[Long] per
+    * token and summed it in a typed Aggregator; the allocation +
+    * boxing made the signature pipeline dominate simhash_dedup.) */
   def simhashes(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val weights = Tables.documents(spark, sfDir)
+    val bitSums = (0 until 64).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"c$b"))
+    val aggs = bitSums :+ count(lit(1)).as("n")
+    // MSB-first Horner fold, matching bitsToLong's bit order
+    val sim = (63 to 0 by -1).foldLeft(lit(0L)) { (acc, b) =>
+      shiftleft(acc, 1).bitwiseOR(
+        when(col(s"c$b") * 2 > col("n"), lit(1L)).otherwise(lit(0L)))
+    }
+    Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-      .select(struct(col("doc_id").as("_1"), col("source").as("_2")).as("_1"),
-        expr("transform(sequence(63, 0, -1), bit -> " +
-          "CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1L ELSE -1L END)").as("_2"))
-      .as[((Long, String), Seq[Long])]
-    weights
-      .groupByKey(_._1)
-      .agg(ElementwiseSum.toColumn.name("sums"))
-      .select(col("key._1").as("doc_id"), col("key._2").as("source"),
-        bitsToLong(transform(col("sums"),
-          s => when(s > 0, 1).otherwise(0))).as("simhash"))
+      .groupBy("doc_id", "source")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), col("source"), sim.as("simhash"))
   }
 
   /** Word n-gram shingles of `text` as a distinct array column. */

@@ -111,42 +111,116 @@ object TextOps {
   /** Word-3-gram Jaccard near-dup detection: doc pairs within the same
     * source whose distinct-shingle Jaccard ≥ 0.5. The threshold compare
     * is exact integer arithmetic (2*|A∩B| >= |A∪B|); the reported
-    * similarity is scaled to millis. */
+    * similarity is scaled to millis.
+    *
+    * Scale design — PPJoin-style prefix filtering (Xiao et al., exact):
+    * under ANY canonical total token order, J(A,B) ≥ t implies the
+    * first ⌊(1−t)/(1+t)·|X|⌋+1 tokens of A and B intersect, so only
+    * ⅓ of each doc's shingles (t = 0.5) participate in candidate
+    * generation. Two canonical orders are implemented, chosen by
+    * corpus size (a deterministic cost-based strategy pick, like
+    * Catalyst's own broadcast-vs-shuffle decision):
+    *
+    *  - hash order ([[ngramJaccardPrefixHash]]): prefix = the doc's
+    *    ⌊sz/3⌋+1 smallest shingle hashes, computed narrowly inside the
+    *    scan projection — zero extra shuffles. A shingle shared by k
+    *    docs lands in ~k/3 prefixes (its hash rank per doc is
+    *    uniform), so hot-shingle candidate blowup shrinks k²→k²/9 —
+    *    fine while k² / 9 pairs are cheap, i.e. small corpora.
+    *  - document-frequency order ([[ngramJaccardPrefixDf]]): prefix =
+    *    the doc's globally RAREST shingles (per-source df asc), so a
+    *    high-df shingle (the k² blowup at corpus scale: every doc
+    *    pair sharing a boilerplate 3-gram) effectively never enters a
+    *    prefix. Costs a df pass + per-doc reorder (3 extra O(n)
+    *    shuffles) — noise at 100 TB, dominant at fixture scale.
+    *
+    * Both have recall 1 by the prefix-filter theorem and share the
+    * exact verify, so the output is identical to the naive all-pairs
+    * join (asserted in RewireEquivalenceSpec for both paths).
+    * Verification joins candidate ids back to per-doc shingle-hash
+    * ARRAYS (one ~8·|sh|-byte row per doc, no explode) and computes
+    * the exact intersection with a codegen'd array_intersect. */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    // join key is the shingle's xxhash64, not the string: the shuffle
-    // carries 8 bytes per shingle instead of ~20+ chars (collision odds
-    // ~|shingles|²/2⁶⁴ — immaterial)
-    val toks = Tables.documents(spark, sfDir)
+    // strategy pick: parquet metadata count (no data scan). The
+    // crossover is where hot-shingle k²/9 candidates outgrow three
+    // extra O(n) stages — O(1M docs) for web-ish corpora.
+    val docCount = Tables.documents(spark, sfDir).count()
+    if (docCount < 1000000L) ngramJaccardPrefixHash(spark, sfDir)
+    else ngramJaccardPrefixDf(spark, sfDir)
+  }
+
+  /** Per-doc distinct shingle hashes, hash-sorted: the join/shuffle
+    * currency is 8 bytes per shingle instead of ~20+ chars (collision
+    * odds ~|shingles|²/2⁶⁴ — immaterial). */
+  private def shingleDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
-        explode(shingles3(col("text"))).as("tok"))
-      .select(col("doc_id"), col("source"), xxhash64(col("tok")).as("tok_h"))
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = toks.alias("a")
-    val b = toks.alias("b")
-    // the exploded token table is |docs|×|shingles| rows — never
-    // broadcast it (Catalyst's width-based estimate undershoots after
-    // the 8-byte hash projection); shuffle-hash co-locates both sides
-    // on (source, tok_h)
-    val inter = a.hint("shuffle_hash").join(b,
-        col("a.source") === col("b.source") &&
-        col("a.tok_h") === col("b.tok_h") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    // sizes is one row per doc — same cardinality as documents, so NOT
-    // broadcast (AQE picks the strategy; at fixture scale it broadcasts
-    // on its own, at 100 TB it must shuffle).
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "a_id")
-        .withColumnRenamed("sz", "a_sz"), Seq("a_id"))
-      .join(sizes.withColumnRenamed("doc_id", "b_id")
-        .withColumnRenamed("sz", "b_sz"), Seq("b_id"))
+        array_sort(array_distinct(transform(shingles3(col("text")), t => xxhash64(t))))
+          .as("sh"))
+      .withColumn("sz", size(col("sh")))
+
+  /** Exact Jaccard verify of candidate (a_id, b_id) pairs against the
+    * compact array form; docs is same cardinality as documents —
+    * shuffle join on ids (AQE may broadcast at fixture scale; at
+    * 100 TB it must shuffle). */
+  private def jaccardVerify(cand: DataFrame, docs: DataFrame): DataFrame =
+    cand
+      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("sha"),
+        col("sz").as("a_sz")), Seq("a_id"))
+      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("shb"),
+        col("sz").as("b_sz")), Seq("b_id"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .filter(lit(2) * col("inter") >= col("a_sz") + col("b_sz") - col("inter"))
       .select(col("a_id"), col("b_id"),
         round(lit(1000.0) * col("inter") /
           (col("a_sz") + col("b_sz") - col("inter"))).cast("long")
           .as("jaccard_milli"))
       .orderBy("a_id", "b_id")
+
+  /** Hash-canonical-order prefix filter (small-corpus path): the
+    * prefix is a narrow `slice` of the hash-sorted shingle array —
+    * candidate generation is the ONLY wide stage before the verify. */
+  def ngramJaccardPrefixHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = shingleDocs(spark, sfDir)
+    val prefix = docs.select(col("doc_id"), col("source"),
+      explode(slice(col("sh"), lit(1), (col("sz") / 3).cast("int") + 1)).as("tok_h"))
+    // never broadcast the exploded table (Catalyst's width estimate
+    // undershoots after the 8-byte hash projection); shuffle-hash
+    // co-locates on (source, tok_h)
+    val cand = prefix.alias("a").hint("shuffle_hash")
+      .join(prefix.alias("b"),
+        col("a.source") === col("b.source") &&
+        col("a.tok_h") === col("b.tok_h") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    jaccardVerify(cand, docs)
+  }
+
+  /** Document-frequency-canonical-order prefix filter (100 TB path):
+    * canonical order = (per-source doc frequency asc, hash asc), a
+    * total order shared by every doc of a source. */
+  def ngramJaccardPrefixDf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = shingleDocs(spark, sfDir)
+    val toks = docs.select(col("doc_id"), col("source"), col("sz"),
+      explode(col("sh")).as("tok_h"))
+    val dfreq = toks.groupBy("source", "tok_h")
+      .agg(count(lit(1)).as("tok_df"))
+    val prefix = toks
+      .join(dfreq, Seq("source", "tok_h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(asc("tok_df"), asc("tok_h"))))
+      .filter(col("rn") <= (col("sz") / 3).cast("int") + 1)
+      .select("doc_id", "source", "tok_h")
+    val cand = prefix.alias("a").hint("shuffle_hash")
+      .join(prefix.alias("b"),
+        col("a.source") === col("b.source") &&
+        col("a.tok_h") === col("b.tok_h") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    jaccardVerify(cand, docs)
   }
 
   /** Distinct word 3-gram shingles (docs shorter than 3 tokens yield

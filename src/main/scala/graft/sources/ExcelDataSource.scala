@@ -27,7 +27,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Scale notes: one InputPartition per file — an xlsx (deflate inside
   * zip) is not range-splittable, so parallelism comes from many files,
   * which is how a 100 TB Excel-fed ingest would arrive anyway. The
-  * parse is streaming (StAX pull), never materializing the sheet.
+  * sheet parse is streaming (StAX pull): the PartitionReader draws rows
+  * one at a time from [[ExcelDataSource.RowStream]] and never
+  * materializes the sheet. Only the sharedStrings table (a by-index
+  * lookup dictionary) is held in memory. DTDs and external entities
+  * are disabled on every XML reader (XXE hardening — spreadsheets are
+  * untrusted input).
   */
 class ExcelDataSource extends TableProvider with DataSourceRegister {
 
@@ -48,6 +53,15 @@ object ExcelDataSource {
     p
   }
 
+  /** XXE-hardened StAX factory: untrusted spreadsheets must not resolve
+    * DTDs or external entities (local-file read / SSRF vector). */
+  private def secureXmlFactory: XMLInputFactory = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
+    f
+  }
+
   /** Header row (row 1) of sheet 1 → all-string schema. */
   def inferSchema(path: String): StructType = {
     val rows = readRows(path, limit = 1)
@@ -56,51 +70,61 @@ object ExcelDataSource {
     StructType(header.map(name => StructField(name, StringType, nullable = true)))
   }
 
-  /** Stream sheet-1 rows as string vectors (shared strings resolved). */
-  def readRows(path: String, limit: Int = Int.MaxValue): Vector[Vector[String]] = {
-    val zip = new ZipFile(path)
-    try {
-      val shared: IndexedSeq[String] = Option(zip.getEntry("xl/sharedStrings.xml")) match {
+  /** Incremental sheet-1 row iterator (shared strings resolved). Rows
+    * are pulled one at a time from the StAX stream — the sheet is never
+    * materialized; only the sharedStrings dictionary is held in memory.
+    * The ZipFile stays open for the iterator's lifetime: close(). */
+  final class RowStream(path: String) extends Iterator[Vector[String]] with AutoCloseable {
+    private val zip = new ZipFile(path)
+    private val shared: IndexedSeq[String] =
+      Option(zip.getEntry("xl/sharedStrings.xml")) match {
         case None => IndexedSeq.empty
         case Some(e) =>
-          val xml = XMLInputFactory.newInstance()
-            .createXMLStreamReader(zip.getInputStream(e))
-          val out = ArrayBuffer[String]()
-          val cur = new StringBuilder
-          var inSi = false
-          while (xml.hasNext) {
-            xml.next() match {
-              case XMLStreamConstants.START_ELEMENT if xml.getLocalName == "si" =>
-                inSi = true; cur.clear()
-              case XMLStreamConstants.CHARACTERS if inSi =>
-                cur.append(xml.getText)
-              case XMLStreamConstants.END_ELEMENT if xml.getLocalName == "si" =>
-                inSi = false; out += cur.toString
-              case _ =>
+          val xml = secureXmlFactory.createXMLStreamReader(zip.getInputStream(e))
+          try {
+            val out = ArrayBuffer[String]()
+            val cur = new StringBuilder
+            var inSi = false
+            while (xml.hasNext) {
+              xml.next() match {
+                case XMLStreamConstants.START_ELEMENT if xml.getLocalName == "si" =>
+                  inSi = true; cur.clear()
+                case XMLStreamConstants.CHARACTERS if inSi =>
+                  cur.append(xml.getText)
+                case XMLStreamConstants.END_ELEMENT if xml.getLocalName == "si" =>
+                  inSi = false; out += cur.toString
+                case _ =>
+              }
             }
-          }
-          out.toIndexedSeq
+            out.toIndexedSeq
+          } finally xml.close()
       }
-      val sheet = Option(zip.getEntry("xl/worksheets/sheet1.xml"))
-        .orElse(Option(zip.getEntry("xl/worksheets/sheet.xml")))
-        .getOrElse(throw new IllegalArgumentException(s"no sheet1 in $path"))
-      val xml = XMLInputFactory.newInstance()
-        .createXMLStreamReader(zip.getInputStream(sheet))
-      val rows = ArrayBuffer[Vector[String]]()
-      var row = ArrayBuffer[String]()
-      var cellType = ""
-      var cellRef = ""
-      var inV = false
-      val v = new StringBuilder
-      def colIndex(ref: String): Int = {
-        var i = 0
-        var idx = 0
-        while (i < ref.length && ref.charAt(i).isLetter) {
-          idx = idx * 26 + (ref.charAt(i) - 'A' + 1); i += 1
-        }
-        idx - 1
+    private val sheet = Option(zip.getEntry("xl/worksheets/sheet1.xml"))
+      .orElse(Option(zip.getEntry("xl/worksheets/sheet.xml")))
+      .getOrElse {
+        zip.close()
+        throw new IllegalArgumentException(s"no sheet1 in $path")
       }
-      while (xml.hasNext && rows.length < limit) {
+    private val xml = secureXmlFactory.createXMLStreamReader(zip.getInputStream(sheet))
+    private var row = ArrayBuffer[String]()
+    private var cellType = ""
+    private var cellRef = ""
+    private var inV = false
+    private val v = new StringBuilder
+    private var pending: Vector[String] = _
+
+    private def colIndex(ref: String): Int = {
+      var i = 0
+      var idx = 0
+      while (i < ref.length && ref.charAt(i).isLetter) {
+        idx = idx * 26 + (ref.charAt(i) - 'A' + 1); i += 1
+      }
+      idx - 1
+    }
+
+    /** Parse forward until one complete row is buffered (or EOF). */
+    private def advance(): Unit =
+      while (pending == null && xml.hasNext) {
         xml.next() match {
           case XMLStreamConstants.START_ELEMENT => xml.getLocalName match {
             case "row" => row = ArrayBuffer[String]()
@@ -120,14 +144,34 @@ object ExcelDataSource {
               val at = if (cellRef.nonEmpty) colIndex(cellRef) else row.length
               while (row.length < at) row += ""
               row += value
-            case "row" => rows += row.toVector
+            case "row" => pending = row.toVector
             case _ =>
           }
           case _ =>
         }
       }
-      rows.toVector
-    } finally zip.close()
+
+    override def hasNext: Boolean = {
+      if (pending == null) advance()
+      pending != null
+    }
+    override def next(): Vector[String] = {
+      if (!hasNext) throw new NoSuchElementException(path)
+      val r = pending
+      pending = null
+      r
+    }
+    override def close(): Unit = {
+      xml.close()
+      zip.close()
+    }
+  }
+
+  /** Materialized convenience wrapper over [[RowStream]] (schema
+    * inference, tests). */
+  def readRows(path: String, limit: Int = Int.MaxValue): Vector[Vector[String]] = {
+    val rs = new RowStream(path)
+    try rs.take(limit).toVector finally rs.close()
   }
 }
 
@@ -157,11 +201,13 @@ class ExcelReaderFactory(schema: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[ExcelPartition].path
     new PartitionReader[InternalRow] {
+      // incremental pull — constant memory regardless of sheet size
+      private val stream = new ExcelDataSource.RowStream(path)
       // skip the header row, like the reference (tasks/spider.go:45)
-      private val rows = ExcelDataSource.readRows(path).drop(1).iterator
+      if (stream.hasNext) stream.next()
       private var current: Vector[String] = _
       override def next(): Boolean = {
-        if (rows.hasNext) { current = rows.next(); true } else false
+        if (stream.hasNext) { current = stream.next(); true } else false
       }
       override def get(): InternalRow = {
         val vals = (0 until schema.length).map { i =>
@@ -169,7 +215,7 @@ class ExcelReaderFactory(schema: StructType) extends PartitionReaderFactory {
         }
         InternalRow.fromSeq(vals)
       }
-      override def close(): Unit = ()
+      override def close(): Unit = stream.close()
     }
   }
 }

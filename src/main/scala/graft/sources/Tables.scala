@@ -55,15 +55,16 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects
-    * outright; read the ns as a long (legacy conf) and derive a
-    * µs-truncated TimestampType `ts` (integer DIV — a double division
-    * would lose precision at 1.7e18 ns). `ts_ns` keeps full precision. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * outright; the session must be built with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (Verify/Bench/SparkSuite
+    * all set it — a session conf is a build-time choice, not a hidden
+    * per-read side effect). The ns long becomes a µs-truncated
+    * TimestampType `ts` (integer DIV — a double division would lose
+    * precision at 1.7e18 ns). `ts_ns` keeps full precision. */
+  def events(s: SparkSession, d: String): DataFrame =
     table(s, d, "events")
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", expr("timestamp_micros(ts_ns DIV 1000)"))
-  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AggOps, SimilarityOps, TextOps}
+import graft.sources.Tables
+
+/** The round-2 scale rewires must be OUTPUT-IDENTICAL to the naive
+  * quadratic / single-reducer forms they replace:
+  *  - simhash_dedup: pigeonhole-banded join vs all-pairs block join
+  *    (Hamming ≤ 8 over 9 disjoint chunks ⇒ one chunk equal — exact);
+  *  - embedding_dedup: bounded-tile triangle join vs label all-pairs
+  *    (tiling only re-routes pairs, never skips them — exact);
+  *  - ngram_jaccard: PPJoin prefix filter vs full token self-join
+  *    (prefix-filter theorem guarantees recall 1 at t = 0.5 — exact);
+  *  - round_robin_assign: range-repartitioned rank + offsets vs the
+  *    unpartitioned global window.
+  * Asserted at sf0.01 (the driver's CORRECTNESS scale) against
+  * independently-written naive plans.
+  */
+class RewireEquivalenceSpec extends SparkSuite {
+  private val sf01 = "/root/testdata/sf0.01"
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] = df.collect().toSeq.map(_.toSeq)
+
+  test("simhash_dedup banded equals naive all-pairs at sf0.01") {
+    val sh = SimilarityOps.simhashes(spark, sf01)
+    val naive = sh.alias("a").join(sh.alias("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+      .filter(col("hamming") <= 8)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("hamming").cast("int").as("hamming"))
+      .orderBy("a_id", "b_id")
+    val banded = SimilarityOps.simhashDedup(spark, sf01)
+    val got = rows(banded)
+    assert(got.nonEmpty)
+    assert(got == rows(naive))
+  }
+
+  test("simhash_dedup plan contains no block self-join (joins on band keys)") {
+    val plan = SimilarityOps.simhashDedup(spark, sf01)
+      .queryExecution.optimizedPlan.toString
+    // the join must carry band/chunk equi-keys, not just source
+    assert(plan.contains("band"))
+    assert(plan.contains("chunk"))
+  }
+
+  test("embedding_dedup tiled equals naive label all-pairs at sf0.01") {
+    GraftExtensions.register(spark)
+    val e = Tables.embeddings(spark, sf01)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val naive = e.alias("a").join(e.alias("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_e4",
+        round(call_function("cosine_sim", col("a.v"), col("b.v")) * 10000)
+          .cast("long"))
+      .filter(col("cos_e4") >= 2500)
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.label").as("label"), col("cos_e4"))
+      .orderBy("a_id", "b_id")
+    val tiled = SimilarityOps.embeddingDedup(spark, sf01)
+    val got = rows(tiled)
+    assert(got.size == 293) // CORRECTNESS_r01 row count
+    assert(got == rows(naive))
+  }
+
+  test("ngram_jaccard PPJoin equals naive token self-join at sf0.01") {
+    val shingleExpr = expr(
+      """array_distinct(transform(
+        |  sequence(0, greatest(size(split(text, ' ')) - 3, 0)),
+        |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))""".stripMargin)
+    val docs = Tables.documents(spark, sf01)
+      .select(col("doc_id"), col("source"), shingleExpr.as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val naive = docs.alias("a").join(docs.alias("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long"))
+      .filter(lit(2) * col("inter") >= col("a.sz") + col("b.sz") - col("inter") &&
+        col("inter") > 0)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        round(lit(1000.0) * col("inter") /
+          (col("a.sz") + col("b.sz") - col("inter"))).cast("long")
+          .as("jaccard_milli"))
+      .orderBy("a_id", "b_id")
+    val expected = rows(naive)
+    // dispatcher (hash-order at fixture scale) and both explicit paths
+    assert(rows(TextOps.ngramJaccard(spark, sf01)) == expected)
+    assert(rows(TextOps.ngramJaccardPrefixHash(spark, sf01)) == expected)
+    assert(rows(TextOps.ngramJaccardPrefixDf(spark, sf01)) == expected)
+  }
+
+  test("round_robin_assign distributed rank equals global-window rank at sf0.01") {
+    val pend = Tables.tasks(spark, sf01)
+      .filter(col("status") === Tables.Pending)
+      .select(col("id"), col("create_time"), col("priority"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(asc("create_time"), asc("id"))))
+    val w = Tables.workers(spark, sf01)
+      .select(col("worker_id"))
+      .withColumn("wrn", row_number().over(Window.orderBy(asc("worker_id"))))
+      .withColumn("nw", count(lit(1)).over(Window.partitionBy()))
+    val naive = pend.join(broadcast(w),
+        pmod(col("rn") - 1, col("nw")) + 1 === col("wrn"))
+      .select("id", "priority", "worker_id")
+      .orderBy("id")
+    val got = rows(AggOps.roundRobinAssign(spark, sf01))
+    assert(got.nonEmpty)
+    assert(got == rows(naive))
+  }
+}
