@@ -71,6 +71,12 @@ object Oracles {
         |FROM orders ORDER BY id""".stripMargin),
     "task_stats" -> q(
       "SELECT status, COUNT(*) AS cnt FROM tasks GROUP BY status ORDER BY status"),
+    // catalog queries read the managed metastore table, whose content is
+    // exactly Tables.tasks — the oracle goes straight to the derivation
+    "catalog_task_stats" -> q(
+      "SELECT status, COUNT(*) AS cnt FROM tasks GROUP BY status ORDER BY status"),
+    "catalog_pending_tasks" -> q(
+      "SELECT id, priority, create_time, task_type FROM tasks WHERE status = 0 ORDER BY id"),
     "count_pending" -> q(
       "SELECT COUNT(*) AS cnt FROM tasks WHERE status = 0"),
     "filter_status" -> q(
@@ -83,6 +89,17 @@ object Oracles {
         |                   WHEN 2 THEN 'completed' WHEN 3 THEN 'failed'
         |                   WHEN 4 THEN 'delayed' ELSE 'unknown' END AS status_name
         |FROM tasks ORDER BY id""".stripMargin),
+    "key_split" -> q(
+      """SELECT key,
+        |       CAST(CASE split_part(key, '/', 3)
+        |              WHEN 'pending' THEN 0 WHEN 'processing' THEN 1
+        |              WHEN 'completed' THEN 2 WHEN 'failed' THEN 3
+        |              WHEN 'delayed' THEN 4 END AS INT) AS key_status,
+        |       split_part(key, '/', 4) AS key_worker,
+        |       split_part(key, '/', 5) AS key_task
+        |FROM (SELECT '/tasks/processing/' || worker_id || '/' || id AS key
+        |      FROM assigned WHERE status = 1 AND worker_id IS NOT NULL)
+        |ORDER BY key""".stripMargin),
     "payload_json" -> q(
       "SELECT CAST(o_orderkey AS VARCHAR) AS id, o_orderkey AS row_id, o_custkey AS cust FROM orders ORDER BY id"),
     "retry_backoff" -> q(

@@ -23,6 +23,9 @@ object SparkEntry {
     "count_pending" -> (TaskOps.countPending _),
     // §2.4 aggregations
     "task_stats" -> (TaskOps.taskStats _),
+    // Hive-metastore catalog surface (north star: persistent catalog)
+    "catalog_task_stats" -> (CatalogOps.catalogTaskStats _),
+    "catalog_pending_tasks" -> (CatalogOps.catalogPendingTasks _),
     "worker_load" -> (WorkerOps.workerLoad _),
     "least_loaded_worker" -> (WorkerOps.leastLoadedWorker _),
     // §2.5 sorts / limits
@@ -33,6 +36,7 @@ object SparkEntry {
     "orphaned_tasks" -> (WorkerOps.orphanedTasks _),
     // §2.8 scalar functions
     "status_decode" -> (TaskOps.statusDecode _),
+    "key_split" -> (TaskOps.keySplit _),
     "payload_json" -> (TaskOps.payloadJson _),
     "retry_backoff" -> (TaskOps.retryBackoff _),
     "process_dispatch" -> (TaskOps.processDispatch _),

@@ -85,6 +85,31 @@ object TaskOps {
         Exprs.statusName(col("status")).as("status_name"))
       .orderBy("id")
 
+  /** P8/F4: composite processing-key round-trip. The reference stores
+    * in-flight tasks under `/tasks/processing/{worker}/{task}` and
+    * splits the key back with SplitProcessingKey
+    * (/root/reference/common/utils.go:25-31,
+    * /root/reference/common/constants.go:8). Here the key is
+    * materialized with concat and split back with substring_index —
+    * all codegen'd string ops — and the status segment decodes through
+    * [[Exprs.statusCode]] (the from-string direction of F3). Narrow
+    * single-scan plan; at scale this is the key-parsing projection of
+    * an etcd-export ingest. */
+  def keySplit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.assignedTasks(spark, sfDir)
+      .filter(col("status") === Tables.Processing && col("worker_id").isNotNull)
+      .withColumn("key",
+        concat(lit("/tasks/"), Exprs.statusName(col("status")), lit("/"),
+          col("worker_id"), lit("/"), col("id")))
+      .select(col("key"),
+        Exprs.statusCode(
+          substring_index(substring_index(col("key"), "/", 3), "/", -1))
+          .as("key_status"),
+        substring_index(substring_index(col("key"), "/", 4), "/", -1)
+          .as("key_worker"),
+        substring_index(col("key"), "/", -1).as("key_task"))
+      .orderBy("key")
+
   /** F6: payload JSON encode/decode round-trip (model/model.go:32-35).
     * Spark builds the payload with to_json and reads it back with
     * from_json; the oracle checks the extracted values against the

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.operators.{CatalogOps, TaskOps}
+
+/** Hive-metastore surface: managed status-partitioned table + catalog
+  * queries (north star "Spark SQL + Hive metastore integration"). */
+class CatalogSpec extends SparkSuite {
+
+  test("hive support is active and the managed table persists in the catalog") {
+    assert(spark.conf.get("spark.sql.catalogImplementation") == "hive")
+    CatalogOps.ensureTasksTable(spark, sf)
+    assert(spark.catalog.tableExists(CatalogOps.TasksTable))
+    val parts = spark.sql(s"SHOW PARTITIONS ${CatalogOps.TasksTable}")
+      .collect().map(_.getString(0)).sorted
+    assert(parts.length == 5 && parts.forall(_.startsWith("status=")))
+  }
+
+  test("catalog_task_stats over the managed table equals task_stats over parquet") {
+    val cat = CatalogOps.catalogTaskStats(spark, sf).collect().map(_.toSeq).toSeq
+    val raw = TaskOps.taskStats(spark, sf).collect().map(_.toSeq).toSeq
+    assert(cat == raw && cat.nonEmpty)
+  }
+
+  test("status predicate prunes managed-table partitions to exactly one") {
+    CatalogOps.ensureTasksTable(spark, sf)
+    val df = spark.sql(
+      s"SELECT id FROM ${CatalogOps.TasksTable} WHERE status = 0")
+    df.collect()
+    val executed = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = executed.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    // one selected partition (status=0), enforced as a partition filter
+    assert(scans.forall(_.partitionFilters.nonEmpty))
+    assert(scans.forall(_.selectedPartitions.partitionCount == 1))
+  }
+}
