@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -62,11 +63,24 @@ object ExcelDataSource {
     f
   }
 
-  /** Header row (row 1) of sheet 1 → all-string schema. */
+  /** xlsx files under `path`: the path itself if it's a file, else the
+    * directory's *.xlsx entries, name-sorted (deterministic plan). */
+  def discover(path: String): Seq[String] = {
+    val f = new java.io.File(path)
+    if (f.isDirectory)
+      f.listFiles((_, n) => n.endsWith(".xlsx")).map(_.getPath).sorted.toSeq
+    else Seq(path)
+  }
+
+  /** Header row (row 1) of sheet 1 → all-string schema. For a
+    * directory, the first file defines the schema (generator sheets
+    * share a layout, tasks/spider.go:41-45). */
   def inferSchema(path: String): StructType = {
-    val rows = readRows(path, limit = 1)
+    val first = discover(path).headOption.getOrElse(
+      throw new IllegalArgumentException(s"no xlsx under $path"))
+    val rows = readRows(first, limit = 1)
     val header = rows.headOption.getOrElse(
-      throw new IllegalArgumentException(s"empty sheet in $path"))
+      throw new IllegalArgumentException(s"empty sheet in $first"))
     StructType(header.map(name => StructField(name, StringType, nullable = true)))
   }
 
@@ -179,7 +193,7 @@ class ExcelTable(schema: StructType, path: String) extends Table with SupportsRe
   override def name(): String = s"graft-excel:$path"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new ExcelScan(schema, path)
@@ -190,9 +204,71 @@ class ExcelScan(schema: StructType, path: String) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(ExcelPartition(path))
+    ExcelDataSource.discover(path).map(ExcelPartition.apply).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ExcelReaderFactory(schema)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ExcelMicroBatchStream(schema, path)
+}
+
+/** Offset = the name-sorted set of files already ingested, carried in
+  * the offset JSON itself so restart recovery needs no side state (the
+  * checkpoint's offset log IS the source of truth). Fine for
+  * generator-scale file counts; a 100 TB file feed graduates to a
+  * compacted metadata log like Spark's FileStreamSource, which is an
+  * implementation upgrade behind the same Offset contract. */
+case class ExcelOffset(files: Seq[String]) extends Offset {
+  override def json(): String =
+    files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+object ExcelOffset {
+  def fromJson(json: String): ExcelOffset = {
+    val items = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findAllMatchIn(json)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      .toSeq
+    ExcelOffset(items)
+  }
+}
+
+/** X3 streaming form — the reference re-runs registered generators on a
+  * ticker (/root/reference/taskhive/taskhive.go:115-147, 5-min default);
+  * here each micro-batch ingests files that appeared since the last
+  * offset. ProcessingTime(interval) IS the ticker; Trigger.AvailableNow
+  * drains the current backlog and stops (startup drain, ST8). */
+class ExcelMicroBatchStream(schema: StructType, path: String)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // AvailableNow: freeze the target at prepare time so the drain is a
+  // fixed goal even while new files keep landing
+  @volatile private var frozen: Option[ExcelOffset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    frozen = Some(ExcelOffset(ExcelDataSource.discover(path)))
+
+  override def initialOffset(): Offset = ExcelOffset(Seq.empty)
+
+  override def latestOffset(): Offset =
+    frozen.getOrElse(ExcelOffset(ExcelDataSource.discover(path)))
+
+  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): whole
+  // files are the admission unit — no finer read limit applies
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = latestOffset()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val done = start.asInstanceOf[ExcelOffset].files.toSet
+    end.asInstanceOf[ExcelOffset].files.filterNot(done)
+      .map(ExcelPartition.apply).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ExcelReaderFactory(schema)
+
+  override def deserializeOffset(json: String): Offset = ExcelOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class ExcelPartition(path: String) extends InputPartition

@@ -33,4 +33,42 @@ class ExcelSourceSpec extends SparkSuite {
   test("count-only scan (S3 smoke: excel_test.go semantics)") {
     assert(spark.read.format("graft-excel").load(SpiderXlsx).count() == 657)
   }
+
+  test("X3 ticker: AvailableNow drains the dir; a later run ingests only new files") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft-excel-stream").toFile
+    val out = s"${dir.getPath}/out"
+    val ckpt = s"${dir.getPath}/ckpt"
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-excel")
+        .load(s"${dir.getPath}/in")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      assert(!q.isActive)
+    }
+    Files.createDirectories(Paths.get(s"${dir.getPath}/in"))
+    Files.copy(Paths.get(SpiderXlsx), Paths.get(s"${dir.getPath}/in/a.xlsx"),
+      StandardCopyOption.REPLACE_EXISTING)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 657)
+    // the "ticker" fires again after a new generator file lands: only
+    // b.xlsx is ingested (a.xlsx is in the committed offset)
+    Files.copy(Paths.get(SpiderXlsx), Paths.get(s"${dir.getPath}/in/b.xlsx"),
+      StandardCopyOption.REPLACE_EXISTING)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 657 * 2)
+  }
+
+  test("batch read of a directory unions all xlsx files (one partition per file)") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft-excel-batch").toFile
+    Files.copy(Paths.get(SpiderXlsx), Paths.get(s"${dir.getPath}/a.xlsx"))
+    Files.copy(Paths.get(SpiderXlsx), Paths.get(s"${dir.getPath}/b.xlsx"))
+    val df = spark.read.format("graft-excel").load(dir.getPath)
+    assert(df.count() == 657 * 2)
+    assert(df.rdd.getNumPartitions == 2)
+  }
 }
