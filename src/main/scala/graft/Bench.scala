@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,9 +11,10 @@ object Bench {
     // whichever query happens to run first.
     SparkEntry.queries.get("task_stats").foreach(fn => fn(spark, sfDir).count())
     SparkEntry.queries.get("events_tumbling").foreach(fn => fn(spark, sfDir).count())
-    // best-of-2 per query: the host shows bursty external CPU
-    // contention (identical queries vary 0.1s..30s); the min is the
-    // steady-state capability measurement.
+    // 3 runs per query: "queries" reports the min (the host shows bursty
+    // external CPU contention — identical queries vary 0.1s..30s; the min
+    // is the steady-state capability), "p50" the median, so a regression
+    // is attributable (plan change moves both; contention moves only p50).
     // A query that throws is recorded as -1 (sentinel) and listed in
     // "failed" — a crash must never masquerade as a fast run.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -26,15 +26,17 @@ object Bench {
           -1.0
         }
       }
-      val (a, b) = (once(), once())
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val runs = Seq(once(), once(), once())
+      if (runs.exists(_ < 0)) (name, -1.0, -1.0)
+      else (name, runs.min, runs.sorted.apply(1))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    def jmap(sel: ((String, Double, Double)) => Double): String =
+      results.map { case r @ (k, _, _) => s"\"" + k + "\":" + sel(r) }
+        .mkString("{", ",", "}")
+    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2)},"p50":${jmap(_._3)},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
