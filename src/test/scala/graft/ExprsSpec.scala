@@ -76,6 +76,17 @@ class ExprsSpec extends SparkSuite {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("ann_ivf_topk recall vs brute force is at least 0.5") {
+    val s = spark
+    import s.implicits._
+    val brute = SimilarityOps.cosineTopk(spark, sf)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = SimilarityOps.annIvfTopk(spark, sf)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
   test("minhash estimate is 1000 for identical texts (pair-level sanity)") {
     val s = spark
     import s.implicits._
