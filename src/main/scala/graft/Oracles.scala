@@ -89,6 +89,20 @@ object Oracles {
         |                   WHEN 2 THEN 'completed' WHEN 3 THEN 'failed'
         |                   WHEN 4 THEN 'delayed' ELSE 'unknown' END AS status_name
         |FROM tasks ORDER BY id""".stripMargin),
+    "result_json" -> q(
+      """SELECT id,
+        |       '{"id":"' || id || '","status":' || status ||
+        |       ',"priority":' || priority ||
+        |       ',"task_type":"' || task_type || '"}' AS json
+        |FROM (SELECT * FROM tasks ORDER BY id LIMIT 100)
+        |ORDER BY id""".stripMargin),
+    "token_count_bpe" -> q(
+      """SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        |       '{"row_id":' || o_orderkey || ',"cust":' || o_custkey || '}' AS payload,
+        |       CAST(len(regexp_extract_all(
+        |         '{"row_id":' || o_orderkey || ',"cust":' || o_custkey || '}',
+        |         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS n_pieces
+        |FROM orders ORDER BY id""".stripMargin),
     "key_split" -> q(
       """SELECT key,
         |       CAST(CASE split_part(key, '/', 3)

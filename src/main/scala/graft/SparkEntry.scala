@@ -37,6 +37,7 @@ object SparkEntry {
     // §2.8 scalar functions
     "status_decode" -> (TaskOps.statusDecode _),
     "key_split" -> (TaskOps.keySplit _),
+    "result_json" -> (TaskOps.resultJson _),
     "payload_json" -> (TaskOps.payloadJson _),
     "retry_backoff" -> (TaskOps.retryBackoff _),
     "process_dispatch" -> (TaskOps.processDispatch _),
@@ -67,6 +68,7 @@ object SparkEntry {
     // LLM-pipeline: text analysis + dedup
     "dedup_exact" -> (TextOps.dedupExact _),
     "token_count" -> (TextOps.tokenCount _),
+    "token_count_bpe" -> (TextOps.tokenCountBpe _),
     "quality_score" -> (TextOps.qualityScore _),
     "lang_id" -> (TextOps.langId _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),

@@ -85,6 +85,26 @@ object TaskOps {
         Exprs.statusName(col("status")).as("status_name"))
       .orderBy("id")
 
+  /** S11: the HTTP API's JSON result encoding (api/server.go:49-50,
+    * 66-67 marshals task lists; default result limit 100,
+    * api/server.go:36). The serving loop itself stays out of engine
+    * scope (SURVEY.md §2.1); this is the encode layer: each row
+    * rendered as the response JSON object, built with plain concat so
+    * the oracle reproduces it byte-for-byte (engine JSON formatters
+    * differ; the lossless to_json round-trip is covered by
+    * payload_json). TakeOrdered limit — no global sort. */
+  def resultJson(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.tasks(spark, sfDir)
+      .orderBy("id").limit(100)
+      .select(col("id"),
+        concat(
+          lit("{\"id\":\""), col("id"),
+          lit("\",\"status\":"), col("status").cast("string"),
+          lit(",\"priority\":"), col("priority").cast("string"),
+          lit(",\"task_type\":\""), col("task_type"),
+          lit("\"}")).as("json"))
+      .orderBy("id")
+
   /** P8/F4: composite processing-key round-trip. The reference stores
     * in-flight tasks under `/tasks/processing/{worker}/{task}` and
     * splits the key back with SplitProcessingKey

@@ -36,6 +36,26 @@ object TextOps {
       .select(col("doc_id"), Exprs.tokenCount(col("text")).as("n_tokens"))
       .orderBy("doc_id")
 
+  /** BPE-ish token counting: pieces = letter runs | digit runs |
+    * single punctuation (the GPT-2 pre-tokenizer's shape, minus byte
+    * fallback). Exercised on the structured task payload JSON — the
+    * fixture column with digits and punctuation — plus the plain-text
+    * whitespace count beside it. The alternation's branches are
+    * disjoint character classes, so Java regex (Spark) and RE2
+    * (DuckDB) agree byte-for-byte. Narrow single-scan projection. */
+  def tokenCountBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    val payload = concat(
+      lit("{\"row_id\":"), col("o_orderkey").cast("string"),
+      lit(",\"cust\":"), col("o_custkey").cast("string"),
+      lit("}"))
+    Tables.orders(spark, sfDir).select(
+        col("o_orderkey").cast("string").as("id"),
+        payload.as("payload"),
+        size(regexp_extract_all(payload,
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).as("n_pieces"))
+      .orderBy("id")
+  }
+
   private def padded: Column = concat(lit(" "), col("text"), lit(" "))
 
   /** Quality scoring: length, token count, avg token length (scaled to
