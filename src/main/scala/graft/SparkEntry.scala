@@ -85,6 +85,8 @@ object SparkEntry {
     // LLM-pipeline: multimodal plumbing
     "multimodal_meta" -> (MultimodalOps.multimodalMeta _),
     "multimodal_decode" -> (MultimodalOps.multimodalDecode _),
+    "multimodal_resize" -> (MultimodalOps.multimodalResize _),
+    "multimodal_framesample" -> (MultimodalOps.multimodalFrameSample _),
     // §2.10 UDAF + SQL surface + LB strategies + native expression
     "source_token_stats" -> (AggOps.sourceTokenStats _),
     "stats_cube" -> (AggOps.statsCube _),

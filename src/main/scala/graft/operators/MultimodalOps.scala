@@ -76,4 +76,76 @@ object MultimodalOps {
     * the stub decode is not SQL-expressible). */
   def multimodalDecode(spark: SparkSession, sfDir: String): DataFrame =
     decodeFeatures(spark, sfDir).toDF().orderBy("doc_id")
+
+  /** A resized thumbnail: payload downsampled to ≤ ThumbBytes. */
+  final case class MediaThumb(doc_id: Long, thumb_w: Int, thumb_h: Int,
+      thumb: Array[Byte])
+
+  private val ThumbBytes = 64
+
+  /** STUB resize: deterministic stride subsampling of the payload —
+    * the byte-level shape of a nearest-neighbor downscale. */
+  private def fakeResize(payload: Array[Byte]): Array[Byte] = {
+    // ??? <- real resize goes here (decode → scale → re-encode)
+    val stride = math.max(1, payload.length / ThumbBytes)
+    payload.indices.by(stride).take(ThumbBytes).map(payload).toArray
+  }
+
+  /** Distributed resize: typed mapPartitions, one (stub) codec init per
+    * partition; emits small thumbnails — the only binary that flows
+    * downstream (the full payload dies with the partition, so nothing
+    * heavy ever shuffles). */
+  def resizeThumbs(spark: SparkSession, sfDir: String): Dataset[MediaThumb] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir).mapPartitions { rows =>
+      rows.map { r =>
+        val t = fakeResize(r.payload)
+        MediaThumb(r.doc_id, t.length, 1, t)
+      }
+    }
+  }
+
+  /** Harness view: thumbnail sizes + content hash (rows-only). */
+  def multimodalResize(spark: SparkSession, sfDir: String): DataFrame =
+    resizeThumbs(spark, sfDir).toDF()
+      .select(col("doc_id"), col("thumb_w"), col("thumb_h"),
+        hex(md5(col("thumb"))).as("thumb_md5"))
+      .orderBy("doc_id")
+
+  /** One sampled frame of a "video" payload. */
+  final case class MediaFrame(doc_id: Long, frame_idx: Int, frame_md5: String)
+
+  private val FrameBytes = 256
+  private val FrameStride = 4
+
+  /** STUB frame extraction: the payload viewed as FrameBytes-sized
+    * frames, sampling every FrameStride-th (a keyframe-ish cadence). */
+  private def fakeFrames(payload: Array[Byte]): Iterator[(Int, Array[Byte])] = {
+    // ??? <- real demux/decode goes here (container parse → frame grab)
+    payload.grouped(FrameBytes).zipWithIndex.collect {
+      case (frame, i) if i % FrameStride == 0 => (i, frame)
+    }
+  }
+
+  /** Distributed frame sampling: mapPartitions flatMap — one input row
+    * fans out to its sampled frames (iterator-in/iterator-out, so a
+    * long video never materializes all frames at once). */
+  def frameSample(spark: SparkSession, sfDir: String): Dataset[MediaFrame] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir).mapPartitions { rows =>
+      // per-partition digest instance (MessageDigest is not thread-safe
+      // to share, cheap to clone per partition)
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        fakeFrames(r.payload).map { case (i, frame) =>
+          val h = digest.digest(frame).map("%02X".format(_)).mkString
+          MediaFrame(r.doc_id, i, h)
+        }
+      }
+    }
+  }
+
+  /** Harness view (rows-only). */
+  def multimodalFrameSample(spark: SparkSession, sfDir: String): DataFrame =
+    frameSample(spark, sfDir).toDF().orderBy("doc_id", "frame_idx")
 }
