@@ -67,4 +67,32 @@ class OperatorPlanSpec extends SparkSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"query side not broadcast:\n$plan")
   }
+
+  test("round_robin_assign has no unpartitioned Window over the tasks side") {
+    // the corpus-side global rank comes from zipWithIndex; the only
+    // window anywhere would be over the bounded workers dim — here: none
+    val plan = executedPlanString(graft.operators.AggOps.roundRobinAssign(spark, sf))
+    assert(!plan.contains("Window"), s"WindowExec crept back in:\n$plan")
+  }
+
+  test("embedding_dedup joins on tile keys, not label alone") {
+    val optimized = graft.operators.SimilarityOps.embeddingDedup(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(optimized.contains("ti") && optimized.contains("tj"),
+      s"tile keys missing from join:\n$optimized")
+    val plan = executedPlanString(graft.operators.SimilarityOps.embeddingDedup(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+  }
+
+  test("ngram_jaccard prefix path has no cartesian and verifies on arrays") {
+    val plan = executedPlanString(graft.operators.TextOps.ngramJaccard(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+    assert(plan.contains("array_intersect"), s"array verify missing:\n$plan")
+  }
+
+  test("result_json limits via TakeOrderedAndProject") {
+    val plan = graft.operators.TaskOps.resultJson(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
