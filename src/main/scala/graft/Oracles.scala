@@ -77,6 +77,18 @@ object Oracles {
       "SELECT status, COUNT(*) AS cnt FROM tasks GROUP BY status ORDER BY status"),
     "catalog_pending_tasks" -> q(
       "SELECT id, priority, create_time, task_type FROM tasks WHERE status = 0 ORDER BY id"),
+    "catalog_topk_per_status" -> q(
+      """SELECT status, id, priority FROM (
+        |  SELECT status, id, priority,
+        |         row_number() OVER (PARTITION BY status
+        |                            ORDER BY priority DESC, id) AS rn
+        |  FROM tasks) t
+        |WHERE rn <= 5 ORDER BY status, id""".stripMargin),
+    "catalog_bucketed_join" -> q(
+      """SELECT a.worker_id, COUNT(*) AS n_tasks, MAX(w.capacity) AS capacity
+        |FROM assigned a JOIN workers w ON a.worker_id = w.worker_id
+        |WHERE a.status = 1
+        |GROUP BY a.worker_id ORDER BY a.worker_id""".stripMargin),
     "count_pending" -> q(
       "SELECT COUNT(*) AS cnt FROM tasks WHERE status = 0"),
     "filter_status" -> q(

@@ -26,6 +26,8 @@ object SparkEntry {
     // Hive-metastore catalog surface (north star: persistent catalog)
     "catalog_task_stats" -> (CatalogOps.catalogTaskStats _),
     "catalog_pending_tasks" -> (CatalogOps.catalogPendingTasks _),
+    "catalog_topk_per_status" -> (CatalogOps.catalogTopkPerStatus _),
+    "catalog_bucketed_join" -> (CatalogOps.catalogBucketedJoin _),
     "worker_load" -> (WorkerOps.workerLoad _),
     "least_loaded_worker" -> (WorkerOps.leastLoadedWorker _),
     // §2.5 sorts / limits

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.sources.Tables
 
@@ -58,5 +59,62 @@ object CatalogOps {
     spark.sql(
       s"""SELECT id, priority, create_time, task_type FROM $tbl
          |WHERE status = 0 ORDER BY id""".stripMargin)
+  }
+
+  /** HiveQL window surface over the catalog: top-5 tasks per status by
+    * priority, straight SQL against the managed table. */
+  def catalogTopkPerStatus(spark: SparkSession, sfDir: String): DataFrame = {
+    val tbl = ensureTasksTable(spark, sfDir)
+    spark.sql(
+      s"""SELECT status, id, priority FROM (
+         |  SELECT status, id, priority,
+         |         row_number() OVER (PARTITION BY status
+         |                            ORDER BY priority DESC, id) AS rn
+         |  FROM $tbl) t
+         |WHERE rn <= 5 ORDER BY status, id""".stripMargin)
+  }
+
+  val AssignedBucketed = s"$Database.assigned_bucketed"
+  val WorkersBucketed = s"$Database.workers_bucketed"
+  private val bucketed = scala.collection.mutable.Set[String]()
+
+  /** Bucketed fact+dim pair: both tables bucketBy(8, worker_id) and
+    * sorted within buckets, so an equi-join on worker_id is CO-LOCATED —
+    * the bucketed scans already satisfy the join's required
+    * distribution and ordering, and no exchange (and no sort) appears
+    * in the plan (asserted in CatalogSpec with broadcast disabled). At
+    * 100 TB this is THE repeated-join layout: pay the bucketed write
+    * once, skip the fact-table shuffle on every subsequent join. */
+  def ensureBucketedTables(spark: SparkSession, sfDir: String): Unit = synchronized {
+    if (!bucketed.contains(sfDir)) {
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $Database")
+      Tables.assignedTasks(spark, sfDir)
+        .select("id", "status", "priority", "worker_id")
+        .filter(col("worker_id").isNotNull)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "worker_id").sortBy("worker_id")
+        .saveAsTable(AssignedBucketed)
+      Tables.workers(spark, sfDir)
+        .select("worker_id", "capacity", "task_count")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "worker_id").sortBy("worker_id")
+        .saveAsTable(WorkersBucketed)
+      bucketed.clear()
+      bucketed += sfDir
+    }
+  }
+
+  /** J1 over the bucketed layout: per-worker processing load joined to
+    * capacity, shuffle-free on the bucketed worker_id. The groupBy on
+    * worker_id also rides the bucket distribution — the only exchange
+    * in the whole plan is the final presentation ORDER BY. */
+  def catalogBucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureBucketedTables(spark, sfDir)
+    spark.sql(
+      s"""SELECT a.worker_id, COUNT(*) AS n_tasks, MAX(w.capacity) AS capacity
+         |FROM $AssignedBucketed a JOIN $WorkersBucketed w
+         |  ON a.worker_id = w.worker_id
+         |WHERE a.status = 1
+         |GROUP BY a.worker_id ORDER BY a.worker_id""".stripMargin)
   }
 }

@@ -24,6 +24,36 @@ class CatalogSpec extends SparkSuite {
     assert(cat == raw && cat.nonEmpty)
   }
 
+  test("bucketed worker_id join is shuffle-free (co-located scan, no exchange, no sort)") {
+    CatalogOps.ensureBucketedTables(spark, sf)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = spark.sql(
+        s"""SELECT a.worker_id, w.capacity
+           |FROM ${CatalogOps.AssignedBucketed} a
+           |JOIN ${CatalogOps.WorkersBucketed} w ON a.worker_id = w.worker_id""".stripMargin)
+      df.collect()
+      val executed = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val plan = executed.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      // bucket-sorted scans satisfy the SMJ ordering too
+      assert(plan.contains("SelectedBucketsCount"), s"not a bucketed scan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("catalog_bucketed_join matches the DataFrame-path worker load") {
+    val cat = CatalogOps.catalogBucketedJoin(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(cat.nonEmpty)
+    assert(cat.forall(_.length == 3))
+  }
+
   test("status predicate prunes managed-table partitions to exactly one") {
     CatalogOps.ensureTasksTable(spark, sf)
     val df = spark.sql(
