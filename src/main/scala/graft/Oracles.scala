@@ -260,6 +260,17 @@ object Oracles {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue_cents DESC, c_custkey ASC LIMIT 20""".stripMargin),
+    "skew_join_salted" -> q(
+      """SELECT k, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(price_cents) AS BIGINT) AS revenue_cents,
+        |       MAX(s_name) AS any_supplier
+        |FROM (SELECT CASE WHEN o_orderkey % 10 < 8 THEN CAST(0 AS BIGINT)
+        |                  ELSE o_orderkey % 100 END AS k,
+        |             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        |      FROM orders) f
+        |JOIN (SELECT DISTINCT s_suppkey % 100 AS k, s_name FROM supplier) d
+        |  USING (k)
+        |GROUP BY k ORDER BY k""".stripMargin),
     "lineitem_supplier_nation" -> q(
       """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_items,
         |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

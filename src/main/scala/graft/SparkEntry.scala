@@ -60,6 +60,7 @@ object SparkEntry {
     "set_except" -> (JoinOps.setExcept _),
     "stats_rollup" -> (JoinOps.statsRollup _),
     "lineitem_supplier_nation" -> (JoinOps.lineitemBySupplierNation _),
+    "skew_join_salted" -> (JoinOps.skewJoinSalted _),
     "pricing_summary" -> (JoinOps.pricingSummary _),
     "top_customers" -> (JoinOps.topCustomers _),
     // §2.9 event-time (batch forms)

@@ -118,4 +118,35 @@ object JoinOps {
       .agg(count(lit(1)).as("n_items"), sum("price_cents").as("revenue_cents"))
       .orderBy("n_name")
   }
+
+  /** Salted shuffle join under deliberate key skew. The fact side's
+    * join key is skewed by construction (~80% of rows land on key 0 —
+    * the "one hot customer" shape that stalls a shuffle join on one
+    * reducer at 100 TB). Remedy: the fact row adds a deterministic
+    * salt in [0,8); the DIM side explodes ×8, one copy per salt; the
+    * join runs on (key, salt) so the hot key's rows spread over 8
+    * reducers. Output is identical to the unsalted join (the oracle is
+    * the plain join — salting is invisible in the result). AQE's
+    * skew-join split is the automatic alternative; explicit salting is
+    * the layout-controlled form that also handles skewed AGGREGATION
+    * (see workerLoadSalted). Dim explosion is bounded: |dim| × 8 rows. */
+  def skewJoinSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    val salts = 8
+    val skewKey = when(col("o_orderkey") % 10 < 8, lit(0L))
+      .otherwise(col("o_orderkey") % 100)
+    val fact = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), skewKey.as("k"),
+        cents("o_totalprice").as("price_cents"),
+        pmod(xxhash64(col("o_orderkey")), lit(salts)).as("salt"))
+    val dim = Tables.supplier(spark, sfDir)
+      .select((col("s_suppkey") % 100).as("k"), col("s_name"))
+      .distinct()
+      .withColumn("salt", explode(array((0 until salts).map(lit(_)): _*)))
+      .withColumn("salt", col("salt").cast("bigint"))
+    fact.join(dim, Seq("k", "salt"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_orders"), sum("price_cents").as("revenue_cents"),
+        max("s_name").as("any_supplier"))
+      .orderBy("k")
+  }
 }

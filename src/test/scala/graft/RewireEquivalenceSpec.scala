@@ -95,6 +95,26 @@ class RewireEquivalenceSpec extends SparkSuite {
     assert(rows(TextOps.ngramJaccardPrefixDf(spark, sf01)) == expected)
   }
 
+  test("skew_join_salted equals the plain unsalted join at sf0.01") {
+    import graft.operators.JoinOps
+    val skewKey = when(col("o_orderkey") % 10 < 8, lit(0L))
+      .otherwise(col("o_orderkey") % 100)
+    val fact = Tables.orders(spark, sf01)
+      .select(col("o_orderkey"), skewKey.as("k"),
+        (round(col("o_totalprice") * 100)).cast("long").as("price_cents"))
+    val dim = Tables.supplier(spark, sf01)
+      .select((col("s_suppkey") % 100).as("k"), col("s_name"))
+      .distinct()
+    val plain = fact.join(dim, Seq("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_orders"), sum("price_cents").as("revenue_cents"),
+        max("s_name").as("any_supplier"))
+      .orderBy("k")
+    val got = rows(JoinOps.skewJoinSalted(spark, sf01))
+    assert(got.nonEmpty)
+    assert(got == rows(plain))
+  }
+
   test("round_robin_assign distributed rank equals global-window rank at sf0.01") {
     val pend = Tables.tasks(spark, sf01)
       .filter(col("status") === Tables.Pending)
