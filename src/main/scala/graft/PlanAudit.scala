@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** One-shot audit: executes every query at the given SF and reports
+  * plan shapes that are anti-patterns at 100 TB — cartesian products,
+  * unpartitioned windows, single-partition exchanges that aren't the
+  * presentation ORDER BY. Diagnostic tool, not part of the driver
+  * contract. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = GraftSession.builder(8).master("local[8]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        df.count()
+        def finalPlan(p: SparkPlan): SparkPlan = p match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case other => other
+        }
+        val plan = finalPlan(df.queryExecution.executedPlan)
+        val all = plan.collectWithSubqueries { case p => p }
+        val cartesian = all.count(_.isInstanceOf[CartesianProductExec])
+        val windows = all.collect { case w: WindowExec => w }
+        val unpartWindows = windows.count(_.partitionSpec.isEmpty)
+        val exchanges = all.collect { case e: ShuffleExchangeExec => e }
+        val singleParts = exchanges.count(_.outputPartitioning.numPartitions == 1)
+        val flags = Seq(
+          if (cartesian > 0) Some(s"CARTESIAN=$cartesian") else None,
+          if (unpartWindows > 0) Some(s"UNPART_WINDOW=$unpartWindows") else None,
+          if (singleParts > 0) Some(s"SINGLE_PART_EXCH=$singleParts") else None
+        ).flatten
+        println(f"AUDIT $name%-26s exch=${exchanges.size}%2d win=${windows.size} ${flags.mkString(" ")}")
+      } catch {
+        case e: Throwable => println(s"AUDIT $name ERROR ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -134,11 +134,12 @@ object SimilarityOps {
     val w = org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    // K-row bounded window (commented as such): rank the hash-sample
+    // seed pick = orderBy+limit → TakeOrderedAndProject (distributed
+    // top-K, no corpus-wide window, no window at all: the seed's own
+    // vec_id doubles as the cell id — cells just need distinct ids)
     val seeds = e.withColumn("hk", xxhash64(col("vec_id")))
-      .withColumn("rk", row_number().over(w.orderBy(asc("hk"), asc("vec_id"))))
-      .filter(col("rk") <= K)
-      .select((col("rk") - 1).as("cid"), col("v").as("cv"))
+      .orderBy(asc("hk"), asc("vec_id")).limit(K)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
     val dist2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
     def assign(centroids: DataFrame): DataFrame =
