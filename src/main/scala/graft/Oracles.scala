@@ -311,6 +311,14 @@ object Oracles {
         |       CAST(floor(epoch(MAX(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS session_end,
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM isl GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin),
+    "events_value_pct" -> q(
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(ROUND(quantile_cont(cents, 0.5)) AS BIGINT) AS p50_cents,
+        |       CAST(ROUND(quantile_cont(cents, 0.95)) AS BIGINT) AS p95_cents,
+        |       CAST(ROUND(quantile_cont(cents, 0.99)) AS BIGINT) AS p99_cents
+        |FROM (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |      FROM events) e
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
     "events_props_json" -> q(
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,

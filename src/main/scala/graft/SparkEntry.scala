@@ -68,6 +68,7 @@ object SparkEntry {
     "events_sliding" -> (EventOps.eventsSliding _),
     "events_session" -> (EventOps.eventsSession _),
     "events_props_json" -> (EventOps.eventsPropsJson _),
+    "events_value_pct" -> (EventOps.eventsValuePct _),
     // LLM-pipeline: text analysis + dedup
     "dedup_exact" -> (TextOps.dedupExact _),
     "token_count" -> (TextOps.tokenCount _),

@@ -73,6 +73,24 @@ object EventOps {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Exact value percentiles (p50/p95/p99 of integer cents) per event
+    * type. Exact `percentile` sorts each group — fine for a bounded
+    * group count; the 100 TB unbounded-cardinality form swaps in
+    * `approx_percentile` (t-digest sketch, one pass, mergeable — same
+    * shape as eventUserStatsApprox). Both engines interpolate
+    * lower+(upper−lower)·frac over identical integer inputs and round
+    * half-away-from-zero, so the oracle compare is exact. */
+  def eventsValuePct(spark: SparkSession, sfDir: String): DataFrame = {
+    def pct(p: Double, name: String) =
+      round(percentile(col("cents"), lit(p))).cast("long").as(name)
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), valueCents.as("cents"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), pct(0.5, "p50_cents"),
+        pct(0.95, "p95_cents"), pct(0.99, "p99_cents"))
+      .orderBy("event_type")
+  }
+
   /** JSON prop extraction (events.props is a JSON string): per-type
     * stats over get_json_object-extracted values. */
   def eventsPropsJson(spark: SparkSession, sfDir: String): DataFrame =
