@@ -90,6 +90,16 @@ class OperatorPlanSpec extends SparkSuite {
     assert(plan.contains("array_intersect"), s"array verify missing:\n$plan")
   }
 
+  test("topk_per_worker gets map-side WindowGroupLimit (bounded top-k before the shuffle)") {
+    // Catalyst's InferWindowGroupLimit turns the rank<=k filter into a
+    // Partial (pre-shuffle) + Final group limit — each mapper ships at
+    // most k rows per worker instead of its whole partition. This is
+    // why a custom bounded-heap top-k operator is NOT needed here.
+    val plan = executedPlanString(graft.operators.WindowOps.topkPerWorker(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), s"no group limit:\n$plan")
+    assert(plan.contains("Partial"), s"no map-side partial group limit:\n$plan")
+  }
+
   test("result_json limits via TakeOrderedAndProject") {
     val plan = graft.operators.TaskOps.resultJson(spark, sf)
       .queryExecution.executedPlan.toString
