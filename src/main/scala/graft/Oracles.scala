@@ -373,6 +373,40 @@ object Oracles {
         |)""".stripMargin,
       """SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM tf
         |GROUP BY tok ORDER BY freq DESC, tok ASC LIMIT 50""".stripMargin),
+    "doc_contamination" -> qx(
+      """, toksl2 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |), dsh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+        |           i -> array_to_string(tk[i:i+2], ' ')))) AS tok
+        |  FROM toksl2
+        |), bsh AS (
+        |  SELECT DISTINCT tok FROM dsh WHERE doc_id % 100 = 0
+        |), ove AS (
+        |  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        |  FROM dsh d JOIN bsh USING (tok) GROUP BY 1
+        |), szs AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM dsh GROUP BY 1
+        |)""".stripMargin,
+      """SELECT s.doc_id, s.sz,
+        |       CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |       4 * COALESCE(o.n_overlap, 0) >= s.sz AS contaminated
+        |FROM szs s LEFT JOIN ove o USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin),
+    "repetition_ratio" -> qx(
+      """, toksl3 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |), shc AS (
+        |  SELECT doc_id,
+        |         CAST(greatest(len(tk) - 2, 1) AS BIGINT) AS n_shingles,
+        |         CAST(len(list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+        |           i -> array_to_string(tk[i:i+2], ' ')))) AS BIGINT) AS n_distinct
+        |  FROM toksl3
+        |)""".stripMargin,
+      """SELECT doc_id, n_shingles, n_distinct,
+        |       CAST(ROUND(1000.0 * (n_shingles - n_distinct) / n_shingles) AS BIGINT) AS repetition_milli
+        |FROM shc ORDER BY doc_id""".stripMargin),
     "ngram_jaccard" -> qx(
       """, toksl AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents

@@ -79,6 +79,8 @@ object SparkEntry {
     "token_freq" -> (TextOps.tokenFreq _),
     "fingerprint_rolling" -> (TextOps.fingerprintRolling _),
     "ngram_jaccard" -> (TextOps.ngramJaccard _),
+    "doc_contamination" -> (TextOps.docContamination _),
+    "repetition_ratio" -> (TextOps.repetitionRatio _),
     // LLM-pipeline: similarity + fuzzy dedup (minhash/simhash/LSH are
     // rows-only: xxhash64 has no DuckDB equivalent)
     "cosine_topk" -> (SimilarityOps.cosineTopk _),

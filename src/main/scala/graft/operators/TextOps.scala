@@ -243,6 +243,51 @@ object TextOps {
     jaccardVerify(cand, docs)
   }
 
+  /** Benchmark decontamination — the training-data hygiene op: flag
+    * documents whose 3-gram shingles overlap a benchmark/eval set
+    * (here the deterministic subset doc_id % 100 = 0 stands in for a
+    * held-out benchmark corpus). The benchmark's distinct shingles are
+    * a BROADCAST side (eval sets are dim-sized at any corpus scale);
+    * candidate matching is a map-side hash join on the shingle, then
+    * one count per doc — a single corpus scan, no corpus self-join.
+    * Flag threshold: ≥25% of the doc's shingles appear in the
+    * benchmark (4·overlap ≥ |sh|). */
+  def docContamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .withColumn("sz", size(col("sh")).cast("long"))
+    val bench = docs.filter(col("doc_id") % 100 === 0)
+      .select(explode(col("sh")).as("tok")).distinct()
+    val overlap = docs
+      .select(col("doc_id"), explode(col("sh")).as("tok"))
+      .join(broadcast(bench), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap")) // sh is distinct per doc
+    docs.select(col("doc_id"), col("sz"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sz"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (lit(4) * coalesce(col("n_overlap"), lit(0L)) >= col("sz"))
+          .as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Within-document repetition ratio — the boilerplate/looping-text
+    * quality signal: 1 − distinct/total 3-gram shingles, in exact
+    * integer millis. Narrow single-scan projection (both counts come
+    * from the doc's own token array). */
+  def repetitionRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val total = greatest(size(toks) - 2, lit(1)).cast("long")
+    val distinctN = size(shingles3(col("text"))).cast("long")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), total.as("n_shingles"),
+        distinctN.as("n_distinct"),
+        round(lit(1000.0) * (total - distinctN) / total).cast("long")
+          .as("repetition_milli"))
+      .orderBy("doc_id")
+  }
+
   /** Distinct word 3-gram shingles (docs shorter than 3 tokens yield
     * their full text as the single shingle) — mirrored in the oracle's
     * list-slice CTE. */
