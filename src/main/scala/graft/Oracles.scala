@@ -373,6 +373,80 @@ object Oracles {
         |)""".stripMargin,
       """SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM tf
         |GROUP BY tok ORDER BY freq DESC, tok ASC LIMIT 50""".stripMargin),
+    "pipeline_curate" -> qx(
+      """, q AS (
+        |  SELECT doc_id, text,
+        |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS n_tokens,
+        |         CAST(length(text) AS INT) AS n_chars
+        |  FROM documents
+        |  WHERE (length(text) - length(replace(text, ' ', '')) + 1) BETWEEN 10 AND 10000
+        |    AND (length(text) - (length(text) - length(replace(text, ' ', '')))) /
+        |        (length(text) - length(replace(text, ' ', '')) + 1) <= 20
+        |), qsh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(
+        |           range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+        |           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS tok
+        |  FROM q
+        |), bsh2 AS (
+        |  SELECT DISTINCT tok FROM (
+        |    SELECT unnest(list_distinct(list_transform(
+        |             range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+        |             i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS tok
+        |    FROM documents WHERE doc_id % 100 = 0)
+        |), qsz AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM qsh GROUP BY 1
+        |), qov AS (
+        |  SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        |  FROM qsh s JOIN bsh2 USING (tok) GROUP BY 1
+        |), surv AS (
+        |  SELECT q.doc_id, q.text, q.n_tokens
+        |  FROM q JOIN qsz z USING (doc_id)
+        |  LEFT JOIN qov o USING (doc_id)
+        |  WHERE 4 * COALESCE(o.n_overlap, 0) < z.sz
+        |)""".stripMargin,
+      """SELECT MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens
+        |FROM surv GROUP BY md5(text) ORDER BY doc_id""".stripMargin),
+    "curation_funnel" -> qx(
+      """, q AS (
+        |  SELECT doc_id, text,
+        |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS n_tokens,
+        |         CAST(length(text) AS INT) AS n_chars
+        |  FROM documents
+        |  WHERE (length(text) - length(replace(text, ' ', '')) + 1) BETWEEN 10 AND 10000
+        |    AND (length(text) - (length(text) - length(replace(text, ' ', '')))) /
+        |        (length(text) - length(replace(text, ' ', '')) + 1) <= 20
+        |), qsh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(
+        |           range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+        |           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS tok
+        |  FROM q
+        |), bsh2 AS (
+        |  SELECT DISTINCT tok FROM (
+        |    SELECT unnest(list_distinct(list_transform(
+        |             range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+        |             i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS tok
+        |    FROM documents WHERE doc_id % 100 = 0)
+        |), qsz AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM qsh GROUP BY 1
+        |), qov AS (
+        |  SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        |  FROM qsh s JOIN bsh2 USING (tok) GROUP BY 1
+        |), surv AS (
+        |  SELECT q.doc_id, q.text, q.n_tokens
+        |  FROM q JOIN qsz z USING (doc_id)
+        |  LEFT JOIN qov o USING (doc_id)
+        |  WHERE 4 * COALESCE(o.n_overlap, 0) < z.sz
+        |)""".stripMargin,
+      """SELECT * FROM (
+        |  SELECT CAST(0 AS INT) AS stage, 'raw' AS stage_name,
+        |         CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+        |  UNION ALL SELECT 1, 'quality', COUNT(*) FROM q
+        |  UNION ALL SELECT 2, 'decontaminated', COUNT(*) FROM surv
+        |  UNION ALL SELECT 3, 'deduped', COUNT(*)
+        |    FROM (SELECT md5(text) FROM surv GROUP BY 1) d
+        |) ORDER BY stage""".stripMargin),
     "doc_contamination" -> qx(
       """, toksl2 AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents

@@ -80,6 +80,8 @@ object SparkEntry {
     "fingerprint_rolling" -> (TextOps.fingerprintRolling _),
     "ngram_jaccard" -> (TextOps.ngramJaccard _),
     "doc_contamination" -> (TextOps.docContamination _),
+    "pipeline_curate" -> (TextOps.pipelineCurate _),
+    "curation_funnel" -> (TextOps.curationFunnel _),
     "repetition_ratio" -> (TextOps.repetitionRatio _),
     // LLM-pipeline: similarity + fuzzy dedup (minhash/simhash/LSH are
     // rows-only: xxhash64 has no DuckDB equivalent)

@@ -288,6 +288,66 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The curation pipeline END TO END as ONE declarative plan — what a
+    * user of this engine actually runs over a 100 TB corpus:
+    *   1. quality gate (length/avg-token bounds, qualityScore's rule);
+    *   2. decontamination (drop ≥25% benchmark-shingle overlap);
+    *   3. exact dedup (canonical = min doc_id per content hash).
+    * Composing the operators keeps everything in a single Catalyst
+    * plan: the quality filter prunes before the contamination join,
+    * the broadcast benchmark join adds no shuffle, and the only wide
+    * stage is the dedup's hash aggregation. */
+  def pipelineCurate(spark: SparkSession, sfDir: String): DataFrame = {
+    val kept = curationSurvivors(spark, sfDir)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("doc_id"), first("n_tokens").as("n_tokens"))
+    kept.select(col("doc_id"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Stage-by-stage funnel of [[pipelineCurate]]: documents surviving
+    * each gate, one row per stage. The stage subplans share the scan. */
+  def curationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val quality = qualityKept(docs)
+    val decon = curationSurvivors(spark, sfDir)
+    val deduped = decon.groupBy(md5(col("text"))).agg(min("doc_id"))
+    def stage(n: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(n).as("stage"), lit(name).as("stage_name"), col("n_docs"))
+    stage(0, "raw", docs)
+      .unionAll(stage(1, "quality", quality))
+      .unionAll(stage(2, "decontaminated", decon))
+      .unionAll(stage(3, "deduped", deduped))
+      .orderBy("stage")
+  }
+
+  /** qualityScore's keep rule as a filter. */
+  private def qualityKept(docs: DataFrame): DataFrame = {
+    val nTokens = Exprs.tokenCount(col("text"))
+    val nonSpace = length(col("text")) - (nTokens - 1)
+    docs.filter(nTokens >= 10 && nTokens <= 10000 && (nonSpace / nTokens) <= 20)
+  }
+
+  /** Docs passing quality AND decontamination (shared by curate/funnel). */
+  private def curationSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = qualityKept(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("text"), shingles3(col("text")).as("sh"),
+        Exprs.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("sz", size(col("sh")).cast("long"))
+    val bench = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 100 === 0)
+      .select(explode(shingles3(col("text"))).as("tok")).distinct()
+    val overlap = docs
+      .select(col("doc_id"), explode(col("sh")).as("tok"))
+      .join(broadcast(bench), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+    docs.join(overlap, Seq("doc_id"), "left")
+      .filter(lit(4) * coalesce(col("n_overlap"), lit(0L)) < col("sz"))
+      .select("doc_id", "text", "n_tokens")
+  }
+
   /** Distinct word 3-gram shingles (docs shorter than 3 tokens yield
     * their full text as the single shingle) — mirrored in the oracle's
     * list-slice CTE. */
