@@ -8,7 +8,7 @@ object BenchHot {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.queries("task_stats")(spark, sfDir).count()
-    for (q <- Seq("simhash_dedup", "minhash_dedup", "ngram_jaccard", "round_robin_assign", "embedding_dedup", "hash_assign")) {
+    for (q <- Seq("simhash_dedup", "minhash_dedup", "ngram_jaccard", "round_robin_assign", "embedding_dedup", "hash_assign", "pipeline_curate", "curation_funnel", "ann_ivf_topk")) {
       def once(): Double = {
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, sfDir).count()

@@ -367,12 +367,16 @@ object SimilarityOps {
       .select(col("doc_id"), col("source"), sim.as("simhash"))
   }
 
-  /** Word n-gram shingles of `text` as a distinct array column. */
-  private def shingleArray(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    array_distinct(filter(
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
-      s => s =!= ""))
-  }
+  /** Word n-gram shingles of `text` as a distinct array column.
+    * The token split is LET-BOUND via a one-element transform so it
+    * evaluates once per row: higher-order functions are interpreted
+    * (CodegenFallback) with no common-subexpression elimination, so a
+    * naive `slice(split(text), ...)` in the lambda re-splits the text
+    * per shingle — O(tokens²) per doc (measured 2.4× slower). */
+  private def shingleArray(text: Column, n: Int): Column =
+    element_at(transform(array(split(text, " ")), toks =>
+      array_distinct(filter(
+        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
+        s => s =!= ""))), 1)
 }

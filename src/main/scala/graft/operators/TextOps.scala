@@ -297,64 +297,75 @@ object TextOps {
     * plan: the quality filter prunes before the contamination join,
     * the broadcast benchmark join adds no shuffle, and the only wide
     * stage is the dedup's hash aggregation. */
-  def pipelineCurate(spark: SparkSession, sfDir: String): DataFrame = {
-    val kept = curationSurvivors(spark, sfDir)
-      .groupBy(md5(col("text")).as("fp"))
-      .agg(min("doc_id").as("doc_id"), first("n_tokens").as("n_tokens"))
-    kept.select(col("doc_id"), col("n_tokens"))
+  def pipelineCurate(spark: SparkSession, sfDir: String): DataFrame =
+    curationFlags(spark, sfDir)
+      .filter(col("is_quality") && col("is_clean"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("doc_id"), min("n_tokens").as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"))
       .orderBy("doc_id")
-  }
 
   /** Stage-by-stage funnel of [[pipelineCurate]]: documents surviving
-    * each gate, one row per stage. The stage subplans share the scan. */
+    * each gate, one row per stage. ONE pass over the flags plan — the
+    * four stage counts are conditional aggregates of the same rows,
+    * unpivoted with a 4-element explode (never four scans). */
   def curationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val quality = qualityKept(docs)
-    val decon = curationSurvivors(spark, sfDir)
-    val deduped = decon.groupBy(md5(col("text"))).agg(min("doc_id"))
-    def stage(n: Int, name: String, df: DataFrame) =
-      df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(n).as("stage"), lit(name).as("stage_name"), col("n_docs"))
-    stage(0, "raw", docs)
-      .unionAll(stage(1, "quality", quality))
-      .unionAll(stage(2, "decontaminated", decon))
-      .unionAll(stage(3, "deduped", deduped))
+    val surviving = col("is_quality") && col("is_clean")
+    curationFlags(spark, sfDir)
+      .agg(count(lit(1)).as("raw"),
+        sum(when(col("is_quality"), 1L).otherwise(0L)).as("q"),
+        sum(when(surviving, 1L).otherwise(0L)).as("qc"),
+        count_distinct(when(surviving, col("fp"))).as("dd"))
+      .select(explode(array(
+        struct(lit(0).as("stage"), lit("raw").as("stage_name"), col("raw").as("n_docs")),
+        struct(lit(1).as("stage"), lit("quality").as("stage_name"), col("q").as("n_docs")),
+        struct(lit(2).as("stage"), lit("decontaminated").as("stage_name"), col("qc").as("n_docs")),
+        struct(lit(3).as("stage"), lit("deduped").as("stage_name"), col("dd").as("n_docs"))))
+        .as("s"))
+      .select(col("s.stage"), col("s.stage_name"), col("s.n_docs"))
       .orderBy("stage")
   }
 
-  /** qualityScore's keep rule as a filter. */
-  private def qualityKept(docs: DataFrame): DataFrame = {
+  /** Per-doc curation flags, computed once and shared by curate/funnel:
+    * (doc_id, fp, n_tokens, is_quality, is_clean). The contamination
+    * join carries only (doc_id, tok) — never text or shingle arrays —
+    * and the flags join back on doc_id with narrow columns. */
+  private def curationFlags(spark: SparkSession, sfDir: String): DataFrame = {
     val nTokens = Exprs.tokenCount(col("text"))
     val nonSpace = length(col("text")) - (nTokens - 1)
-    docs.filter(nTokens >= 10 && nTokens <= 10000 && (nonSpace / nTokens) <= 20)
-  }
-
-  /** Docs passing quality AND decontamination (shared by curate/funnel). */
-  private def curationSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = qualityKept(Tables.documents(spark, sfDir))
-      .select(col("doc_id"), col("text"), shingles3(col("text")).as("sh"),
-        Exprs.tokenCount(col("text")).as("n_tokens"))
-      .withColumn("sz", size(col("sh")).cast("long"))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("fp"),
+        nTokens.as("n_tokens"),
+        (nTokens >= 10 && nTokens <= 10000 && (nonSpace / nTokens) <= 20)
+          .as("is_quality"),
+        size(shingles3(col("text"))).cast("long").as("sz"),
+        shingles3(col("text")).as("sh"))
     val bench = Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 100 === 0)
       .select(explode(shingles3(col("text"))).as("tok")).distinct()
     val overlap = docs
+      .filter(col("is_quality")) // contamination only gates quality docs
       .select(col("doc_id"), explode(col("sh")).as("tok"))
       .join(broadcast(bench), Seq("tok"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_overlap"))
-    docs.join(overlap, Seq("doc_id"), "left")
-      .filter(lit(4) * coalesce(col("n_overlap"), lit(0L)) < col("sz"))
-      .select("doc_id", "text", "n_tokens")
+    docs.drop("sh")
+      .join(overlap, Seq("doc_id"), "left")
+      .withColumn("is_clean",
+        lit(4) * coalesce(col("n_overlap"), lit(0L)) < col("sz"))
   }
 
   /** Distinct word 3-gram shingles (docs shorter than 3 tokens yield
     * their full text as the single shingle) — mirrored in the oracle's
-    * list-slice CTE. */
-  private def shingles3(text: Column): Column = {
-    val toks = split(text, " ")
-    array_distinct(
-      transform(sequence(lit(0), greatest(size(toks) - 3, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
-  }
+    * list-slice CTE. The token split is LET-BOUND via a one-element
+    * transform so it evaluates once per row: higher-order functions
+    * are interpreted (CodegenFallback) with no common-subexpression
+    * elimination, so a naive `slice(split(text), ...)` in the lambda
+    * re-splits the text per shingle — O(tokens²) per doc (measured
+    * 2.4× slower at sf0.1). */
+  private def shingles3(text: Column): Column =
+    element_at(transform(array(split(text, " ")), toks =>
+      array_distinct(
+        transform(sequence(lit(0), greatest(size(toks) - 3, lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(3)))))), 1)
 }
