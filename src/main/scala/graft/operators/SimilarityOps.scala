@@ -128,6 +128,7 @@ object SimilarityOps {
     * centroids are dim-table sized (broadcast), and the probe join is
     * an equijoin on cell id — no corpus self-join anywhere. */
   def annIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
     val K = 16
     val nprobe = 6
     val dim = 64
@@ -140,8 +141,10 @@ object SimilarityOps {
     val seeds = e.withColumn("hk", xxhash64(col("vec_id")))
       .orderBy(asc("hk"), asc("vec_id")).limit(K)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val dist2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    // spherical-k-means assignment: max cosine to the centroid via the
+    // native fused-loop Expression (codegen'd; an interpreted zip_with
+    // L2 fold here was the whole query's hot spot — corpus×K×2 passes)
+    val dist2 = -call_function("cosine_sim", col("v"), col("cv"))
     def assign(centroids: DataFrame): DataFrame =
       e.crossJoin(broadcast(centroids))
         .withColumn("d2", dist2)
