@@ -65,6 +65,7 @@ object SimilarityOps {
     * has near-zero recall on a uniform corpus. Recall vs brute force is
     * measured in SimilaritySpec. */
   def annLshTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
     val nTables = 8
     val bitsPerTable = 4
     val dim = 64
@@ -87,7 +88,7 @@ object SimilarityOps {
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("table"), col("bucket"))
-    val cos = dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v")))
+    val cos = call_function("cosine_sim", col("qv"), col("v"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
     // candidate dedup on (query_id, vec_id) ids only, vectors joined
@@ -165,7 +166,7 @@ object SimilarityOps {
         w.partitionBy("vec_id").orderBy(asc("d2"), asc("cid"))))
       .filter(col("pr") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cid"))
-    val cos = dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v")))
+    val cos = call_function("cosine_sim", col("qv"), col("v"))
     val rankW = w.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
     val qvecs = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
