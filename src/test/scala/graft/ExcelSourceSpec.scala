@@ -62,6 +62,14 @@ class ExcelSourceSpec extends SparkSuite {
     assert(spark.read.parquet(out).count() == 657 * 2)
   }
 
+  test("ExcelOffset JSON round-trips paths with quotes and backslashes") {
+    import graft.sources.ExcelOffset
+    val paths = Seq("/plain/a.xlsx", "/with\"quote.xlsx", "/with\\back\\slash.xlsx", "")
+    val off = ExcelOffset(paths)
+    assert(ExcelOffset.fromJson(off.json()).files == paths)
+    assert(ExcelOffset.fromJson(ExcelOffset(Seq.empty).json()).files.isEmpty)
+  }
+
   test("batch read of a directory unions all xlsx files (one partition per file)") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val dir = Files.createTempDirectory("graft-excel-batch").toFile
