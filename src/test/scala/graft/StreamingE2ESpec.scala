@@ -143,6 +143,44 @@ class StreamingE2ESpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("batch-stream unification: streamed tumbling agg equals the batch query") {
+    // the SAME windowed aggregation expressed over readStream produces
+    // the batch answer — Spark's unified model, demonstrated on the
+    // events fixture (complete mode: every window emitted at drain)
+    val sfDir = "/root/testdata/sf0.001"
+    // the file stream source wants a directory, not a single file
+    val dir = Files.createTempDirectory("graft-unify").toString
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      Paths.get(dir, "events.parquet"))
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val streamed = spark.readStream.schema(batchSchema)
+      .parquet(dir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts_ns DIV 1000)"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour").as("w"),
+        col("event_type"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.round(col("value") * 100).cast("long"))
+          .as("sum_cents"))
+      .select(org.apache.spark.sql.functions.unix_timestamp(col("w.start"))
+          .as("window_start"),
+        col("event_type"), col("n"), col("sum_cents"))
+    val q = streamed.writeStream.format("memory").queryName("unify_out")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(!q.isActive)
+    val got = spark.table("unify_out")
+      .orderBy("window_start", "event_type").collect().map(_.toSeq).toSeq
+    val expected = graft.operators.EventOps.eventsTumbling(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("ST9 dedup analog: dropDuplicatesWithinWatermark drops late duplicate events") {
     val s = spark
     import s.implicits._
