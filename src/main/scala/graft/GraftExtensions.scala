@@ -13,24 +13,60 @@ import graft.functions.CosineSimilarity
   * harness queries use, since Verify/Bench own the session).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.cosineSimDescriptor)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
   import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
 
-  private val cosineSimDescriptor: (FunctionIdentifier, ExpressionInfo,
-      Seq[Expression] => Expression) = (
-    FunctionIdentifier("cosine_sim"),
-    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-    (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
+  private type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  /** SQL-template function: the body is parsed once and the call's
+    * child expressions are spliced in for `argN` placeholders — pure
+    * Catalyst expression trees, fully codegen'd, no UDFs. */
+  private def templateFn(name: String, arity: Int, template: String): Descriptor = {
+    val parsed = CatalystSqlParser.parseExpression(template)
+    (FunctionIdentifier(name),
+      new ExpressionInfo(GraftExtensions.getClass.getName, name),
+      (children: Seq[Expression]) => {
+        require(children.length == arity,
+          s"$name expects $arity argument(s), got ${children.length}")
+        parsed.transform {
+          case a: UnresolvedAttribute if a.name.startsWith("arg") =>
+            children(a.name.stripPrefix("arg").toInt)
+        }
+      })
+  }
+
+  /** All graft SQL functions: the native cosine Expression plus the
+    * reference's utility codecs (status name/code, retry backoff) so
+    * pure-SQL users get the same helper surface the DataFrame API has.
+    * Semantics mirror graft.functions.Exprs exactly (pinned by
+    * ExprsSpec): status name/code per common/constants.go:49-82 (no
+    * unknown→PENDING bug), backoff per tasks/worker.go:72-79. */
+  private val descriptors: Seq[Descriptor] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+    templateFn("graft_status_name", 1,
+      """CASE WHEN arg0 = 0 THEN 'pending' WHEN arg0 = 1 THEN 'processing'
+        |     WHEN arg0 = 2 THEN 'completed' WHEN arg0 = 3 THEN 'failed'
+        |     WHEN arg0 = 4 THEN 'delayed' ELSE 'unknown' END""".stripMargin),
+    templateFn("graft_status_code", 1,
+      """CASE WHEN arg0 = 'pending' THEN 0 WHEN arg0 = 'processing' THEN 1
+        |     WHEN arg0 = 'completed' THEN 2 WHEN arg0 = 'failed' THEN 3
+        |     WHEN arg0 = 'delayed' THEN 4 ELSE CAST(NULL AS INT) END""".stripMargin),
+    templateFn("graft_backoff_sec", 1,
+      "CASE WHEN arg0 <= 0 THEN 0 ELSE CAST(2 * POW(2, arg0 - 1) AS INT) END"))
 
   /** Idempotently register graft functions on a live session. */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = cosineSimDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -76,6 +76,19 @@ class ExprsSpec extends SparkSuite {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("graft SQL functions are registered for pure-SQL users") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_status_name(1) AS n, graft_status_code('failed') AS c,
+        |       graft_backoff_sec(3) AS b, graft_status_name(99) AS u,
+        |       graft_status_code('nope') AS nc""".stripMargin).head()
+    assert(row.getString(0) == "processing")
+    assert(row.getInt(1) == 3)
+    assert(row.getInt(2) == 8)
+    assert(row.getString(3) == "unknown")
+    assert(row.isNullAt(4)) // unknown name -> NULL, not PENDING (§7.5)
+  }
+
   test("ann_ivf_topk recall vs brute force is at least 0.5") {
     val s = spark
     import s.implicits._
