@@ -71,14 +71,21 @@ object WindowOps {
   }
 
   /** Ranking family: rank + dense_rank of workers by load (the
-    * least-loaded strategy generalized to a full ranking). */
+    * least-loaded strategy generalized to a full ranking).
+    *
+    * Computed WITHOUT a global window: rank = 1 + |workers with lower
+    * load| and dense_rank = 1 + |distinct lower loads| via a dim
+    * self-join aggregation — |workers|² pairs is trivial for a dim
+    * table at any SF, and the plan has no single-reducer WindowExec
+    * (the same pattern as AggOps.workerIndex). */
   def workerRank(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.orderBy(asc("task_count"))
-    // Global window over the bounded workers dim only (never over tasks).
-    Tables.workers(spark, sfDir)
-      .select(col("worker_id"), col("task_count"),
-        rank().over(w).as("load_rank"),
-        dense_rank().over(w).as("load_dense_rank"))
+    val wk = Tables.workers(spark, sfDir).select("worker_id", "task_count")
+    wk.alias("x")
+      .join(wk.alias("y"), col("y.task_count") < col("x.task_count"), "left")
+      .groupBy(col("x.worker_id").as("worker_id"),
+        col("x.task_count").as("task_count"))
+      .agg((count(col("y.worker_id")) + 1).cast("int").as("load_rank"),
+        (count_distinct(col("y.task_count")) + 1).cast("int").as("load_dense_rank"))
       .orderBy("worker_id")
   }
 }
