@@ -24,6 +24,26 @@ class CatalogSpec extends SparkSuite {
     assert(cat == raw && cat.nonEmpty)
   }
 
+  test("pure-SQL DDL surface: CREATE TABLE / INSERT INTO / partition ops") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft")
+    spark.sql("DROP TABLE IF EXISTS graft.ddl_tasks")
+    spark.sql(
+      """CREATE TABLE graft.ddl_tasks (id STRING, priority INT)
+        |USING parquet PARTITIONED BY (status INT)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.ddl_tasks PARTITION (status = 0)
+        |VALUES ('t1', 5), ('t2', 7)""".stripMargin)
+    spark.sql("INSERT INTO graft.ddl_tasks PARTITION (status = 1) VALUES ('t3', 9)")
+    val parts = spark.sql("SHOW PARTITIONS graft.ddl_tasks")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(parts == Seq("status=0", "status=1"))
+    assert(spark.sql("SELECT * FROM graft.ddl_tasks WHERE status = 0").count() == 2)
+    spark.sql("ALTER TABLE graft.ddl_tasks DROP PARTITION (status = 1)")
+    assert(spark.sql("SELECT * FROM graft.ddl_tasks").count() == 2)
+    spark.sql("DROP TABLE graft.ddl_tasks")
+    assert(!spark.catalog.tableExists("graft.ddl_tasks"))
+  }
+
   test("bucketed worker_id join is shuffle-free (co-located scan, no exchange, no sort)") {
     CatalogOps.ensureBucketedTables(spark, sf)
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
