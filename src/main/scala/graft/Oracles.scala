@@ -89,6 +89,14 @@ object Oracles {
         |FROM assigned a JOIN workers w ON a.worker_id = w.worker_id
         |WHERE a.status = 1
         |GROUP BY a.worker_id ORDER BY a.worker_id""".stripMargin),
+    "status_pivot" -> q(
+      """SELECT task_type,
+        |       CAST(SUM(CASE WHEN status = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
+        |       CAST(SUM(CASE WHEN status = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_processing,
+        |       CAST(SUM(CASE WHEN status = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_completed,
+        |       CAST(SUM(CASE WHEN status = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+        |       CAST(SUM(CASE WHEN status = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_delayed
+        |FROM tasks GROUP BY task_type ORDER BY task_type""".stripMargin),
     "count_pending" -> q(
       "SELECT COUNT(*) AS cnt FROM tasks WHERE status = 0"),
     "filter_status" -> q(

@@ -23,6 +23,7 @@ object SparkEntry {
     "count_pending" -> (TaskOps.countPending _),
     // §2.4 aggregations
     "task_stats" -> (TaskOps.taskStats _),
+    "status_pivot" -> (TaskOps.statusPivot _),
     // Hive-metastore catalog surface (north star: persistent catalog)
     "catalog_task_stats" -> (CatalogOps.catalogTaskStats _),
     "catalog_pending_tasks" -> (CatalogOps.catalogPendingTasks _),

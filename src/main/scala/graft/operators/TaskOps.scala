@@ -85,6 +85,21 @@ object TaskOps {
         Exprs.statusName(col("status")).as("status_name"))
       .orderBy("id")
 
+  /** Pivot: per-task-type counts spread across status columns (the
+    * GetTaskStats matrix view). Explicit pivot values keep the plan a
+    * single pass (no distinct-values pre-query) and pin the output
+    * schema for the oracle — at scale an unbounded pivot would need
+    * the values enumerated anyway. */
+  def statusPivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.tasks(spark, sfDir)
+      .groupBy("task_type")
+      .pivot("status", Seq(0, 1, 2, 3, 4))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(Map("0" -> "n_pending", "1" -> "n_processing",
+        "2" -> "n_completed", "3" -> "n_failed", "4" -> "n_delayed"))
+      .orderBy("task_type")
+
   /** S11: the HTTP API's JSON result encoding (api/server.go:49-50,
     * 66-67 marshals task lists; default result limit 100,
     * api/server.go:36). The serving loop itself stays out of engine
