@@ -97,6 +97,12 @@ object Oracles {
         |       CAST(SUM(CASE WHEN status = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
         |       CAST(SUM(CASE WHEN status = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_delayed
         |FROM tasks GROUP BY task_type ORDER BY task_type""".stripMargin),
+    "worker_metrics_long" -> q(
+      """SELECT worker_id, metric, value FROM (
+        |  SELECT worker_id, 'capacity' AS metric, capacity AS value FROM workers
+        |  UNION ALL
+        |  SELECT worker_id, 'task_count', task_count FROM workers
+        |) ORDER BY worker_id, metric""".stripMargin),
     "count_pending" -> q(
       "SELECT COUNT(*) AS cnt FROM tasks WHERE status = 0"),
     "filter_status" -> q(

@@ -30,6 +30,7 @@ object SparkEntry {
     "catalog_topk_per_status" -> (CatalogOps.catalogTopkPerStatus _),
     "catalog_bucketed_join" -> (CatalogOps.catalogBucketedJoin _),
     "worker_load" -> (WorkerOps.workerLoad _),
+    "worker_metrics_long" -> (WorkerOps.workerMetricsLong _),
     "least_loaded_worker" -> (WorkerOps.leastLoadedWorker _),
     // §2.5 sorts / limits
     "priority_queue" -> (TaskOps.priorityQueue _),

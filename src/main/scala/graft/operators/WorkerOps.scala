@@ -53,6 +53,16 @@ object WorkerOps {
       .agg(count(lit(1)).as("n_tasks"))
       .orderBy("worker_id")
 
+  /** Unpivot/melt: the workers matrix in long form — one (worker,
+    * metric, value) row per numeric column. Narrow generate (each row
+    * fans out to |metrics| rows map-side, no shuffle). */
+  def workerMetricsLong(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.workers(spark, sfDir)
+      .select("worker_id", "capacity", "task_count")
+      .unpivot(Array(col("worker_id")),
+        Array(col("capacity"), col("task_count")), "metric", "value")
+      .orderBy("worker_id", "metric")
+
   /** workerLoad under key skew: two-phase salted aggregation — partial
     * counts on (worker_id, salt) spread a hot worker over 8 reducers,
     * then a tiny final combine. Identical results to workerLoad (same
