@@ -59,7 +59,7 @@ object Oracles {
     CTE + extraCte + "\n" + sql
 
   val sql: Map[String, String] = windowSql ++ joinSql ++ eventSql ++
-    textSql ++ Map(
+    textSql ++ layoutSql ++ Map(
     "scan_tasks" -> q(
       "SELECT id, priority, status, task_type, create_time FROM tasks ORDER BY id"),
     "project_tasks" -> q(
@@ -339,6 +339,63 @@ object Oracles {
         |       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
         |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    "cdc_latest" -> q(
+      """SELECT user_id, event_type,
+        |       CAST(MAX(event_id) AS BIGINT) AS last_event_id,
+        |       CAST(arg_max(CAST(ROUND(value * 100) AS BIGINT), event_id) AS BIGINT) AS last_cents,
+        |       CAST(arg_max(CAST(floor(epoch(ts)) AS BIGINT), event_id) AS BIGINT) AS last_ts_sec,
+        |       CAST(COUNT(*) AS BIGINT) AS n_versions
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin),
+    "value_outliers" -> qx(
+      """, ev AS (
+        |  SELECT event_id, event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), thr AS (
+        |  SELECT event_type,
+        |         CAST(ROUND(quantile_cont(cents, 0.99)) AS BIGINT) AS p99_cents
+        |  FROM ev GROUP BY event_type
+        |)""".stripMargin,
+      """SELECT event_id, ev.event_type AS event_type, cents, p99_cents
+        |FROM ev JOIN thr ON ev.event_type = thr.event_type
+        |WHERE cents > p99_cents ORDER BY event_id""".stripMargin),
+  )
+
+  private def layoutSql: Map[String, String] = Map(
+    "zorder_layout" -> qx(
+      """, zsrc AS (
+        |  SELECT o_custkey,
+        |         CAST(o_custkey % 16 AS INT) AS xb,
+        |         CAST(LEAST(15, CAST(floor(date_diff('day', DATE '1992-01-01',
+        |           CAST(o_orderdate AS DATE)) / 160) AS INT)) AS INT) AS yb,
+        |         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS dd
+        |  FROM orders
+        |), zval AS (
+        |  SELECT o_custkey, dd,
+        |         ((xb >> 0) & 1) * 1 + ((yb >> 0) & 1) * 2
+        |         + ((xb >> 1) & 1) * 4 + ((yb >> 1) & 1) * 8
+        |         + ((xb >> 2) & 1) * 16 + ((yb >> 2) & 1) * 32
+        |         + ((xb >> 3) & 1) * 64 + ((yb >> 3) & 1) * 128 AS z
+        |  FROM zsrc
+        |)""".stripMargin,
+      """SELECT CAST(z AS INT) AS z, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(MIN(o_custkey) AS BIGINT) AS min_cust,
+        |       CAST(MAX(o_custkey) AS BIGINT) AS max_cust,
+        |       CAST(MIN(dd) AS INT) AS min_day, CAST(MAX(dd) AS INT) AS max_day
+        |FROM zval GROUP BY z ORDER BY z""".stripMargin),
+    "compaction_plan" -> qx(
+      """, cum AS (
+        |  SELECT doc_id, source, n_chars,
+        |         COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM documents
+        |)""".stripMargin,
+      """SELECT source, CAST(floor(cum_before / 16384) AS INT) AS bin,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS bin_chars,
+        |       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+        |       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        |FROM cum GROUP BY source, bin ORDER BY source, bin""".stripMargin),
   )
 
   private def textSql: Map[String, String] = Map(
@@ -381,6 +438,36 @@ object Oracles {
         |FROM lh ORDER BY doc_id""".stripMargin),
     "doc_fingerprint" -> q(
       "SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id"),
+    "chunk_dedup" -> qx(
+      """, ch AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(0, len(string_split(text, ' ')), 10),
+        |           i -> array_to_string(string_split(text, ' ')[i+1:i+10], ' '))) AS chunk
+        |  FROM documents
+        |)""".stripMargin,
+      """SELECT md5(chunk) AS fp, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS dup_count
+        |FROM ch GROUP BY md5(chunk) HAVING COUNT(*) > 1
+        |ORDER BY doc_id, fp""".stripMargin),
+    "stratified_sample" -> q(
+      """SELECT doc_id, source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS u
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+        |      < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+        |             THEN '80' ELSE '29' END
+        |ORDER BY doc_id""".stripMargin),
+    "pii_redact" -> q(
+      """SELECT event_id,
+        |       substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS user_pseud,
+        |       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_redacted
+        |FROM events ORDER BY event_id""".stripMargin),
+    "chars_histogram" -> q(
+      """SELECT CAST(LEAST(CAST(floor(n_chars / 50) AS BIGINT), 19) AS INT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin),
     "token_freq" -> qx(
       """, tf AS (
         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents

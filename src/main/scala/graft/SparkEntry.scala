@@ -85,6 +85,16 @@ object SparkEntry {
     "pipeline_curate" -> (TextOps.pipelineCurate _),
     "curation_funnel" -> (TextOps.curationFunnel _),
     "repetition_ratio" -> (TextOps.repetitionRatio _),
+    "chunk_dedup" -> (TextOps.chunkDedup _),
+    "stratified_sample" -> (TextOps.stratifiedSample _),
+    "pii_redact" -> (TextOps.piiRedact _),
+    "chars_histogram" -> (TextOps.charsHistogram _),
+    // LLM-pipeline: CDC compaction + outlier filtering
+    "cdc_latest" -> (EventOps.cdcLatest _),
+    "value_outliers" -> (EventOps.valueOutliers _),
+    // physical-layout planning (Z-order skipping stats, compaction bins)
+    "zorder_layout" -> (LayoutOps.zorderLayout _),
+    "compaction_plan" -> (LayoutOps.compactionPlan _),
     // LLM-pipeline: similarity + fuzzy dedup (minhash/simhash/LSH are
     // rows-only: xxhash64 has no DuckDB equivalent)
     "cosine_topk" -> (SimilarityOps.cosineTopk _),

@@ -91,6 +91,41 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** CDC last-writer-wins compaction: collapse each (user_id,
+    * event_type) key to its latest version by sequence number
+    * (event_id — monotonic arrival order; ns timestamps are not a
+    * cross-engine sort key, see Oracles scaladoc). `max_by` compiles
+    * to a single hash aggregation with map-side partial argmax — the
+    * scalable upsert-compaction shape; a row_number window would sort
+    * every group instead. */
+  def cdcLatest(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        valueCents.as("cents"), Exprs.epochSec(col("ts")).as("es"))
+      .groupBy("user_id", "event_type")
+      .agg(max("event_id").as("last_event_id"),
+        max_by(col("cents"), col("event_id")).as("last_cents"),
+        max_by(col("es"), col("event_id")).as("last_ts_sec"),
+        count(lit(1)).as("n_versions"))
+      .orderBy("user_id", "event_type")
+
+  /** Tail-outlier detection: events whose value exceeds their type's
+    * exact p99. The per-type threshold dim (bounded: one row per
+    * event_type) is BROADCAST back against the fact scan — the
+    * aggregate-then-broadcast-join shape that avoids a second wide
+    * shuffle at 100 TB. Integer-cents compares are exact in both
+    * engines (interpolated percentile parity per eventsValuePct). */
+  def valueOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), valueCents.as("cents"))
+    val thresholds = ev.groupBy("event_type")
+      .agg(round(percentile(col("cents"), lit(0.99))).cast("long").as("p99_cents"))
+    ev.join(broadcast(thresholds), Seq("event_type"))
+      .filter(col("cents") > col("p99_cents"))
+      .select("event_id", "event_type", "cents", "p99_cents")
+      .orderBy("event_id")
+  }
+
   /** JSON prop extraction (events.props is a JSON string): per-type
     * stats over get_json_object-extracted values. */
   def eventsPropsJson(spark: SparkSession, sfDir: String): DataFrame =

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Physical-layout planning operators — the table-maintenance side of a
+  * 100 TB lakehouse: Z-order clustering diagnostics and small-file
+  * compaction binning. The reference engine has no layout layer (etcd
+  * holds KBs); these are the operations its data would need once it
+  * lands in parquet at scale.
+  *
+  * Scale: both queries are a single scan plus one aggregation; the
+  * compaction window partitions by `source` (bounded partitions — a
+  * real table would window per file-listing partition, never globally).
+  */
+object LayoutOps {
+
+  /** Z-order clustering diagnostic. Maps each order to a 2-D Z-value
+    * interleaving 4 customer-bucket bits with 4 date-bucket bits, then
+    * reports per-Z-bucket min/max of BOTH dimensions — the data-skipping
+    * ranges a Z-ordered file layout would give. Writing with
+    * `repartitionByRange(z)` + `sortWithinPartitions(z)` yields files
+    * whose min/max stats bound both columns at once, so predicates on
+    * EITHER dimension prune files (linear-order sorts only prune the
+    * leading column). Pure bit arithmetic — codegen'd, no shuffle
+    * beyond the final bounded aggregation (256 groups).
+    */
+  def zorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    val dd = datediff(col("o_orderdate"), lit("1992-01-01"))
+    // interleave: z = sum_i xbit_i*4^i + ybit_i*2*4^i (x even bits, y odd)
+    val z = (0 until 4)
+      .map { i =>
+        shiftleft(shiftright(col("xb"), i).bitwiseAND(lit(1)), 2 * i) +
+          shiftleft(shiftright(col("yb"), i).bitwiseAND(lit(1)), 2 * i + 1)
+      }
+      .reduce(_ + _)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        (col("o_custkey") % 16).cast("int").as("xb"),
+        least(lit(15), floor(dd / 160).cast("int")).cast("int").as("yb"),
+        dd.as("dd"))
+      .withColumn("z", z)
+      .groupBy("z")
+      .agg(count(lit(1)).as("n"),
+        min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"),
+        min("dd").cast("int").as("min_day"), max("dd").cast("int").as("max_day"))
+      .select(col("z").cast("int").as("z"), col("n"), col("min_cust"),
+        col("max_cust"), col("min_day"), col("max_day"))
+      .orderBy("z")
+  }
+
+  /** Small-file compaction plan: greedy streaming binning of documents
+    * (standing in for data files, sized by n_chars) into ~16 KiB output
+    * bins per source. bin = floor(running-size-before / target) — the
+    * single-pass assignment a compactor uses so every bin except the
+    * last is ≥ target. The window partitions by source and orders by
+    * doc_id: partitions are bounded (one source's file listing), never
+    * a global window. */
+  def compactionPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = 16384L
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("cum_before", coalesce(sum("n_chars").over(w), lit(0L)))
+      .withColumn("bin", floor(col("cum_before") / target).cast("int"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("bin_chars"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("source", "bin")
+  }
+}

@@ -355,6 +355,68 @@ object TextOps {
         lit(4) * coalesce(col("n_overlap"), lit(0L)) < col("sz"))
   }
 
+  /** Chunk-level exact dedup (the C4/RefinedWeb line-dedup shape):
+    * split each doc into 10-token chunks and find chunks repeated
+    * anywhere in the corpus — boilerplate headers/footers that
+    * document-level dedup misses. Groups by md5(chunk) so the shuffle
+    * currency is a 32-char hash, not chunk text; one explode + one
+    * hash aggregation, same plan family as [[dedupExact]]. At 100 TB
+    * the group-by key is the 128-bit hash and the HAVING>1 filter
+    * drops the (dominant) singleton groups before any further join. */
+  def chunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunks = element_at(transform(array(split(col("text"), " ")), toks =>
+      transform(sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(10)),
+        i => concat_ws(" ", slice(toks, i + 1, lit(10))))), 1)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(chunks).as("chunk"))
+      .groupBy(md5(col("chunk")).as("fp"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+      .select("fp", "doc_id", "dup_count")
+      .orderBy("doc_id", "fp")
+  }
+
+  /** Deterministic stratified sampling — per-source keep rates via a
+    * uniform hash of the doc id (md5 hex prefix < per-stratum
+    * threshold). Even-numbered sources keep ~50% ('80'/256 hex pairs),
+    * odd ~16% ('29'/256). Hash-threshold sampling is the distributed
+    * form: no RNG state, reproducible across retries/executors, and
+    * the filter is a narrow scan predicate (no shuffle at all). */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val thr = when(substring(col("source"), 4, 10).cast("int") % 2 === 0,
+      lit("80")).otherwise(lit("29"))
+    Tables.documents(spark, sfDir)
+      .filter(u < thr)
+      .select(col("doc_id"), col("source"), u.as("u"))
+      .orderBy("doc_id")
+  }
+
+  /** PII scrubbing pass — pseudonymize the user key (keyed hash
+    * prefix) and redact numeric identifiers inside the free-form
+    * props payload. Pure per-row projection (codegen'd regexp_replace
+    * + md5): at 100 TB this runs entirely map-side inside the scan,
+    * zero shuffles. Production would swap the digit-run pattern for a
+    * battery of typed matchers (emails, phones, SSNs) — the plan
+    * shape is identical. */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        substring(md5(col("user_id").cast("string")), 1, 8).as("user_pseud"),
+        regexp_replace(col("props"), "[0-9]+", "<NUM>").as("props_redacted"))
+      .orderBy("event_id")
+
+  /** Document-length histogram: 50-char buckets capped at bucket 19 —
+    * the corpus-profiling pass that sizes quality-filter thresholds.
+    * Single scan + bounded hash aggregation (≤20 groups, map-side
+    * partials collapse almost everything before the shuffle). */
+  def charsHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(least(floor(col("n_chars") / 50), lit(19L)).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      .orderBy("bucket")
+
   /** Distinct word 3-gram shingles (docs shorter than 3 tokens yield
     * their full text as the single shingle) — mirrored in the oracle's
     * list-slice CTE. The token split is LET-BOUND via a one-element
