@@ -362,6 +362,52 @@ object Oracles {
   )
 
   private def layoutSql: Map[String, String] = Map(
+    "asof_join" -> qx(
+      """, ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+        |         CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+        |         CASE WHEN event_type = 'click'
+        |              THEN CAST(ROUND(value * 100) AS BIGINT) END AS click_cents
+        |  FROM events
+        |), carried AS (
+        |  SELECT user_id, event_id, event_type,
+        |         last_value(click_id IGNORE NULLS) OVER w AS prev_click_id,
+        |         last_value(click_cents IGNORE NULLS) OVER w AS prev_click_cents
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |)""".stripMargin,
+      """SELECT event_id, user_id,
+        |       CAST(COALESCE(prev_click_id, -1) AS BIGINT) AS prev_click_id,
+        |       CAST(COALESCE(prev_click_cents, -1) AS BIGINT) AS prev_click_cents
+        |FROM carried WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin),
+    "rare_terms" -> qx(
+      """, tk AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents
+        |), dfq AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS tok_df FROM tk GROUP BY tok
+        |), rk AS (
+        |  SELECT doc_id, tok, tok_df,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY tok_df ASC, tok ASC) AS rn
+        |  FROM tk JOIN dfq USING (tok)
+        |)""".stripMargin,
+      """SELECT doc_id, CAST(rn AS INT) AS rn, tok, tok_df
+        |FROM rk WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin),
+    "worker_pctile" -> qx(
+      """, wp AS (
+        |  SELECT worker_id, task_count,
+        |         ntile(4) OVER w AS quartile,
+        |         percent_rank() OVER w AS pr,
+        |         cume_dist() OVER w AS cd
+        |  FROM workers WINDOW w AS (ORDER BY task_count, worker_id)
+        |)""".stripMargin,
+      """SELECT worker_id, task_count, CAST(quartile AS INT) AS quartile,
+        |       CAST(ROUND(1000.0 * pr) AS BIGINT) AS pct_rank_milli,
+        |       CAST(ROUND(1000.0 * cd) AS BIGINT) AS cume_milli
+        |FROM wp ORDER BY worker_id""".stripMargin),
     "zorder_layout" -> qx(
       """, zsrc AS (
         |  SELECT o_custkey,

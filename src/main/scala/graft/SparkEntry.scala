@@ -95,6 +95,12 @@ object SparkEntry {
     // physical-layout planning (Z-order skipping stats, compaction bins)
     "zorder_layout" -> (LayoutOps.zorderLayout _),
     "compaction_plan" -> (LayoutOps.compactionPlan _),
+    // as-of join (merge-scan form), rare terms, distribution windows,
+    // cluster resolution (iterative min-label propagation, rows-only)
+    "asof_join" -> (EventOps.asofJoin _),
+    "rare_terms" -> (TextOps.rareTerms _),
+    "worker_pctile" -> (WindowOps.workerPctile _),
+    "dedup_clusters" -> (GraphOps.dedupClusters _),
     // LLM-pipeline: similarity + fuzzy dedup (minhash/simhash/LSH are
     // rows-only: xxhash64 has no DuckDB equivalent)
     "cosine_topk" -> (SimilarityOps.cosineTopk _),

@@ -126,6 +126,35 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** AS-OF join: each purchase matched to the user's most recent PRIOR
+    * click (strictly earlier by sequence number; ns timestamps are not
+    * a cross-engine sort key). Implemented as the merge-scan form —
+    * union both event roles, one user-partitioned window, last-non-null
+    * carry-forward — which is THE scalable as-of shape: zero joins,
+    * one shuffle on user_id, no per-row probe. (DuckDB's ASOF JOIN is
+    * the same semantics; the oracle mirrors the window form so the
+    * strict-inequality boundary is identical.) Missing matches emit
+    * -1 (deterministic, null-free compare). */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        valueCents.as("cents"))
+      .withColumn("click_id",
+        when(col("event_type") === "click", col("event_id")))
+      .withColumn("click_cents",
+        when(col("event_type") === "click", col("cents")))
+      .withColumn("prev_click_id", last("click_id", ignoreNulls = true).over(w))
+      .withColumn("prev_click_cents", last("click_cents", ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("prev_click_id"), lit(-1L)).as("prev_click_id"),
+        coalesce(col("prev_click_cents"), lit(-1L)).as("prev_click_cents"))
+      .orderBy("event_id")
+  }
+
   /** JSON prop extraction (events.props is a JSON string): per-type
     * stats over get_json_object-extracted values. */
   def eventsPropsJson(spark: SparkSession, sfDir: String): DataFrame =

@@ -363,17 +363,42 @@ object TextOps {
     * hash aggregation, same plan family as [[dedupExact]]. At 100 TB
     * the group-by key is the 128-bit hash and the HAVING>1 filter
     * drops the (dominant) singleton groups before any further join. */
-  def chunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val chunks = element_at(transform(array(split(col("text"), " ")), toks =>
-      transform(sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(10)),
-        i => concat_ws(" ", slice(toks, i + 1, lit(10))))), 1)
+  def chunkDedup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(chunks).as("chunk"))
+      .select(col("doc_id"), explode(chunks10(col("text"))).as("chunk"))
       .groupBy(md5(col("chunk")).as("fp"))
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
       .filter(col("dup_count") > 1)
       .select("fp", "doc_id", "dup_count")
       .orderBy("doc_id", "fp")
+
+  /** 10-token chunks of a doc (last chunk may be short). Token split is
+    * LET-BOUND (see [[shingles3]] — HOFs have no common-subexpression
+    * elimination). Shared with [[GraphOps.dedupClusters]]' edge builder. */
+  private[operators] def chunks10(text: Column): Column =
+    element_at(transform(array(split(text, " ")), toks =>
+      transform(sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(10)),
+        i => concat_ws(" ", slice(toks, i + 1, lit(10))))), 1)
+
+  /** Rare-term extraction: each doc's 3 globally-rarest distinct terms
+    * (document frequency asc, term asc) — the tf-idf-shaped signal
+    * with exact integer arithmetic (no float idf, so the oracle
+    * compare is exact). The vocabulary dim (distinct terms) is
+    * BROADCAST back against the token explode; the per-doc top-3 is a
+    * doc-partitioned window (never global), and WindowGroupLimit
+    * prunes rows map-side before the shuffle. */
+  def rareTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("tok_df"))
+    toks.join(broadcast(dfreq), Seq("tok"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(asc("tok_df"), asc("tok"))))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("tok"), col("tok_df"))
+      .orderBy("doc_id", "rn")
   }
 
   /** Deterministic stratified sampling — per-source keep rates via a

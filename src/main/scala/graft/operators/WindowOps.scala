@@ -88,4 +88,38 @@ object WindowOps {
         (count_distinct(col("y.task_count")) + 1).cast("int").as("load_dense_rank"))
       .orderBy("worker_id")
   }
+
+  /** Distribution windows — ntile(4), percent_rank, cume_dist over the
+    * worker-load order — WITHOUT a global window (PlanAudit: zero
+    * unpartitioned WindowExec). Position rn comes from the same
+    * bounded dim self-join as [[workerRank]] (the order
+    * (task_count, worker_id) is total, so row_number = rank); n from a
+    * broadcast 1-row count; ntile/percent_rank/cume_dist are then pure
+    * integer arithmetic replays of the SQL definitions, which the
+    * oracle cross-checks against DuckDB's real window functions.
+    * Outputs scaled to exact integer millis. */
+  def workerPctile(spark: SparkSession, sfDir: String): DataFrame = {
+    val wk = Tables.workers(spark, sfDir).select("worker_id", "task_count")
+    val total = wk.agg(count(lit(1)).as("n"))
+    val before = col("y.task_count") < col("x.task_count") ||
+      (col("y.task_count") === col("x.task_count") &&
+        col("y.worker_id") < col("x.worker_id"))
+    val q = (col("n") / lit(4)).cast("long") // ntile base bucket size
+    val r = col("n") % 4 // first r buckets get one extra row
+    val rn = col("rn")
+    val quartile = when(rn <= r * (q + 1),
+      floor((rn - 1) / (q + 1)) + 1)
+      .otherwise(r + floor((rn - 1 - r * (q + 1)) / q) + 1)
+    wk.alias("x")
+      .join(wk.alias("y"), before, "left")
+      .groupBy(col("x.worker_id").as("worker_id"),
+        col("x.task_count").as("task_count"))
+      .agg((count(col("y.worker_id")) + 1).as("rn"))
+      .crossJoin(broadcast(total))
+      .select(col("worker_id"), col("task_count"),
+        quartile.cast("int").as("quartile"),
+        round(lit(1000.0) * (rn - 1) / (col("n") - 1)).cast("long").as("pct_rank_milli"),
+        round(lit(1000.0) * rn / col("n")).cast("long").as("cume_milli"))
+      .orderBy("worker_id")
+  }
 }

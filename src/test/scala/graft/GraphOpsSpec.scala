@@ -1,0 +1,36 @@
+package graft
+
+/** dedup_clusters (iterative min-label propagation) must equal a
+  * driver-side union-find over the same star edges — labels included,
+  * since min-label propagation's canonical component id IS the min
+  * doc_id of the component, which union-find reproduces exactly. */
+class GraphOpsSpec extends SparkSuite {
+
+  test("dedup_clusters equals union-find over the chunk-share edges") {
+    val edges = operators.GraphOps.chunkStarEdges(spark, sf).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+    assert(edges.nonEmpty, "fixture produced no duplicated chunks")
+
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(v => v -> find(v)).toMap
+
+    val got = operators.GraphOps.dedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    assert(got == expected, s"components differ: ${got.size} vs ${expected.size}")
+
+    // cluster sizes are consistent with the mapping
+    val sizeByComp = got.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    operators.GraphOps.dedupClusters(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("cluster_size") ==
+        sizeByComp(r.getAs[Long]("component")))
+    }
+  }
+}
