@@ -382,6 +382,18 @@ object Oracles {
         |       CAST(COALESCE(prev_click_id, -1) AS BIGINT) AS prev_click_id,
         |       CAST(COALESCE(prev_click_cents, -1) AS BIGINT) AS prev_click_cents
         |FROM carried WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin),
+    "range_join_binned" -> qx(
+      """, ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS es
+        |  FROM events
+        |)""".stripMargin,
+      """SELECT p.event_id, CAST(COUNT(e.event_id) AS BIGINT) AS n_nearby
+        |FROM ev p LEFT JOIN ev e
+        |  ON p.user_id = e.user_id AND e.event_id <> p.event_id
+        | AND abs(e.es - p.es) <= 120
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin),
     "rare_terms" -> qx(
       """, tk AS (
         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok

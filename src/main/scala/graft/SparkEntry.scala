@@ -98,6 +98,7 @@ object SparkEntry {
     // as-of join (merge-scan form), rare terms, distribution windows,
     // cluster resolution (iterative min-label propagation, rows-only)
     "asof_join" -> (EventOps.asofJoin _),
+    "range_join_binned" -> (EventOps.rangeJoinBinned _),
     "rare_terms" -> (TextOps.rareTerms _),
     "worker_pctile" -> (WindowOps.workerPctile _),
     "dedup_clusters" -> (GraphOps.dedupClusters _),

@@ -155,6 +155,38 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Range (window) join, binned: for each purchase, how many OTHER
+    * events of the same user fall within ±120 s. A naive inequality
+    * join is a per-user cartesian (BroadcastNestedLoop at best); the
+    * scalable form BINS time into width-120 buckets, explodes the
+    * probe side into its 3 adjacent buckets, equi-joins on
+    * (user_id, bin) — a plain shuffle join — and refines with the
+    * exact |Δ| ≤ 120 predicate. Every qualifying pair shares exactly
+    * one bin with the probe row, so no dedup is needed; candidate
+    * blowup is bounded by bin width, independent of corpus size.
+    * Left join keeps zero-neighbor purchases (count ignores nulls). */
+  def rangeJoinBinned(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        Exprs.epochSec(col("ts")).as("es"))
+    val probe = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("event_id").as("p_id"),
+        col("es").as("p_es"))
+      .withColumn("bin", explode(array(
+        floor(col("p_es") / 120) - 1, floor(col("p_es") / 120),
+        floor(col("p_es") / 120) + 1)))
+    val build = ev.select(col("user_id").as("b_uid"),
+        col("event_id").as("b_id"), col("es").as("b_es"))
+      .withColumn("bin", floor(col("b_es") / 120))
+    probe.join(build,
+        probe("p_uid") === build("b_uid") && probe("bin") === build("bin") &&
+          abs(col("b_es") - col("p_es")) <= 120 && col("b_id") =!= col("p_id"),
+        "left")
+      .groupBy(col("p_id").as("event_id"))
+      .agg(count(col("b_id")).as("n_nearby"))
+      .orderBy("event_id")
+  }
+
   /** JSON prop extraction (events.props is a JSON string): per-type
     * stats over get_json_object-extracted values. */
   def eventsPropsJson(spark: SparkSession, sfDir: String): DataFrame =
