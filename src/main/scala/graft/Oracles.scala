@@ -382,6 +382,20 @@ object Oracles {
         |       CAST(COALESCE(prev_click_id, -1) AS BIGINT) AS prev_click_id,
         |       CAST(COALESCE(prev_click_cents, -1) AS BIGINT) AS prev_click_cents
         |FROM carried WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin),
+    "merge_upsert" -> qx(
+      """, upd AS (
+        |  SELECT CASE WHEN o_orderkey % 21 = 0 THEN id || '-new' ELSE id END AS uid,
+        |         CAST(priority + 1 AS INT) AS upriority
+        |  FROM tasks WHERE o_orderkey % 7 = 0
+        |)""".stripMargin,
+      """SELECT COALESCE(uid, tasks.id) AS id,
+        |       CAST(COALESCE(upriority, priority) AS INT) AS priority,
+        |       CAST(COALESCE(status, 0) AS INT) AS status,
+        |       CASE WHEN tasks.id IS NULL THEN 'insert'
+        |            WHEN uid IS NULL THEN 'keep'
+        |            ELSE 'update' END AS action
+        |FROM tasks FULL OUTER JOIN upd ON tasks.id = upd.uid
+        |ORDER BY 1""".stripMargin),
     "range_join_binned" -> qx(
       """, ev AS (
         |  SELECT user_id, event_id, event_type,

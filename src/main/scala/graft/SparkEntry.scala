@@ -99,6 +99,7 @@ object SparkEntry {
     // cluster resolution (iterative min-label propagation, rows-only)
     "asof_join" -> (EventOps.asofJoin _),
     "range_join_binned" -> (EventOps.rangeJoinBinned _),
+    "merge_upsert" -> (TaskOps.mergeUpsert _),
     "rare_terms" -> (TextOps.rareTerms _),
     "worker_pctile" -> (WindowOps.workerPctile _),
     "dedup_clusters" -> (GraphOps.dedupClusters _),

@@ -217,4 +217,34 @@ object TaskOps {
       .select("id", "priority", "create_time", "task_type")
       .orderBy(desc("priority"), asc("create_time"), asc("id"))
       .limit(100)
+
+  /** MERGE-INTO (upsert) as one plan — the lakehouse maintenance op:
+    * a staging batch of task updates (every 7th task re-prioritized;
+    * every 21st arriving under a NEW id) merged into the base table.
+    * Semantics = SQL MERGE: matched → update, not-matched-by-target →
+    * insert, not-matched-by-source → keep. One full-outer shuffle
+    * join on the task id — exactly what Delta/Iceberg MERGE plans
+    * under the hood (plus their file rewrite); the `action` column
+    * makes the three-way branch auditable. At 100 TB the base side
+    * would additionally prune to files whose id-range min/max
+    * intersects the staging batch (see LayoutOps.zorderLayout). */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.tasks(spark, sfDir)
+      .select(col("id"), col("priority"), col("status"))
+    val updates = Tables.tasks(spark, sfDir)
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(
+        when(col("o_orderkey") % 21 === 0, concat(col("id"), lit("-new")))
+          .otherwise(col("id")).as("uid"),
+        (col("priority") + 1).as("upriority"))
+    base.join(updates, base("id") === updates("uid"), "full_outer")
+      .select(
+        coalesce(col("uid"), col("id")).as("id"),
+        coalesce(col("upriority"), col("priority")).as("priority"),
+        coalesce(col("status"), lit(0)).as("status"),
+        when(col("id").isNull, "insert")
+          .when(col("uid").isNull, "keep")
+          .otherwise("update").as("action"))
+      .orderBy("id")
+  }
 }
