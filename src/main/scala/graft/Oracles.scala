@@ -382,6 +382,12 @@ object Oracles {
         |       CAST(COALESCE(prev_click_id, -1) AS BIGINT) AS prev_click_id,
         |       CAST(COALESCE(prev_click_cents, -1) AS BIGINT) AS prev_click_cents
         |FROM carried WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin),
+    "worker_task_ids" -> q(
+      """SELECT worker_id,
+        |       array_to_string(list_sort(list(id)), ',') AS task_ids,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tasks
+        |FROM assigned WHERE status = 1 AND worker_id IS NOT NULL
+        |GROUP BY worker_id ORDER BY worker_id""".stripMargin),
     "merge_upsert" -> qx(
       """, upd AS (
         |  SELECT CASE WHEN o_orderkey % 21 = 0 THEN id || '-new' ELSE id END AS uid,

@@ -37,6 +37,7 @@ object SparkEntry {
     "list_all_tasks" -> (TaskOps.listAllTasks _),
     // §2.3 joins
     "worker_tasks_join" -> (WorkerOps.workerTasksJoin _),
+    "worker_task_ids" -> (WorkerOps.workerTaskIds _),
     "orphaned_tasks" -> (WorkerOps.orphanedTasks _),
     // §2.8 scalar functions
     "status_decode" -> (TaskOps.statusDecode _),

@@ -98,6 +98,21 @@ object WorkerOps {
       .orderBy("worker_id", "id")
   }
 
+  /** J2 list form: the reference's GetWorkerTasks API returns the task
+    * LIST per worker (tasks/api.go:203-232) — here as the array-agg
+    * surface: sorted task ids collapsed per worker. Emitted as a
+    * comma-joined string (cross-engine array renderings differ; the
+    * join is the deterministic compare). One hash aggregation; arrays
+    * stay bounded by worker capacity, so the agg buffer is small at
+    * any corpus scale. */
+  def workerTaskIds(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.assignedTasks(spark, sfDir)
+      .filter(col("status") === Tables.Processing && col("worker_id").isNotNull)
+      .groupBy("worker_id")
+      .agg(concat_ws(",", sort_array(collect_list(col("id")))).as("task_ids"),
+        count(lit(1)).as("n_tasks"))
+      .orderBy("worker_id")
+
   /** ST5 (batch analog): orphaned in-flight tasks — processing tasks
     * whose worker is no longer live (tasks/dispatcher.go:657-708), as a
     * broadcast left-anti join. */
