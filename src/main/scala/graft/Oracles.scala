@@ -382,6 +382,35 @@ object Oracles {
         |       CAST(COALESCE(prev_click_id, -1) AS BIGINT) AS prev_click_id,
         |       CAST(COALESCE(prev_click_cents, -1) AS BIGINT) AS prev_click_cents
         |FROM carried WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin),
+    "profile_orders" -> qx(
+      """, pr AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_ok,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS dis_ok,
+        |    CAST(MIN(o_orderkey) AS BIGINT) AS min_ok,
+        |    CAST(MAX(o_orderkey) AS BIGINT) AS max_ok,
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_ck,
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS dis_ck,
+        |    CAST(MIN(o_custkey) AS BIGINT) AS min_ck,
+        |    CAST(MAX(o_custkey) AS BIGINT) AS max_ck,
+        |    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_tp,
+        |    CAST(COUNT(DISTINCT CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS dis_tp,
+        |    CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_tp,
+        |    CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_tp,
+        |    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_od,
+        |    CAST(COUNT(DISTINCT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS BIGINT) AS dis_od,
+        |    CAST(MIN(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS BIGINT) AS min_od,
+        |    CAST(MAX(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS BIGINT) AS max_od
+        |  FROM orders
+        |)""".stripMargin,
+      """SELECT * FROM (
+        |  SELECT 0 AS ord, 'o_orderkey' AS col_name, n_rows,
+        |         nul_ok AS n_nulls, dis_ok AS n_distinct,
+        |         min_ok AS min_v, max_ok AS max_v FROM pr
+        |  UNION ALL SELECT 1, 'o_custkey', n_rows, nul_ck, dis_ck, min_ck, max_ck FROM pr
+        |  UNION ALL SELECT 2, 'o_totalprice_cents', n_rows, nul_tp, dis_tp, min_tp, max_tp FROM pr
+        |  UNION ALL SELECT 3, 'o_orderdate_eday', n_rows, nul_od, dis_od, min_od, max_od FROM pr
+        |) ORDER BY ord""".stripMargin),
     "worker_task_ids" -> q(
       """SELECT worker_id,
         |       array_to_string(list_sort(list(id)), ',') AS task_ids,

@@ -118,6 +118,7 @@ object SparkEntry {
     "multimodal_framesample" -> (MultimodalOps.multimodalFrameSample _),
     // §2.10 UDAF + SQL surface + LB strategies + native expression
     "source_token_stats" -> (AggOps.sourceTokenStats _),
+    "profile_orders" -> (AggOps.profileOrders _),
     "stats_cube" -> (AggOps.statsCube _),
     "sql_task_stats" -> (AggOps.sqlTaskStats _),
     "round_robin_assign" -> (AggOps.roundRobinAssign _),
