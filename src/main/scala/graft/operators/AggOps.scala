@@ -98,8 +98,10 @@ object AggOps {
     val pend = Tables.tasks(spark, sfDir)
       .filter(col("status") === Tables.Pending)
       .select(col("id"), col("priority"), col("create_time"))
-      // deterministic: RangePartitioner samples with a fixed seed and
-      // keys partition p's rows strictly before p+1's
+      // deterministic: (create_time, id) keys are unique and range
+      // partitioning is order-preserving (partition p's keys strictly
+      // before p+1's), so the global order — and hence the rank — is
+      // the same whatever bounds the RangePartitioner happens to sample
       .repartitionByRange(32, asc("create_time"), asc("id"))
       .sortWithinPartitions(asc("create_time"), asc("id"))
     val ranked = pend.rdd

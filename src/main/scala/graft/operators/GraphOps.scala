@@ -68,6 +68,14 @@ object GraphOps {
       prevSum = s
       iters += 1
     }
+    // Non-convergence must fail loudly: a component whose hub-chain
+    // diameter exceeds the round cap would otherwise emit PARTIAL labels
+    // (two docs of one cluster under different components) with no error.
+    // Star topology keeps diameters tiny, so hitting the cap means the
+    // input is shaped unlike anything this cap was sized for.
+    require(converged,
+      s"dedupClusters: min-label propagation did not converge in $iters rounds; " +
+        "raise the round cap for this graph's diameter")
     val sizes = comp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, Seq("comp"))
       .select(col("doc").as("doc_id"), col("comp").as("component"),

@@ -129,7 +129,11 @@ object JoinOps {
     * the plain join — salting is invisible in the result). AQE's
     * skew-join split is the automatic alternative; explicit salting is
     * the layout-controlled form that also handles skewed AGGREGATION
-    * (see workerLoadSalted). Dim explosion is bounded: |dim| × 8 rows. */
+    * (see workerLoadSalted). Dim explosion is bounded: |dim| × 8 rows.
+    * The dim is reduced to ONE row per k before salting (max s_name) so
+    * the join is 1:N and `n_orders` genuinely counts orders — a dim with
+    * duplicate keys would silently turn the count into order×supplier
+    * pairs. */
   def skewJoinSalted(spark: SparkSession, sfDir: String): DataFrame = {
     val salts = 8
     val skewKey = when(col("o_orderkey") % 10 < 8, lit(0L))
@@ -139,8 +143,8 @@ object JoinOps {
         cents("o_totalprice").as("price_cents"),
         pmod(xxhash64(col("o_orderkey")), lit(salts)).as("salt"))
     val dim = Tables.supplier(spark, sfDir)
-      .select((col("s_suppkey") % 100).as("k"), col("s_name"))
-      .distinct()
+      .groupBy((col("s_suppkey") % 100).as("k"))
+      .agg(max("s_name").as("s_name"))
       .withColumn("salt", explode(array((0 until salts).map(lit(_)): _*)))
       .withColumn("salt", col("salt").cast("bigint"))
     fact.join(dim, Seq("k", "salt"))

@@ -118,7 +118,11 @@ object WindowOps {
       .crossJoin(broadcast(total))
       .select(col("worker_id"), col("task_count"),
         quartile.cast("int").as("quartile"),
-        round(lit(1000.0) * (rn - 1) / (col("n") - 1)).cast("long").as("pct_rank_milli"),
+        // percent_rank of a single-row partition is DEFINED as 0; the
+        // (rn−1)/(n−1) formula alone would give 0/0 → NaN → null there
+        when(col("n") === 1, lit(0L))
+          .otherwise(round(lit(1000.0) * (rn - 1) / (col("n") - 1)).cast("long"))
+          .as("pct_rank_milli"),
         round(lit(1000.0) * rn / col("n")).cast("long").as("cume_milli"))
       .orderBy("worker_id")
   }

@@ -67,9 +67,12 @@ object ExcelDataSource {
     * directory's *.xlsx entries, name-sorted (deterministic plan). */
   def discover(path: String): Seq[String] = {
     val f = new java.io.File(path)
-    if (f.isDirectory)
-      f.listFiles((_, n) => n.endsWith(".xlsx")).map(_.getPath).sorted.toSeq
-    else Seq(path)
+    if (f.isDirectory) {
+      // listFiles returns null (not empty) for an unreadable/IO-failed dir.
+      val entries = Option(f.listFiles((_, n) => n.endsWith(".xlsx"))).getOrElse(
+        throw new IllegalArgumentException(s"cannot list directory $path"))
+      entries.map(_.getPath).sorted.toSeq
+    } else Seq(path)
   }
 
   /** Header row (row 1) of sheet 1 → all-string schema. For a
@@ -90,7 +93,12 @@ object ExcelDataSource {
     * The ZipFile stays open for the iterator's lifetime: close(). */
   final class RowStream(path: String) extends Iterator[Vector[String]] with AutoCloseable {
     private val zip = new ZipFile(path)
-    private val shared: IndexedSeq[String] =
+    // Any construction failure (malformed sharedStrings XML, missing sheet,
+    // stream-open error) must close the zip here — the caller can only
+    // close() a successfully constructed stream.
+    private def closingOnFailure[A](body: => A): A =
+      try body catch { case t: Throwable => zip.close(); throw t }
+    private val shared: IndexedSeq[String] = closingOnFailure {
       Option(zip.getEntry("xl/sharedStrings.xml")) match {
         case None => IndexedSeq.empty
         case Some(e) =>
@@ -113,13 +121,14 @@ object ExcelDataSource {
             out.toIndexedSeq
           } finally xml.close()
       }
-    private val sheet = Option(zip.getEntry("xl/worksheets/sheet1.xml"))
-      .orElse(Option(zip.getEntry("xl/worksheets/sheet.xml")))
-      .getOrElse {
-        zip.close()
-        throw new IllegalArgumentException(s"no sheet1 in $path")
-      }
-    private val xml = secureXmlFactory.createXMLStreamReader(zip.getInputStream(sheet))
+    }
+    private val sheet = closingOnFailure {
+      Option(zip.getEntry("xl/worksheets/sheet1.xml"))
+        .orElse(Option(zip.getEntry("xl/worksheets/sheet.xml")))
+        .getOrElse(throw new IllegalArgumentException(s"no sheet1 in $path"))
+    }
+    private val xml = closingOnFailure(
+      secureXmlFactory.createXMLStreamReader(zip.getInputStream(sheet)))
     private var row = ArrayBuffer[String]()
     private var cellType = ""
     private var cellRef = ""

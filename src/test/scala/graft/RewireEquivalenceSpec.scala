@@ -103,8 +103,8 @@ class RewireEquivalenceSpec extends SparkSuite {
       .select(col("o_orderkey"), skewKey.as("k"),
         (round(col("o_totalprice") * 100)).cast("long").as("price_cents"))
     val dim = Tables.supplier(spark, sf01)
-      .select((col("s_suppkey") % 100).as("k"), col("s_name"))
-      .distinct()
+      .groupBy((col("s_suppkey") % 100).as("k"))
+      .agg(max("s_name").as("s_name"))
     val plain = fact.join(dim, Seq("k"))
       .groupBy("k")
       .agg(count(lit(1)).as("n_orders"), sum("price_cents").as("revenue_cents"),
