@@ -826,6 +826,80 @@ object Oracles {
           |)""".stripMargin,
         """SELECT a_id, b_id, label, cos_e4 FROM pairs
           |WHERE cos_e4 >= 2500 ORDER BY a_id, b_id""".stripMargin),
+      "tfidf_terms" -> qx(
+        """, tfc AS (
+          |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf
+          |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+          |  GROUP BY 1, 2
+          |), dfc AS (
+          |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+          |  FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+          |  GROUP BY 1
+          |), nd AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+          |), ranked AS (
+          |  SELECT source,
+          |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+          |           ORDER BY tfidf_micro DESC, tok ASC) AS INT) AS rn,
+          |         tok, tf, df, tfidf_micro
+          |  FROM (SELECT source, tok, tf, df,
+          |          CAST(ROUND(1000000.0 * tf *
+          |            ln(CAST(n_docs AS DOUBLE) / df)) AS BIGINT) AS tfidf_micro
+          |        FROM tfc JOIN dfc USING (tok) CROSS JOIN nd)
+          |)""".stripMargin,
+        """SELECT source, rn, tok, tf, df, tfidf_micro
+          |FROM ranked WHERE rn <= 3 ORDER BY source, rn""".stripMargin),
+      "bm25_search" -> qx(
+        """, bd AS (
+          |  SELECT doc_id,
+          |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS dl,
+          |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' hash ', ''))) / 6 AS INT) AS tf_hash,
+          |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' merge ', ''))) / 7 AS INT) AS tf_merge,
+          |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' scan ', ''))) / 6 AS INT) AS tf_scan
+          |  FROM documents
+          |), st AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |         CAST(SUM(dl) AS BIGINT) AS sum_dl,
+          |         CAST(SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_hash,
+          |         CAST(SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_merge,
+          |         CAST(SUM(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_scan
+          |  FROM bd
+          |)""".stripMargin,
+        """SELECT doc_id, dl,
+          |  CAST(ROUND(1000000.0 * (
+          |      ln((n_docs - df_hash + 0.5) / (df_hash + 0.5) + 1.0)
+          |        * (CAST(tf_hash AS DOUBLE) * 2.2)
+          |        / (tf_hash + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+          |    + ln((n_docs - df_merge + 0.5) / (df_merge + 0.5) + 1.0)
+          |        * (CAST(tf_merge AS DOUBLE) * 2.2)
+          |        / (tf_merge + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+          |    + ln((n_docs - df_scan + 0.5) / (df_scan + 0.5) + 1.0)
+          |        * (CAST(tf_scan AS DOUBLE) * 2.2)
+          |        / (tf_scan + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+          |  )) AS BIGINT) AS bm25_micro
+          |FROM bd CROSS JOIN st
+          |ORDER BY bm25_micro DESC, doc_id ASC LIMIT 20""".stripMargin),
+      "token_budget_mix" -> qx(
+        """, psw AS (
+          |  SELECT source, n_docs, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS w
+          |  FROM (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |          CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS n_tokens
+          |        FROM documents GROUP BY 1)
+          |), tot AS (
+          |  SELECT SUM(w) AS sum_w,
+          |         CAST(FLOOR(SUM(n_tokens) / 2) AS BIGINT) AS budget
+          |  FROM psw
+          |)""".stripMargin,
+        """SELECT source, n_docs, n_tokens,
+          |  CAST(ROUND(1000.0 * LEAST(1.0, budget * (w / sum_w) / n_tokens)) AS BIGINT) AS rate_milli,
+          |  CAST(ROUND(LEAST(1.0, budget * (w / sum_w) / n_tokens) * n_tokens) AS BIGINT) AS expected_tokens
+          |FROM psw CROSS JOIN tot ORDER BY source""".stripMargin),
+      "bloom_prune_join" -> q(
+        """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+          |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE o_orderpriority = '1-URGENT'
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
     )
   }
 }

@@ -90,6 +90,12 @@ object SparkEntry {
     "stratified_sample" -> (TextOps.stratifiedSample _),
     "pii_redact" -> (TextOps.piiRedact _),
     "chars_histogram" -> (TextOps.charsHistogram _),
+    // LLM-pipeline: retrieval scoring + corpus mixture planning
+    "tfidf_terms" -> (RetrievalOps.tfidfTerms _),
+    "bm25_search" -> (RetrievalOps.bm25Search _),
+    "token_budget_mix" -> (RetrievalOps.tokenBudgetMix _),
+    // runtime bloom-filter join pruning (plan-level; output = plain join)
+    "bloom_prune_join" -> (JoinOps.bloomPruneJoin _),
     // LLM-pipeline: CDC compaction + outlier filtering
     "cdc_latest" -> (EventOps.cdcLatest _),
     "value_outliers" -> (EventOps.valueOutliers _),

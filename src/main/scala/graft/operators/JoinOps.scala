@@ -119,6 +119,33 @@ object JoinOps {
       .orderBy("n_name")
   }
 
+  /** Fact-fact join shaped for RUNTIME BLOOM-FILTER pruning: lineitem ⋈
+    * (selectively filtered) orders on orderkey, as a shuffle join. At
+    * 100 TB neither side broadcasts; Catalyst's InjectRuntimeFilter
+    * then builds a bloom filter from the filtered orders keys and
+    * pushes `might_contain(l_orderkey)` into the lineitem SCAN, so
+    * ~4/5 of the probe rows (the non-urgent share) die before the
+    * shuffle instead of after it. The injection is size-gated
+    * (creation side < 10 MB, probe scan > 10 GB by default), so the
+    * fixture-scale plan doesn't show it; OperatorPlanSpec lowers the
+    * gates and asserts the bloom filter appears. The merge hint models
+    * the at-scale shuffle plan (a broadcast would subsume the bloom).
+    * The bloom is plan-level only — output equals the plain join, which
+    * is exactly what the oracle checks. */
+  def bloomPruneJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        cents("l_extendedprice").as("price_cents"))
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    li.hint("merge")
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), sum("price_cents").as("revenue_cents"))
+      .orderBy("l_returnflag")
+  }
+
   /** Salted shuffle join under deliberate key skew. The fact side's
     * join key is skewed by construction (~80% of rows land on key 0 —
     * the "one hot customer" shape that stalls a shuffle join on one

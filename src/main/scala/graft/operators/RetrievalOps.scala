@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.functions.Exprs
+
+/** Text-retrieval scoring over the `documents` corpus: TF-IDF term
+  * weighting and BM25 ranked search — the relevance/quality-weighting
+  * side of a training-data pipeline (source-level term profiling,
+  * query-driven corpus slicing).
+  *
+  * Scale design: term statistics (document frequency, corpus length
+  * moments) are VOCABULARY-sized — dims at any corpus scale — so they
+  * broadcast; per-document scoring stays map-side inside the scan
+  * projection (BM25) or one (source, term) hash aggregation (TF-IDF).
+  * No floats leak into the output: scores are rounded to exact integer
+  * micros, so ordering and the oracle compare are deterministic.
+  */
+object RetrievalOps {
+
+  /** Per-source top-3 terms by TF-IDF. tf = term occurrences within the
+    * source's docs; idf = ln(n_docs / doc-frequency). The vocabulary df
+    * dim broadcasts back against the (source, term) aggregate; the
+    * top-3 is a source-partitioned window (WindowGroupLimit prunes
+    * map-side), never a global sort. */
+  def tfidfTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tf = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val df = docs
+      .select(explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(df), Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf_micro",
+        round(lit(1e6) * col("tf") *
+          log(col("n_docs").cast("double") / col("df"))).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(desc("tfidf_micro"), asc("tok"))))
+      .filter(col("rn") <= 3)
+      .select(col("source"), col("rn"), col("tok"), col("tf"), col("df"),
+        col("tfidf_micro"))
+      .orderBy("source", "rn")
+  }
+
+  private val K1 = 1.2
+  private val B = 0.75
+  /** Fixed keyword query for the oracle-checked form; a production call
+    * would parameterize these. All three occur in the fixture corpus. */
+  private val QueryTerms = Seq("hash", "merge", "scan")
+
+  private def padded: Column = concat(lit(" "), col("text"), lit(" "))
+
+  /** BM25 ranked search for a fixed 3-term query → top-20 docs.
+    * Okapi BM25 (Robertson et al.): score(d) = Σ_t idf_t · tf·(k1+1) /
+    * (tf + k1·(1−b+b·dl/avgdl)), idf_t = ln((N−df+0.5)/(df+0.5)+1).
+    *
+    * One corpus scan computes per-doc tf (length/replace arithmetic —
+    * regex-free, byte-identical in DuckDB) + doc length; a second
+    * 1-row aggregate yields the corpus stats (N, Σdl, df per term)
+    * which broadcast back — the per-doc score is then a pure map-side
+    * projection and the top-20 compiles to TakeOrderedAndProject.
+    * Ordering ties are broken on the ROUNDED integer score + doc_id,
+    * so the result is stable cross-engine. */
+  def bm25Search(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, sfDir).select(
+      col("doc_id") +: Exprs.tokenCount(col("text")).as("dl") +:
+        QueryTerms.map(t =>
+          Exprs.occurrences(padded, s" $t ").as(s"tf_$t")): _*)
+    val statsAggs = count(lit(1)).as("n_docs") +:
+      sum("dl").as("sum_dl") +:
+      QueryTerms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = perDoc.agg(statsAggs.head, statsAggs.tail: _*)
+    def termScore(t: String): Column = {
+      val tf = col(s"tf_$t").cast("double")
+      val idf = log((col("n_docs") - col(s"df_$t") + 0.5) /
+        (col(s"df_$t") + 0.5) + 1.0)
+      val norm = lit(K1) * (lit(1 - B) +
+        lit(B) * col("dl") / (col("sum_dl").cast("double") / col("n_docs")))
+      // lit(2.2), not K1+1: the oracle writes the literal 2.2, and a
+      // runtime 1.2+1.0 need not be the same double as the parsed literal
+      idf * (tf * lit(2.2)) / (tf + norm)
+    }
+    val score = QueryTerms.map(termScore).reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"),
+        round(lit(1e6) * score).cast("long").as("bm25_micro"))
+      .orderBy(desc("bm25_micro"), asc("doc_id"))
+      .limit(20)
+  }
+
+  /** Source-mixture planning under a token budget — the sampling-weight
+    * step of corpus assembly: temperature-smoothed weights
+    * w_s ∝ n_tokens_s^0.5 (α = 0.5 flattens the head the way
+    * multilingual/multi-source training mixes do), target budget =
+    * half the corpus, per-source keep rate = min(1, budget·w_s/W /
+    * n_tokens_s). One (source) hash aggregation + a broadcast 1-row
+    * corpus total — the plan is two narrow stages at any scale, and
+    * the emitted rates feed [[TextOps.stratifiedSample]]-style
+    * hash-threshold sampling. sqrt is IEEE-exact cross-engine; outputs
+    * are rounded to integer millis/tokens. */
+  def tokenBudgetMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSource = Tables.documents(spark, sfDir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(Exprs.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .withColumn("w", sqrt(col("n_tokens").cast("double")))
+    val totals = perSource.agg(
+      sum("w").as("sum_w"),
+      floor(sum("n_tokens") / 2).cast("long").as("budget"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("rate",
+        least(lit(1.0),
+          col("budget") * (col("w") / col("sum_w")) / col("n_tokens")))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(lit(1000.0) * col("rate")).cast("long").as("rate_milli"),
+        round(col("rate") * col("n_tokens")).cast("long").as("expected_tokens"))
+      .orderBy("source")
+  }
+}

@@ -105,4 +105,40 @@ class OperatorPlanSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("bm25_search: top-20 compiles to TakeOrderedAndProject, stats broadcast") {
+    val plan = executedPlanString(graft.operators.RetrievalOps.bm25Search(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort instead of top-k:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"corpus stats not broadcast:\n$plan")
+  }
+
+  test("tfidf_terms: per-source top-3 gets map-side WindowGroupLimit") {
+    val plan = executedPlanString(graft.operators.RetrievalOps.tfidfTerms(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), s"no group limit:\n$plan")
+  }
+
+  test("bloom_prune_join: runtime bloom filter injected once size gates allow") {
+    // The injection is size-gated for real workloads (creation side under
+    // ~10 MB, probe scan over ~10 GB); at fixture scale the probe is tiny,
+    // so the gates are widened here to prove the plan SHAPE is eligible —
+    // shuffle join + selective creation-side filter — which is what makes
+    // the 100 TB plan prune the probe scan.
+    val conf = spark.conf
+    val gates = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1B",
+      // injection requires a SHUFFLE join: at fixture scale Catalyst would
+      // classify both sides broadcast-able, which at 100 TB they are not
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = gates.keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      gates.foreach { case (k, v) => conf.set(k, v) }
+      val opt = graft.operators.JoinOps.bloomPruneJoin(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"), s"no bloom filter in plan:\n$opt")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
 }
