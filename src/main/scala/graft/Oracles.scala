@@ -257,6 +257,28 @@ object Oracles {
       """SELECT status, priority, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM tasks GROUP BY ROLLUP(status, priority)
         |ORDER BY status ASC NULLS FIRST, priority ASC NULLS FIRST""".stripMargin),
+    "stats_grouping_sets" -> q(
+      """SELECT status, task_type,
+        |       CAST(grouping(status) AS INT) AS g_status,
+        |       CAST(grouping(task_type) AS INT) AS g_type,
+        |       CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       CAST(SUM(priority) AS BIGINT) AS sum_prio
+        |FROM tasks
+        |GROUP BY GROUPING SETS ((status), (task_type), ())
+        |ORDER BY g_status, g_type, status ASC NULLS FIRST,
+        |         task_type ASC NULLS FIRST""".stripMargin),
+    "events_gap_fill" -> qx(
+      """, ec AS (
+        |  SELECT CAST(FLOOR(epoch(ts) / 60) * 60 AS BIGINT) AS minute,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |), cal AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT MIN(minute) FROM ec),
+        |    (SELECT MAX(minute) FROM ec), 60)) AS minute
+        |)""".stripMargin,
+      """SELECT minute, COALESCE(n, 0) AS n
+        |FROM cal LEFT JOIN ec USING (minute) ORDER BY minute""".stripMargin),
     "pricing_summary" -> q(
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,

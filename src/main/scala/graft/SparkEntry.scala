@@ -72,6 +72,7 @@ object SparkEntry {
     "events_session" -> (EventOps.eventsSession _),
     "events_props_json" -> (EventOps.eventsPropsJson _),
     "events_value_pct" -> (EventOps.eventsValuePct _),
+    "events_gap_fill" -> (EventOps.eventsGapFill _),
     // LLM-pipeline: text analysis + dedup
     "dedup_exact" -> (TextOps.dedupExact _),
     "token_count" -> (TextOps.tokenCount _),
@@ -126,6 +127,7 @@ object SparkEntry {
     "source_token_stats" -> (AggOps.sourceTokenStats _),
     "profile_orders" -> (AggOps.profileOrders _),
     "stats_cube" -> (AggOps.statsCube _),
+    "stats_grouping_sets" -> (AggOps.statsGroupingSets _),
     "sql_task_stats" -> (AggOps.sqlTaskStats _),
     "round_robin_assign" -> (AggOps.roundRobinAssign _),
     "hash_assign" -> (AggOps.hashAssign _),

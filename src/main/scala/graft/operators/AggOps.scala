@@ -64,6 +64,24 @@ object AggOps {
         |FROM graft_tasks GROUP BY status ORDER BY status""".stripMargin)
   }
 
+  /** Explicit GROUPING SETS surface (beyond rollup/cube): per-status,
+    * per-type, and grand-total tallies in ONE pass, with grouping()
+    * flags disambiguating the null dimension values. Spark expands
+    * grouping sets into a single Expand + hash aggregation — one scan,
+    * one shuffle, regardless of how many sets are listed. */
+  def statsGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tasks(spark, sfDir).createOrReplaceTempView("graft_tasks")
+    spark.sql(
+      """SELECT status, task_type,
+        |       CAST(grouping(status) AS INT) AS g_status,
+        |       CAST(grouping(task_type) AS INT) AS g_type,
+        |       COUNT(*) AS cnt, CAST(SUM(priority) AS BIGINT) AS sum_prio
+        |FROM graft_tasks
+        |GROUP BY GROUPING SETS ((status), (task_type), ())
+        |ORDER BY g_status, g_type, status ASC NULLS FIRST,
+        |         task_type ASC NULLS FIRST""".stripMargin)
+  }
+
   /** Dense 1-based index + total count over the bounded workers dim,
     * computed with a tiny self-join aggregation instead of an
     * unpartitioned window — the bench log must stay free of

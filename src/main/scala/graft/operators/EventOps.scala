@@ -98,6 +98,28 @@ object EventOps {
     * to a single hash aggregation with map-side partial argmax — the
     * scalable upsert-compaction shape; a row_number window would sort
     * every group instead. */
+  /** Calendar gap-fill — the time-series densification every monitoring
+    * /feature pipeline needs: per-minute purchase counts with explicit
+    * zero rows for silent minutes. The calendar spine is generated from
+    * the aggregated bounds (sequence + explode), so its size is the
+    * TIME RANGE, not the event volume — a dim at any corpus scale; the
+    * events aggregate to per-minute counts BEFORE the join, so the
+    * spine⋈counts join is dim-sized on both sides no matter how many
+    * raw events exist. Minute = floor-epoch-seconds (ns-parquet-safe
+    * cross-engine projection). */
+  def eventsGapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val minute = (floor(Exprs.epochSec(col("ts")) / 60) * 60).cast("long")
+    val perMin = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(minute.as("minute"))
+      .agg(count(lit(1)).as("n"))
+    val cal = perMin.agg(min("minute").as("lo"), max("minute").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(60L))).as("minute"))
+    cal.join(perMin, Seq("minute"), "left")
+      .select(col("minute"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("minute")
+  }
+
   def cdcLatest(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_type"), col("event_id"),
