@@ -44,12 +44,16 @@ object Bench {
     val selected =
       if (all) SparkEntry.queries.toSeq.sortBy(_._1)
       else headline.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
-    // 3 runs per query: "queries" reports the min (the host shows bursty
-    // external CPU contention — identical queries vary 0.1s..30s; the min
-    // is the steady-state capability), "p50" the median, so a regression
-    // is attributable (plan change moves both; contention moves only p50).
+    // 5 runs per headline query (3 on the full sweep): "queries" reports
+    // the min (the host shows bursty external CPU contention — identical
+    // queries vary 0.1s..30s; the min is the steady-state capability),
+    // "p50" the median, so a regression is attributable (plan change
+    // moves both; contention moves only p50). Five runs because
+    // contention bursts outlast a 3-run window — measured a min-of-3
+    // 15× off the clean number under a competing JVM.
     // A query that throws is recorded as -1 (sentinel) and listed in
     // "failed" — a crash must never masquerade as a fast run.
+    val nRuns = if (all) 3 else 5
     val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -59,9 +63,9 @@ object Bench {
           -1.0
         }
       }
-      val runs = Seq(once(), once(), once())
+      val runs = Seq.fill(nRuns)(once())
       if (runs.exists(_ < 0)) (name, -1.0, -1.0)
-      else (name, runs.min, runs.sorted.apply(1))
+      else (name, runs.min, runs.sorted.apply(nRuns / 2))
     }
     // ms precision keeps the line short; toString of a ≥0.001 rounded double
     // never uses scientific notation.

@@ -257,6 +257,29 @@ object Oracles {
       """SELECT status, priority, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM tasks GROUP BY ROLLUP(status, priority)
         |ORDER BY status ASC NULLS FIRST, priority ASC NULLS FIRST""".stripMargin),
+    "shipping_priority" -> q(
+      """SELECT l_orderkey, o_orderdate,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue_cents DESC, o_orderdate ASC, l_orderkey ASC
+        |LIMIT 10""".stripMargin),
+    "embedding_centroids" -> qx(
+      """, dims AS (
+        |  SELECT unnest(range(0, 64)) AS pos
+        |), ev AS (
+        |  SELECT label, CAST(pos AS INT) AS pos,
+        |         CAST(embedding[CAST(pos AS INT) + 1] AS DOUBLE) AS v
+        |  FROM embeddings CROSS JOIN dims
+        |)""".stripMargin,
+      """SELECT label, pos, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(ROUND(10000.0 * AVG(v)) AS BIGINT) AS mean_e4
+        |FROM ev GROUP BY label, pos ORDER BY label, pos""".stripMargin),
     "stats_grouping_sets" -> q(
       """SELECT status, task_type,
         |       CAST(grouping(status) AS INT) AS g_status,

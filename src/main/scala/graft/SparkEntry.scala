@@ -66,6 +66,7 @@ object SparkEntry {
     "skew_join_salted" -> (JoinOps.skewJoinSalted _),
     "pricing_summary" -> (JoinOps.pricingSummary _),
     "top_customers" -> (JoinOps.topCustomers _),
+    "shipping_priority" -> (JoinOps.shippingPriority _),
     // §2.9 event-time (batch forms)
     "events_tumbling" -> (EventOps.eventsTumbling _),
     "events_sliding" -> (EventOps.eventsSliding _),
@@ -117,6 +118,7 @@ object SparkEntry {
     "ann_lsh_topk" -> (SimilarityOps.annLshTopk _),
     "ann_ivf_topk" -> (SimilarityOps.annIvfTopk _),
     "minhash_dedup" -> (SimilarityOps.minhashDedup _),
+    "embedding_centroids" -> (SimilarityOps.embeddingCentroids _),
     "simhash_dedup" -> (SimilarityOps.simhashDedup _),
     // LLM-pipeline: multimodal plumbing
     "multimodal_meta" -> (MultimodalOps.multimodalMeta _),

@@ -119,6 +119,33 @@ object JoinOps {
       .orderBy("n_name")
   }
 
+  /** TPC-H Q3-shaped shipping priority: BUILDING-segment customers'
+    * orders placed before / shipped after the cutoff, top-10 by
+    * revenue. The canonical two-fact star join: customer filters to a
+    * broadcast-able key set, orders⋈lineitem shuffles on orderkey with
+    * both date filters pushed to the scans, and the top-10 compiles to
+    * TakeOrderedAndProject. Revenue in exact integer cents. */
+  def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = "1995-03-15 00:00:00"
+    val c = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("rev_cents"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum("rev_cents").as("revenue_cents"))
+      .orderBy(desc("revenue_cents"), asc("o_orderdate"), asc("l_orderkey"))
+      .limit(10)
+  }
+
   /** Fact-fact join shaped for RUNTIME BLOOM-FILTER pruning: lineitem ⋈
     * (selectively filtered) orders on orderkey, as a shuffle join. At
     * 100 TB neither side broadcasts; Catalyst's InjectRuntimeFilter

@@ -370,6 +370,22 @@ object SimilarityOps {
       .select(col("doc_id"), col("source"), sim.as("simhash"))
   }
 
+  /** Per-label embedding centroids: per-dimension means (e4-rounded) —
+    * the cluster-profile / class-prototype pass (also the aggregation
+    * step of a Lloyd iteration, see [[annIvfTopk]]). posexplode turns
+    * the vectors into narrow (label, pos, v) rows so the shuffle
+    * carries scalars, and the (label × 64-dim) group space is bounded
+    * regardless of corpus size — partial aggregation collapses almost
+    * everything map-side. */
+  def embeddingCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"),
+        round(lit(10000.0) * avg(col("v").cast("double"))).cast("long")
+          .as("mean_e4"))
+      .orderBy("label", "pos")
+
   /** Word n-gram shingles of `text` as a distinct array column.
     * The token split is LET-BOUND via a one-element transform so it
     * evaluates once per row: higher-order functions are interpreted
