@@ -43,29 +43,42 @@ object Bench {
     SparkEntry.queries.get("events_tumbling").foreach(fn => fn(spark, sfDir).count())
     val selected =
       if (all) SparkEntry.queries.toSeq.sortBy(_._1)
-      else headline.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
-    // 5 runs per headline query (3 on the full sweep): "queries" reports
-    // the min (the host shows bursty external CPU contention — identical
-    // queries vary 0.1s..30s; the min is the steady-state capability),
-    // "p50" the median, so a regression is attributable (plan change
-    // moves both; contention moves only p50). Five runs because
-    // contention bursts outlast a 3-run window — measured a min-of-3
-    // 15× off the clean number under a competing JVM.
+      else {
+        val missing = headline.filterNot(SparkEntry.queries.contains)
+        require(missing.isEmpty, s"unknown headline queries: $missing")
+        headline.map(n => n -> SparkEntry.queries(n))
+      }
+    // INTERLEAVED passes (round-3 lesson): the host shows bursty external
+    // CPU contention lasting minutes — longer than any one query's
+    // back-to-back run window. Running a query's N repetitions
+    // consecutively meant a single burst covered ALL of that query's runs,
+    // so even min-of-5 recorded the burst (BENCH_r03: 36.7s "min" for a
+    // 0.76s query). Instead run the whole set as N round-robin PASSES
+    // (pass = every query once): a burst now inflates one pass of many,
+    // and the per-query min across passes recovers the steady state.
+    // "queries" = min across passes, "p50" = median, so a regression is
+    // attributable (plan change moves both; contention moves only p50).
     // A query that throws is recorded as -1 (sentinel) and listed in
     // "failed" — a crash must never masquerade as a fast run.
-    val nRuns = if (all) 3 else 5
-    val results = selected.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
-        }
+    val nPasses = if (all) 3 else 5
+    def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        -1.0
       }
-      val runs = Seq.fill(nRuns)(once())
+    }
+    // passes(p)(q) = seconds for query q in pass p
+    val passes = (1 to nPasses).map { p =>
+      val t = selected.map { case (name, fn) => once(name, fn) }
+      System.err.println(f"[bench] pass $p/$nPasses total ${t.filter(_ >= 0).sum}%.1fs")
+      t
+    }
+    val results = selected.zipWithIndex.map { case ((name, _), i) =>
+      val runs = passes.map(_(i))
       if (runs.exists(_ < 0)) (name, -1.0, -1.0)
-      else (name, runs.min, runs.sorted.apply(nRuns / 2))
+      else (name, runs.min, runs.sorted.apply(nPasses / 2))
     }
     // ms precision keeps the line short; toString of a ≥0.001 rounded double
     // never uses scientific notation.

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, TokenChunksGen, TokenShingles}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for the SQL surface. Use either at session build time
@@ -49,10 +49,26 @@ object GraftExtensions {
     * Semantics mirror graft.functions.Exprs exactly (pinned by
     * ExprsSpec): status name/code per common/constants.go:49-82 (no
     * unknown→PENDING bug), backoff per tasks/worker.go:72-79. */
+  /** Second argument of the token-gram functions must be an int literal
+    * (it sizes per-row state at plan time, like `ngram_count`'s n). */
+  private def litInt(name: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects an integer literal, got $other")
+  }
+
   private val descriptors: Seq[Descriptor] = Seq(
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+    (FunctionIdentifier("graft_chunks"),
+      new ExpressionInfo(classOf[TokenChunksGen].getName, "graft_chunks"),
+      (children: Seq[Expression]) =>
+        TokenChunksGen(children(0), litInt("graft_chunks", children(1)))),
+    (FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[TokenShingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) =>
+        TokenShingles(children(0), litInt("graft_shingles", children(1)))),
     templateFn("graft_status_name", 1,
       """CASE WHEN arg0 = 0 THEN 'pending' WHEN arg0 = 1 THEN 'processing'
         |     WHEN arg0 = 2 THEN 'completed' WHEN arg0 = 3 THEN 'failed'

@@ -1,0 +1,162 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst forms of the text-chunking primitives that the HOF
+  * (`transform`/`sequence`/`slice`) versions in
+  * [[graft.operators.TextOps]] express interpretively.
+  *
+  * Why native: higher-order functions are CodegenFallback with a full
+  * interpreted expression-tree evaluation PER ARRAY ELEMENT (sequence →
+  * slice → concat_ws for every chunk/shingle of every doc). These
+  * expressions do the same work in one flat Scala pass per row —
+  * [[TokenChunksGen]] is the engine-grade `Generator` (SURVEY §2.10 X3:
+  * the reference's task-generator plugin re-expressed as a UDTF) and
+  * [[TokenShingles]] a scalar array expression that stays inside
+  * whole-stage codegen via a single static-shaped call.
+  *
+  * Semantics are BIT-IDENTICAL to the HOF forms (asserted by
+  * TokenGramsSpec): token split is `split(text, " ", -1)` (trailing
+  * empties kept), chunk i covers tokens [i·w, i·w+w), the last chunk may
+  * be short, an empty/short text yields one (possibly empty) chunk —
+  * matching `sequence(0, greatest(size-1, 0), w)` + `slice` +
+  * `concat_ws(" ", …)`; shingles are every n-token window (short docs →
+  * the whole text), first-occurrence-distinct like `array_distinct`.
+  *
+  * Registered for SQL/Column use as `graft_chunks(text, w)` (generator)
+  * and `graft_shingles(text, n)` via [[graft.GraftExtensions]].
+  */
+object TokenGrams {
+
+  /** One pass over the split tokens: emit `width`-token chunks. */
+  def chunks(text: UTF8String, width: Int): Array[UTF8String] = {
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    val out = Array.newBuilder[UTF8String]
+    var i = 0
+    // mirrors sequence(0, greatest(n-1, 0), width): always ≥1 chunk
+    while (i == 0 || i <= n - 1) {
+      val hi = math.min(i + width, n)
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < hi) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out += UTF8String.fromString(sb.toString)
+      i += width
+    }
+    out.result()
+  }
+
+  /** One pass: distinct n-token shingles in first-occurrence order. */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val sz = toks.length
+    val seen = new java.util.LinkedHashSet[String]
+    var i = 0
+    // mirrors sequence(0, greatest(sz-n, 0)): always ≥1 shingle
+    while (i == 0 || i <= sz - n) {
+      val hi = math.min(i + n, sz)
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < hi) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Generator (UDTF) form: `graft_chunks(text, w)` explodes a document
+  * into its w-token chunks without materializing the intermediate
+  * array. Iterator-streamed — a 1 GB document streams its chunks row
+  * by row instead of building a 100M-element array first.
+  */
+case class TokenChunksGen(child: Expression, width: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && width > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_chunks expects (string, positive int literal), got " +
+        s"${child.dataType.simpleString}, width=$width")
+
+  override def elementSchema: StructType =
+    StructType(StructField("chunk", StringType, nullable = false) :: Nil)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Iterator.empty
+    else {
+      val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+      val n = toks.length
+      new Iterator[InternalRow] {
+        private var i = 0
+        private var first = true
+        override def hasNext: Boolean = first || i <= n - 1
+        override def next(): InternalRow = {
+          first = false
+          val hi = math.min(i + width, n)
+          val sb = new java.lang.StringBuilder
+          var j = i
+          while (j < hi) {
+            if (j > i) sb.append(' ')
+            sb.append(toks(j))
+            j += 1
+          }
+          i += width
+          InternalRow(UTF8String.fromString(sb.toString))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Scalar array form: `graft_shingles(text, n)` → distinct n-token
+  * shingles. Stays inside whole-stage codegen (single call per row into
+  * the flat Scala pass — no per-element interpreted lambda).
+  */
+case class TokenShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && n > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles expects (string, positive int literal), got " +
+        s"${child.dataType.simpleString}, n=$n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(t: Any): Any =
+    TokenGrams.shingles(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val self = ctx.addReferenceObj("tokenShingles", this, classOf[TokenShingles].getName)
+      s"${ev.value} = $self.compute($t);"
+    })
+
+  /** Codegen entry point (must be public and ArrayData-typed). */
+  def compute(t: UTF8String): ArrayData = TokenGrams.shingles(t, n)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -43,14 +43,26 @@ object GraphOps {
     val edges = chunkStarEdges(spark, sfDir).localCheckpoint()
     val und = edges.union(
       edges.select(col("dst").as("src"), col("src").as("dst")))
-    var comp = edges.select(col("src").as("doc"))
-      .union(edges.select(col("dst").as("doc")))
-      .distinct()
-      .withColumn("comp", col("doc"))
+    // DIRECT star initialization (round-3 perf fix): the edge list is a
+    // star forest — every edge is (group-root → member) with root < dst
+    // by construction — so the label after one propagation round is
+    // computable in closed form: comp(v) = min(v, min incoming root).
+    // That resolves every non-overlapping star BEFORE the loop; for a
+    // pure star forest the loop runs exactly one confirming round
+    // (vs identity-init's resolve + confirm = two full rounds).
+    // One aggregation, no vertex-distinct + join: a vertex's candidate
+    // labels are itself (as src — every root appears as src) and each
+    // incoming root (as dst, where src < dst by construction), so
+    // min-per-doc over the unioned (doc, label) pairs IS the round-1
+    // result.
+    var comp = edges.select(col("src").as("doc"), col("src").as("comp"))
+      .union(edges.select(col("dst").as("doc"), col("src").as("comp")))
+      .groupBy("doc").agg(min("comp").as("comp"))
       .localCheckpoint()
     // convergence certificate: sum of labels — min-label propagation
     // only ever DECREASES labels, so an unchanged sum ⟺ a fixpoint.
-    // One scalar aggregation per round instead of a change-count join.
+    // One scalar aggregation per round — cheap: it scans the freshly
+    // checkpointed in-JVM blocks, no recompute.
     def labelSum(): Long = {
       val r = comp.agg(sum("comp")).first()
       if (r.isNullAt(0)) 0L else r.getLong(0)
@@ -61,8 +73,19 @@ object GraphOps {
     while (!converged && iters < 20) {
       val msgs = und.join(comp, und("src") === comp("doc"))
         .select(col("dst").as("doc"), col("comp"))
-      comp = comp.union(msgs).groupBy("doc")
-        .agg(min("comp").as("comp")).localCheckpoint()
+      var next = comp.union(msgs).groupBy("doc")
+        .agg(min("comp").as("comp"))
+      // Pointer jumping from round 2 on: comp ← comp∘comp halves the
+      // remaining hub-chain distance each round (O(log diameter) total
+      // rounds instead of O(diameter)). Skipped on round 1 because the
+      // common case (pure star forest, already resolved by the direct
+      // init) converges there — the extra self-join would be pure cost.
+      if (iters >= 1) {
+        val jump = next.select(col("doc").as("cdoc"), col("comp").as("ccomp"))
+        next = next.join(jump, next("comp") === col("cdoc"), "left")
+          .select(next("doc"), coalesce(col("ccomp"), next("comp")).as("comp"))
+      }
+      comp = next.localCheckpoint()
       val s = labelSum()
       converged = s == prevSum
       prevSum = s
@@ -88,16 +111,27 @@ object GraphOps {
     * adds no edges; group roots come from the same md5-keyed
     * aggregation as TextOps.chunkDedup. */
   private[graft] def chunkStarEdges(spark: SparkSession, sfDir: String): DataFrame = {
-    val ch = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(TextOps.chunks10(col("text"))).as("chunk"))
-      .select(col("doc_id"), md5(col("chunk")).as("fp"))
-      .distinct()
-    val roots = ch.groupBy("fp")
-      .agg(min("doc_id").as("root"), count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") > 1)
-    ch.join(roots, Seq("fp"))
-      .filter(col("doc_id") =!= col("root"))
-      .select(col("root").as("src"), col("doc_id").as("dst"))
+    // One scan + ONE shuffle (round-3 perf fix; was scan→distinct→
+    // groupBy→self-join = the document scan computed twice plus three
+    // wide stages): group the exploded (fp, doc) pairs by fp and emit
+    // the star directly from a collect_set — the set dedups within-doc
+    // chunk repetition (what the old distinct did) and min over it is
+    // the root. xxhash64, not md5: the fp is purely internal (never
+    // oracle-compared) and an 8-byte long shuffles 4× lighter than a
+    // 32-char hex string.
+    // Hub memory bound: a chunk shared by k docs holds k ids in one
+    // aggregation row (8 bytes each — 1M-doc boilerplate hub ≈ 8 MB,
+    // fine for an executor). If a corpus had pathological >10M-doc hubs
+    // the join-based form (exchange-reused groupBy + fp-join) bounds
+    // per-row state instead; this form wins everywhere else.
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.chunks10Native(spark, col("text")).as("chunk"))
+      .select(col("doc_id"), xxhash64(col("chunk")).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("src"), collect_set("doc_id").as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(col("src"), explode(col("docs")).as("dst"))
+      .filter(col("dst") =!= col("src"))
       .distinct()
   }
 }

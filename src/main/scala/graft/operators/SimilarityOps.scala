@@ -255,8 +255,12 @@ object SimilarityOps {
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
     val mins = (0 until MinhashPerms).map(i =>
       min(xxhash64(col("h"), lit(i))).as(s"h$i"))
+    // array_remove(…, "") preserves the old shingleArray HOF's
+    // empty-shingle filter (codegen'd builtin, not a lambda).
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(shingleArray(col("text"), 3)).as("shingle"))
+      .select(col("doc_id"),
+        explode(array_remove(
+          TextOps.shingles3Native(spark, col("text")), "")).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
@@ -386,16 +390,7 @@ object SimilarityOps {
           .as("mean_e4"))
       .orderBy("label", "pos")
 
-  /** Word n-gram shingles of `text` as a distinct array column.
-    * The token split is LET-BOUND via a one-element transform so it
-    * evaluates once per row: higher-order functions are interpreted
-    * (CodegenFallback) with no common-subexpression elimination, so a
-    * naive `slice(split(text), ...)` in the lambda re-splits the text
-    * per shingle — O(tokens²) per doc (measured 2.4× slower). */
-  private def shingleArray(text: Column, n: Int): Column =
-    element_at(transform(array(split(text, " ")), toks =>
-      array_distinct(filter(
-        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
-        s => s =!= ""))), 1)
+  // Shingling now uses the native TokenShingles expression via
+  // TextOps.shingles3Native (the interpreted-HOF form it replaced lives
+  // on as TextOps.shingles3, the spec-pinned comparison pair).
 }

@@ -20,6 +20,21 @@ import graft.functions.Exprs
   */
 object TextOps {
 
+  /** Native-expression forms of [[chunks10]]/[[shingles3]]
+    * (graft.functions.TokenGrams): bit-identical semantics (pinned by
+    * TokenGramsSpec), one flat pass per row instead of the interpreted
+    * per-element HOF evaluation. `chunks10Native` is a GENERATOR — use
+    * it in a select directly (no surrounding `explode`). The HOF forms
+    * below stay as the comparison pair, like cosine_topk vs native. */
+  private[operators] def chunks10Native(spark: SparkSession, text: Column): Column = {
+    graft.GraftExtensions.register(spark)
+    call_function("graft_chunks", text, lit(10))
+  }
+  private[operators] def shingles3Native(spark: SparkSession, text: Column): Column = {
+    graft.GraftExtensions.register(spark)
+    call_function("graft_shingles", text, lit(3))
+  }
+
   /** Exact dedup: group identical texts, keep min doc_id as canonical.
     * (Hash-groupBy — the 100 TB form shuffles md5(text), not text.) */
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
@@ -161,10 +176,11 @@ object TextOps {
     * ARRAYS (one ~8·|sh|-byte row per doc, no explode) and computes
     * the exact intersection with a codegen'd array_intersect. */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    // strategy pick: parquet metadata count (no data scan). The
+    // strategy pick: parquet metadata count (no data scan), memoized
+    // per JVM (one driver round-trip per table, not per query). The
     // crossover is where hot-shingle k²/9 candidates outgrow three
     // extra O(n) stages — O(1M docs) for web-ish corpora.
-    val docCount = Tables.documents(spark, sfDir).count()
+    val docCount = Tables.cachedCount(spark, sfDir, "documents")
     if (docCount < 1000000L) ngramJaccardPrefixHash(spark, sfDir)
     else ngramJaccardPrefixDf(spark, sfDir)
   }
@@ -175,7 +191,7 @@ object TextOps {
   private def shingleDocs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
-        array_sort(array_distinct(transform(shingles3(col("text")), t => xxhash64(t))))
+        array_sort(array_distinct(transform(shingles3Native(spark, col("text")), t => xxhash64(t))))
           .as("sh"))
       .withColumn("sz", size(col("sh")))
 
@@ -254,7 +270,7 @@ object TextOps {
     * benchmark (4·overlap ≥ |sh|). */
   def docContamination(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .select(col("doc_id"), shingles3Native(spark, col("text")).as("sh"))
       .withColumn("sz", size(col("sh")).cast("long"))
     val bench = docs.filter(col("doc_id") % 100 === 0)
       .select(explode(col("sh")).as("tok")).distinct()
@@ -279,7 +295,7 @@ object TextOps {
   def repetitionRatio(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = split(col("text"), " ")
     val total = greatest(size(toks) - 2, lit(1)).cast("long")
-    val distinctN = size(shingles3(col("text"))).cast("long")
+    val distinctN = size(shingles3Native(spark, col("text"))).cast("long")
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), total.as("n_shingles"),
         distinctN.as("n_distinct"),
@@ -338,11 +354,11 @@ object TextOps {
         nTokens.as("n_tokens"),
         (nTokens >= 10 && nTokens <= 10000 && (nonSpace / nTokens) <= 20)
           .as("is_quality"),
-        size(shingles3(col("text"))).cast("long").as("sz"),
-        shingles3(col("text")).as("sh"))
+        size(shingles3Native(spark, col("text"))).cast("long").as("sz"),
+        shingles3Native(spark, col("text")).as("sh"))
     val bench = Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 100 === 0)
-      .select(explode(shingles3(col("text"))).as("tok")).distinct()
+      .select(explode(shingles3Native(spark, col("text"))).as("tok")).distinct()
     val overlap = docs
       .filter(col("is_quality")) // contamination only gates quality docs
       .select(col("doc_id"), explode(col("sh")).as("tok"))
@@ -365,7 +381,7 @@ object TextOps {
     * drops the (dominant) singleton groups before any further join. */
   def chunkDedup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(chunks10(col("text"))).as("chunk"))
+      .select(col("doc_id"), chunks10Native(spark, col("text")).as("chunk"))
       .groupBy(md5(col("chunk")).as("fp"))
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
       .filter(col("dup_count") > 1)
@@ -375,7 +391,7 @@ object TextOps {
   /** 10-token chunks of a doc (last chunk may be short). Token split is
     * LET-BOUND (see [[shingles3]] — HOFs have no common-subexpression
     * elimination). Shared with [[GraphOps.dedupClusters]]' edge builder. */
-  private[operators] def chunks10(text: Column): Column =
+  private[graft] def chunks10(text: Column): Column =
     element_at(transform(array(split(text, " ")), toks =>
       transform(sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(10)),
         i => concat_ws(" ", slice(toks, i + 1, lit(10))))), 1)
@@ -450,7 +466,7 @@ object TextOps {
     * elimination, so a naive `slice(split(text), ...)` in the lambda
     * re-splits the text per shingle — O(tokens²) per doc (measured
     * 2.4× slower at sf0.1). */
-  private def shingles3(text: Column): Column =
+  private[graft] def shingles3(text: Column): Column =
     element_at(transform(array(split(text, " ")), toks =>
       array_distinct(
         transform(sequence(lit(0), greatest(size(toks) - 3, lit(0))),

@@ -47,6 +47,21 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Memoized driver-side row count of a fixture table, keyed by
+    * (session, dir, table). Strategy picks ([[graft.operators.TextOps
+    * .ngramJaccard]]) and dim-modulo parameters ([[assignedTasks]]) need
+    * one scalar per table; without the cache every query invocation
+    * re-ran a count job — parquet-footer-cheap locally, but at 100 TB
+    * each count is an object-store listing + footer sweep costing
+    * seconds of driver latency PER QUERY. One count per JVM per
+    * (session, dir, table) instead. */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), java.lang.Long]()
+  def cachedCount(spark: SparkSession, sfDir: String, name: String): Long =
+    countCache.computeIfAbsent(
+      (System.identityHashCode(spark).toString, sfDir, name),
+      _ => table(spark, sfDir, name).count())
+
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
@@ -103,8 +118,8 @@ object Tables {
     val t = tasks(spark, sfDir)
     // |supplier| is a handful of rows per SF; a driver-side count of a
     // dim table parameterizes the modulo identically to the oracle's
-    // scalar subquery. Not a data-path collect.
-    val nSup = supplier(spark, sfDir).count()
+    // scalar subquery. Not a data-path collect; memoized per JVM.
+    val nSup = cachedCount(spark, sfDir, "supplier")
     val w = workers(spark, sfDir).select(col("worker_id"), col("s_suppkey"))
     t.join(
         broadcast(w),

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The native token-gram expressions (TokenChunksGen generator,
+  * TokenShingles scalar — graft.functions.TokenGrams) must be
+  * BIT-IDENTICAL to the interpreted HOF forms they replace
+  * (TextOps.chunks10 / shingles3), on the real fixture and on the edge
+  * cases the HOF arithmetic encodes (empty text, short text, trailing
+  * separators, within-doc repetition).
+  */
+class TokenGramsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val edgeTexts = Seq(
+    "",                        // one empty chunk / one empty shingle
+    "one",                     // single token, shorter than n
+    "a b",                     // shorter than shingle width 3
+    "a b c",                   // exactly one shingle
+    "a b c d e f g h i j",     // exactly one 10-chunk
+    "a b c d e f g h i j k",   // chunk boundary + 1
+    "x y x y x y x y",         // repeated shingles (distinct matters)
+    "a  b",                    // double space → empty token kept by split
+    "trail ")                  // trailing space → trailing empty token
+
+  private def fixtureAndEdges =
+    sources.Tables.documents(spark, sf).select(col("text"))
+      .union(edgeTexts.toDF("text"))
+
+  test("graft_chunks generator ≡ explode(chunks10 HOF), bit-identical") {
+    GraftExtensions.register(spark)
+    val df = fixtureAndEdges
+    val hof = df.select(col("text"),
+      explode(operators.TextOps.chunks10(col("text"))).as("chunk"))
+    val native = df.select(col("text"),
+      call_function("graft_chunks", col("text"), lit(10)).as("chunk"))
+    assert(hof.exceptAll(native).isEmpty && native.exceptAll(hof).isEmpty,
+      "chunk multisets differ between HOF and native generator")
+    // ordering within a doc matters for fingerprint-style consumers:
+    // compare position-tagged sequences too
+    val hofArr = df.select(operators.TextOps.chunks10(col("text")).as("c"))
+      .collect().map(_.getSeq[String](0))
+    val natArr = df.select(col("text")).as[String].collect()
+      .map(t => functions.TokenGrams
+        .chunks(org.apache.spark.unsafe.types.UTF8String.fromString(t), 10)
+        .map(_.toString).toSeq)
+    assert(hofArr.toSeq == natArr.toSeq, "per-doc chunk order differs")
+  }
+
+  test("graft_shingles ≡ shingles3 HOF, bit-identical arrays") {
+    GraftExtensions.register(spark)
+    val df = fixtureAndEdges
+    val both = df.select(
+      operators.TextOps.shingles3(col("text")).as("hof"),
+      call_function("graft_shingles", col("text"), lit(3)).as("native"))
+    val bad = both.filter(not(col("hof") <=> col("native")))
+    assert(bad.isEmpty, s"shingle arrays differ: ${bad.head(3).mkString("; ")}")
+  }
+
+  test("generator streams per-row (null text yields no rows)") {
+    GraftExtensions.register(spark)
+    val df = Seq(Some("a b"), None).toDF("text")
+    val out = df.select(call_function("graft_chunks", col("text"), lit(10)))
+      .collect()
+    assert(out.length == 1 && out(0).getString(0) == "a b")
+  }
+}
