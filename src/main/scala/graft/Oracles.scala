@@ -156,6 +156,33 @@ object Oracles {
         |       CAST(CASE WHEN task_type IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
         |            THEN 2 ELSE 3 END AS INT) AS new_status
         |FROM tasks ORDER BY id""".stripMargin),
+    // registry-UDF form computes the identical mapping, same oracle text
+    "process_dispatch_udf" -> q(
+      """SELECT id, task_type,
+        |       CASE WHEN task_type = '1-URGENT' THEN 'spider:row ' || id || ' processed'
+        |            WHEN task_type = '2-HIGH' THEN 'wechat:row ' || id || ' processed'
+        |            WHEN task_type IN ('3-MEDIUM', '4-NOT SPECIFIED', '5-LOW') THEN 'noop:' || id
+        |            ELSE 'error: no processor registered' END AS result,
+        |       CAST(CASE WHEN task_type IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+        |            THEN 2 ELSE 3 END AS INT) AS new_status
+        |FROM tasks ORDER BY id""".stripMargin),
+    "pending_gate" -> q(
+      """SELECT t.id, t.priority,
+        |       (SELECT COUNT(*) FROM tasks p WHERE p.status = 0) AS backlog
+        |FROM tasks t
+        |WHERE t.status = 0
+        |  AND (SELECT COUNT(*) FROM tasks p2 WHERE p2.status = 0) > 0
+        |ORDER BY t.id""".stripMargin),
+    "customers_with_urgent" -> q(
+      """SELECT c.c_custkey, c.c_name
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders f
+        |                  WHERE f.o_custkey = c.c_custkey
+        |                    AND f.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin),
     "list_all_tasks" -> q(
       "SELECT id, status, priority FROM tasks ORDER BY priority DESC, id LIMIT 100"),
     "priority_queue" -> q(
@@ -269,17 +296,23 @@ object Oracles {
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue_cents DESC, o_orderdate ASC, l_orderkey ASC
         |LIMIT 10""".stripMargin),
+    // spine derived from the data (max embedding length), and n counts
+    // non-NULL values only — so variable-dimension embeddings agree
+    // with Spark's posexplode side (which emits only present positions)
+    // instead of silently diverging off the 64-dim fixture
     "embedding_centroids" -> qx(
       """, dims AS (
-        |  SELECT unnest(range(0, 64)) AS pos
+        |  SELECT unnest(range(0, (SELECT MAX(len(embedding)) FROM embeddings))) AS pos
         |), ev AS (
         |  SELECT label, CAST(pos AS INT) AS pos,
         |         CAST(embedding[CAST(pos AS INT) + 1] AS DOUBLE) AS v
         |  FROM embeddings CROSS JOIN dims
         |)""".stripMargin,
-      """SELECT label, pos, CAST(COUNT(*) AS BIGINT) AS n,
+      """SELECT label, pos, CAST(COUNT(v) AS BIGINT) AS n,
         |       CAST(ROUND(10000.0 * AVG(v)) AS BIGINT) AS mean_e4
-        |FROM ev GROUP BY label, pos ORDER BY label, pos""".stripMargin),
+        |FROM ev
+        |WHERE v IS NOT NULL
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin),
     "stats_grouping_sets" -> q(
       """SELECT status, task_type,
         |       CAST(grouping(status) AS INT) AS g_status,

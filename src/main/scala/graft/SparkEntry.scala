@@ -46,6 +46,7 @@ object SparkEntry {
     "payload_json" -> (TaskOps.payloadJson _),
     "retry_backoff" -> (TaskOps.retryBackoff _),
     "process_dispatch" -> (TaskOps.processDispatch _),
+    "process_dispatch_udf" -> (TaskOps.processDispatchUdf _),
     "heartbeat_age" -> (WorkerOps.heartbeatAge _),
     // §2.2 worker predicates
     "active_workers" -> (WorkerOps.activeWorkers _),
@@ -59,6 +60,8 @@ object SparkEntry {
     // §2.3/2.6 star-schema joins + set ops
     "join_orders_customer" -> (JoinOps.joinOrdersCustomer _),
     "semi_join_customers" -> (JoinOps.semiJoinCustomers _),
+    "pending_gate" -> (JoinOps.pendingGate _),
+    "customers_with_urgent" -> (JoinOps.customersWithUrgent _),
     "set_intersect" -> (JoinOps.setIntersect _),
     "set_except" -> (JoinOps.setExcept _),
     "stats_rollup" -> (JoinOps.statsRollup _),

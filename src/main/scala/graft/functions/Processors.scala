@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** X1 — the processor-plugin registry in its engine-grade form: task
+  * processors are REGISTERED as named session UDFs (`spark.udf.register`)
+  * and the dispatch expression is derived from the registry's keys, so
+  * adding a processor is one `register` call — exactly the reference's
+  * `RegisterProcessor` map (/root/reference/tasks/worker.go:16-18,30-32)
+  * with the registry-miss → failed path
+  * (/root/reference/tasks/worker.go:241-251) intact.
+  *
+  * Scale note: a registered Scala UDF is an opaque (non-codegen) call —
+  * the right trade for the PLUGIN path, where user code must run
+  * arbitrary logic per task. The CASE-over-type form
+  * ([[graft.operators.TaskOps.processDispatch]]) stays as the built-in
+  * comparison pair (fully codegen'd), like cosine_topk vs native.
+  * Dispatch itself is still one narrow projection — the per-type branch
+  * tree is built ONCE at plan time from the registry, never a per-row
+  * lookup on the driver.
+  */
+object Processors {
+
+  /** Registered processors: task_type → (udf name, body). Bodies mirror
+    * TaskOps.processDispatch's CASE so the two forms share one oracle. */
+  val registry: Seq[(String, String, String => String)] = Seq(
+    ("1-URGENT", "graft_proc_spider", id => s"spider:row $id processed"),
+    ("2-HIGH", "graft_proc_wechat", id => s"wechat:row $id processed"),
+    ("3-MEDIUM", "graft_proc_noop", id => s"noop:$id"),
+    ("4-NOT SPECIFIED", "graft_proc_noop", id => s"noop:$id"),
+    ("5-LOW", "graft_proc_noop", id => s"noop:$id"))
+
+  /** Idempotently register every processor UDF on the session. */
+  def register(spark: SparkSession): Unit =
+    registry.map { case (_, name, f) => name -> f }.distinct.foreach {
+      case (name, f) => spark.udf.register(name, udf(f))
+    }
+
+  /** Dispatch expression derived from the registry: CASE over the
+    * registered types calling each type's UDF; unregistered → miss. */
+  def dispatch(idCol: Column, typeCol: Column): Column =
+    registry.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (taskType, fnName, _)) =>
+        acc.when(typeCol === taskType, call_function(fnName, idCol))
+    }.otherwise(lit("error: no processor registered"))
+
+  /** Post-dispatch status, also registry-derived (hit → completed,
+    * miss → failed), matching worker.go:241-251. */
+  def newStatus(typeCol: Column): Column = {
+    import graft.sources.Tables
+    when(typeCol.isin(registry.map(_._1): _*), lit(Tables.Completed))
+      .otherwise(lit(Tables.Failed)).cast("int")
+  }
+}

@@ -45,6 +45,45 @@ object JoinOps {
       .orderBy("c_custkey")
   }
 
+  /** Scalar-subquery dispatch gate — the reference dispatcher's "is
+    * there anything to dispatch" check (tasks/dispatcher.go:394-408:
+    * count pending, return early when zero) expressed as SQL a user
+    * would actually write: a scalar COUNT subquery in both the
+    * projection and the WHERE gate. Catalyst executes each scalar
+    * subquery ONCE (a broadcast 1-row plan, shared via
+    * ReusedSubquery), never per row — asserted by OperatorPlanSpec. */
+  def pendingGate(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tasks(spark, sfDir).createOrReplaceTempView("graft_tasks")
+    spark.sql(
+      """SELECT t.id, t.priority,
+        |       (SELECT COUNT(*) FROM graft_tasks p WHERE p.status = 0) AS backlog
+        |FROM graft_tasks t
+        |WHERE t.status = 0
+        |  AND (SELECT COUNT(*) FROM graft_tasks p2 WHERE p2.status = 0) > 0
+        |ORDER BY t.id""".stripMargin)
+  }
+
+  /** Correlated EXISTS / NOT EXISTS (TPC-H Q4 shape): customers with at
+    * least one urgent order and no completed ('F') order. Catalyst
+    * DECORRELATES both subqueries into left-semi + left-anti hash joins
+    * (asserted by OperatorPlanSpec — no per-row subquery execution), so
+    * at 100 TB this is two shuffle joins on o_custkey, not |customer|
+    * probe queries. */
+  def customersWithUrgent(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT c.c_custkey, c.c_name
+        |FROM graft_customer c
+        |WHERE EXISTS (SELECT 1 FROM graft_orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM graft_orders f
+        |                  WHERE f.o_custkey = c.c_custkey
+        |                    AND f.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Set op: BUILDING-segment customers ∩ urgent-order customers. */
   def setIntersect(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir)

@@ -69,7 +69,14 @@ object RetrievalOps {
     * which broadcast back — the per-doc score is then a pure map-side
     * projection and the top-20 compiles to TakeOrderedAndProject.
     * Ordering ties are broken on the ROUNDED integer score + doc_id,
-    * so the result is stable cross-engine. */
+    * so the result is stable cross-engine.
+    *
+    * Known tf caveat (mirrored in the oracle, so the gate stays exact):
+    * occurrence counting via non-overlapping ' term ' replacement
+    * undercounts IMMEDIATELY ADJACENT repeats — in "hash hash" the
+    * shared space is consumed by the first match, so tf = 1, not 2.
+    * Acceptable for the fixed-query fixture form; a parameterized
+    * version must switch both sides to split-based counting. */
   def bm25Search(spark: SparkSession, sfDir: String): DataFrame = {
     val perDoc = Tables.documents(spark, sfDir).select(
       col("doc_id") +: Exprs.tokenCount(col("text")).as("dl") +:

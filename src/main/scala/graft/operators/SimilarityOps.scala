@@ -118,7 +118,8 @@ object SimilarityOps {
     * Everything is DataFrame-native and deterministic:
     *  - seed centroids = the K vectors with smallest xxhash64(vec_id)
     *    (a uniform deterministic sample; K rows, bounded window);
-    *  - one Lloyd refinement: assign via min_by distance (broadcast of
+    *  - Lloyd refinement (2 rounds by default, depth exposed as a
+    *    parameter): assign via min_by distance (broadcast of
     *    K centroids, map-side cross product + one groupBy — no window
     *    over the corpus), then 64 plain `avg` aggregate columns
     *    rebuild the centroids;
@@ -127,8 +128,19 @@ object SimilarityOps {
     * At 100 TB: the corpus×K assignment is embarrassingly parallel,
     * centroids are dim-table sized (broadcast), and the probe join is
     * an equijoin on cell id — no corpus self-join anywhere. */
-  def annIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+  def annIvfTopk(spark: SparkSession, sfDir: String): DataFrame =
+    annIvfTopk(spark, sfDir, lloydRounds = 2)
+
+  /** [[annIvfTopk]] with the Lloyd refinement depth exposed: each round
+    * is one corpus×K assignment pass + one centroid rebuild (both
+    * embarrassingly parallel; K centroids stay broadcast-sized), and
+    * each round tightens cells around the data — measured recall@10
+    * 0.5 → ≥0.6 on the fixture going from 1 to 2 rounds (ExprsSpec).
+    * Production IVF trains until centroid drift stalls; rounds is that
+    * budget knob. */
+  def annIvfTopk(spark: SparkSession, sfDir: String, lloydRounds: Int): DataFrame = {
     graft.GraftExtensions.register(spark)
+    require(lloydRounds >= 0, s"lloydRounds must be >= 0, got $lloydRounds")
     val K = 16
     val nprobe = 6
     val dim = 64
@@ -150,13 +162,18 @@ object SimilarityOps {
         .withColumn("d2", dist2)
         .groupBy("vec_id")
         .agg(min_by(col("cid"), col("d2")).as("cid"))
-    // one Lloyd step: element-wise mean per cell as 64 plain avg columns
+    // Lloyd steps: element-wise mean per cell as 64 plain avg columns;
+    // localCheckpoint per round truncates the lineage (same reason as
+    // GraphOps — replanning an unrolled K-means chain grows per round)
     val avgs = (0 until dim).map(i => avg(element_at(col("v"), i + 1)).as(s"c$i"))
-    val centroids = assign(seeds)
-      .join(e, Seq("vec_id"))
-      .groupBy("cid")
-      .agg(avgs.head, avgs.tail: _*)
-      .select(col("cid"), array((0 until dim).map(i => col(s"c$i")): _*).as("cv"))
+    def refine(centroids: DataFrame): DataFrame =
+      assign(centroids)
+        .join(e, Seq("vec_id"))
+        .groupBy("cid")
+        .agg(avgs.head, avgs.tail: _*)
+        .select(col("cid"), array((0 until dim).map(i => col(s"c$i")): _*).as("cv"))
+        .localCheckpoint()
+    val centroids = (1 to lloydRounds).foldLeft(seeds)((c, _) => refine(c))
     val cells = assign(centroids)
     val qprobe = e.filter(col("vec_id") < 5)
       .crossJoin(broadcast(centroids))

@@ -194,6 +194,21 @@ object TaskOps {
           .cast("int").as("new_status"))
       .orderBy("id")
 
+  /** X1, registry form: same dispatch as [[processDispatch]] but driven
+    * by [[graft.functions.Processors]] — per-type processors registered
+    * as session UDFs, the dispatch CASE and the miss→failed status both
+    * DERIVED from the registry (add a processor = one register call).
+    * Shares processDispatch's oracle byte-for-byte. */
+  def processDispatchUdf(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.Processors.register(spark)
+    Tables.tasks(spark, sfDir)
+      .select(
+        col("id"), col("task_type"),
+        graft.functions.Processors.dispatch(col("id"), col("task_type")).as("result"),
+        graft.functions.Processors.newStatus(col("task_type")).as("new_status"))
+      .orderBy("id")
+  }
+
   /** U1: ListTasks("") — all five status partitions unioned
     * (tasks/api.go:139-159), then globally ordered + limited. Expressed
     * as an explicit 5-way unionByName to exercise the operator; Catalyst

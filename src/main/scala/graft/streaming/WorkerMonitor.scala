@@ -60,4 +60,20 @@ object WorkerMonitor {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Streaming SESSION windows with a watermark — the event-time form
+    * of EventOps.eventsSession (same 30-minute inactivity gap, same
+    * output shape). Stateful session merging: open sessions live in the
+    * state store, extend/merge as events arrive, and EMIT exactly when
+    * the watermark passes session_end (append mode) — so the closed
+    * sessions equal the batch computation over the same rows
+    * (StreamingSpec asserts the equality). At scale state is
+    * partitioned by user_id and bounded by the watermark horizon. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n"))
 }

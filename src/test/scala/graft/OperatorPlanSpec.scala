@@ -118,6 +118,25 @@ class OperatorPlanSpec extends SparkSuite {
     assert(plan.contains("WindowGroupLimit"), s"no group limit:\n$plan")
   }
 
+  test("customers_with_urgent: EXISTS/NOT EXISTS decorrelate to semi + anti joins") {
+    val df = graft.operators.JoinOps.customersWithUrgent(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("LeftSemi"), s"EXISTS not rewritten to semi join:\n$optimized")
+    assert(optimized.contains("LeftAnti"), s"NOT EXISTS not rewritten to anti join:\n$optimized")
+    // no correlated predicate survives to execution (per-row subquery = death at 100 TB)
+    assert(!optimized.contains("exists#"), s"correlated exists survived optimization:\n$optimized")
+  }
+
+  test("pending_gate: scalar count subqueries execute once, not per row") {
+    val df = graft.operators.JoinOps.pendingGate(spark, sf)
+    val plan = executedPlanString(df)
+    // uncorrelated scalar subqueries plan as one-shot SubqueryExec
+    // (never a per-row probe); the projection's copy and the gate's
+    // copy dedupe via subquery reuse/merging
+    assert(plan.contains("Subquery") || plan.contains("scalar-subquery"),
+      s"scalar subquery missing:\n$plan")
+  }
+
   test("bloom_prune_join: runtime bloom filter injected once size gates allow") {
     // The injection is size-gated for real workloads (creation side under
     // ~10 MB, probe scan over ~10 GB); at fixture scale the probe is tiny,
