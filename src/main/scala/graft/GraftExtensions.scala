@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, TokenChunksGen, TokenShingles}
+import graft.functions.{CosineSimilarity, MinHashSig, SimHash64, TokenChunksGen, TokenShingles}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for the SQL surface. Use either at session build time
@@ -69,6 +69,13 @@ object GraftExtensions {
       new ExpressionInfo(classOf[TokenShingles].getName, "graft_shingles"),
       (children: Seq[Expression]) =>
         TokenShingles(children(0), litInt("graft_shingles", children(1)))),
+    (FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => SimHash64(children(0))),
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (children: Seq[Expression]) =>
+        MinHashSig(children(0), litInt("graft_minhash", children(1)))),
     templateFn("graft_status_name", 1,
       """CASE WHEN arg0 = 0 THEN 'pending' WHEN arg0 = 1 THEN 'processing'
         |     WHEN arg0 = 2 THEN 'completed' WHEN arg0 = 3 THEN 'failed'

@@ -131,6 +131,151 @@ case class TokenChunksGen(child: Expression, width: Int)
     copy(child = newChild)
 }
 
+/** Native 64-bit SimHash of a document: `graft_simhash64(text)`.
+  *
+  * Bit b of the result is set iff more than half the doc's
+  * space-separated tokens have bit b set in their xxhash64 — identical
+  * to the aggregate formulation (explode tokens → 64 per-bit sums →
+  * majority vote; kept as [[graft.operators.SimilarityOps
+  * .simhashesAgg]], the spec-pinned comparison pair). Token hashes use
+  * the same XXH64 core as the `xxhash64` builtin (seed 42), so the two
+  * forms are bit-identical.
+  *
+  * Why native: the aggregate form shuffles one row PER TOKEN into a
+  * 65-column hash aggregate — at 100 TB that is a corpus-sized shuffle
+  * just to build signatures. This form computes the signature inside
+  * the scan projection (one flat pass per doc, 64 int counters on the
+  * stack); the only shuffle left in simhash dedup is the banded
+  * candidate join itself.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash64 expects string input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(t: Any): Any =
+    compute(t.asInstanceOf[UTF8String])
+
+  def compute(text: UTF8String): Long = {
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    val ones = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(UTF8String.fromString(toks(i)), 42L)
+      var b = 0
+      while (b < 64) {
+        ones(b) += ((h >>> b) & 1L).toInt
+        b += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 63
+    while (b >= 0) {
+      sim = (sim << 1) | (if (2 * ones(b) > n) 1L else 0L)
+      b -= 1
+    }
+    sim
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val self = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+      s"${ev.value} = $self.compute($t);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native MinHash signature: `graft_minhash(text, perms)` → array of
+  * `perms` permutation minima over the doc's distinct non-empty word
+  * 3-shingles.
+  *
+  * Hash arithmetic is EXACTLY the composed builtin pipeline it replaces
+  * (kept as [[graft.operators.SimilarityOps.minhashSignaturesAgg]], the
+  * spec-pinned comparison pair): shingle hash h = xxhash64(shingle) =
+  * XXH64.hashUTF8String(s, 42); permutation-i variant = xxhash64(h, i)
+  * = hashInt(i, hashLong(h, 42)) — the builtin folds children left to
+  * right from seed 42. A doc with no non-empty shingles returns NULL
+  * (the aggregate form dropped such docs; callers filter nulls).
+  *
+  * Why native: the aggregate form shuffled one row per (doc, shingle)
+  * into a 32-column min aggregate — a corpus-sized shuffle just to
+  * build signatures. This computes them inside the scan projection;
+  * minhash dedup's only shuffle left is the banded LSH join.
+  */
+case class MinHashSig(child: Expression, perms: Int) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && perms > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash expects (string, positive int literal), got " +
+        s"${child.dataType.simpleString}, perms=$perms")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(t: Any): Any =
+    compute(t.asInstanceOf[UTF8String])
+
+  def compute(text: UTF8String): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val sz = toks.length
+    val seen = new java.util.HashSet[String]
+    val mins = Array.fill(perms)(Long.MaxValue)
+    var any = false
+    var i = 0
+    // same window walk as TokenGrams.shingles (n = 3), skipping ""
+    while (i == 0 || i <= sz - 3) {
+      val hi = math.min(i + 3, sz)
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < hi) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      val s = sb.toString
+      if (s.nonEmpty && seen.add(s)) {
+        any = true
+        val h = XXH64.hashUTF8String(UTF8String.fromString(s), 42L)
+        val hl = XXH64.hashLong(h, 42L)
+        var p = 0
+        while (p < perms) {
+          val v = XXH64.hashInt(p, hl)
+          if (v < mins(p)) mins(p) = v
+          p += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) null else new GenericArrayData(mins.map(Long.box(_): AnyRef))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val self = ctx.addReferenceObj("minhash", this, classOf[MinHashSig].getName)
+      s"""
+         |${ev.value} = $self.compute($t);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Scalar array form: `graft_shingles(text, n)` → distinct n-token
   * shingles. Stays inside whole-stage codegen (single call per row into
   * the flat Scala pass — no per-element interpreted lambda).

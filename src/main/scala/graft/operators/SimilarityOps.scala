@@ -270,6 +270,23 @@ object SimilarityOps {
     * Catalyst into the downstream pair join, recomputing both docs'
     * signatures PER CANDIDATE PAIR (measured 30× slower at sf0.1). */
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    // NULL signature = doc with no non-empty shingles; the aggregate
+    // form dropped those docs entirely, so filter for identity
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        call_function("graft_minhash", col("text"), lit(MinhashPerms))
+          .as("signature"))
+      .filter(col("signature").isNotNull)
+  }
+
+  /** Aggregate formulation of [[minhashSignatures]] — the comparison
+    * pair (bit-identical, RewireEquivalenceSpec): explode shingles,
+    * hash each once, 32 plain per-permutation `min` aggregate columns
+    * (primitive longs, map-side partials). The native form moved this
+    * into the scan projection; the shapes differ only in WHERE the
+    * signature is computed (shuffle vs map-side). */
+  def minhashSignaturesAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val mins = (0 until MinhashPerms).map(i =>
       min(xxhash64(col("h"), lit(i))).as(s"h$i"))
     // array_remove(…, "") preserves the old shingleArray HOF's
@@ -363,9 +380,23 @@ object SimilarityOps {
       .orderBy("a_id", "b_id")
   }
 
-  /** Per-doc 64-bit SimHash from per-token xxhash64: bit b of the
-    * simhash is set iff more than half the doc's tokens have bit b set
-    * (the sign of the classic ±1 weight sum: Σ±1 > 0 ⟺ 2·ones > n).
+  /** Per-doc 64-bit SimHash, computed by the native
+    * `graft_simhash64` expression INSIDE the scan projection — zero
+    * shuffles for signatures (the aggregate form below shuffled one
+    * row per token; at 100 TB that is a corpus-sized shuffle before
+    * dedup even starts). Bit-identical to [[simhashesAgg]]
+    * (RewireEquivalenceSpec). */
+  def simhashes(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        call_function("graft_simhash64", col("text")).as("simhash"))
+  }
+
+  /** Aggregate formulation of [[simhashes]] — the comparison pair: bit
+    * b of the simhash is set iff more than half the doc's tokens have
+    * bit b set (the sign of the classic ±1 weight sum:
+    * Σ±1 > 0 ⟺ 2·ones > n).
     *
     * One plain `sum((h >> b) & 1)` aggregate column per bit — 64
     * primitive longs in the HashAggregate buffer plus a count, fully
@@ -373,7 +404,7 @@ object SimilarityOps {
     * fold into the long. (Round 1 built a 64-element ±1 Seq[Long] per
     * token and summed it in a typed Aggregator; the allocation +
     * boxing made the signature pipeline dominate simhash_dedup.) */
-  def simhashes(spark: SparkSession, sfDir: String): DataFrame = {
+  def simhashesAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val bitSums = (0 until 64).map(b =>
       sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"c$b"))
     val aggs = bitSums :+ count(lit(1)).as("n")

@@ -57,6 +57,26 @@ class TokenGramsSpec extends SparkSuite {
     assert(bad.isEmpty, s"shingle arrays differ: ${bad.head(3).mkString("; ")}")
   }
 
+  test("graft_simhash64 ≡ per-token aggregate simhash, bit-identical") {
+    val native = operators.SimilarityOps.simhashes(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val agg = operators.SimilarityOps.simhashesAgg(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(native.keySet == agg.keySet)
+    val diff = native.collect { case (id, h) if agg(id) != h => id }
+    assert(diff.isEmpty, s"simhash differs for docs: ${diff.take(5)}")
+  }
+
+  test("graft_minhash ≡ per-shingle aggregate signatures, bit-identical") {
+    val native = operators.SimilarityOps.minhashSignatures(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    val agg = operators.SimilarityOps.minhashSignaturesAgg(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(native.keySet == agg.keySet)
+    val diff = native.collect { case (id, s) if agg(id) != s => id }
+    assert(diff.isEmpty, s"signature differs for docs: ${diff.take(5)}")
+  }
+
   test("generator streams per-row (null text yields no rows)") {
     GraftExtensions.register(spark)
     val df = Seq(Some("a b"), None).toDF("text")
