@@ -585,6 +585,45 @@ object Oracles {
   )
 
   private def textSql: Map[String, String] = Map(
+    "source_caps" -> q(
+      """SELECT doc_id, source, CAST(rn AS INT) AS rn FROM (
+        |  SELECT doc_id, source,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY source, rn""".stripMargin),
+    "doc_pack" -> q(
+      """SELECT doc_id, source, n_tokens,
+        |       CAST(end_tok - n_tokens AS BIGINT) AS start_tok,
+        |       CAST(floor((end_tok - n_tokens) / 2048) AS BIGINT) AS pack_id
+        |FROM (
+        |  SELECT doc_id, source,
+        |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |         SUM(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT))
+        |           OVER (PARTITION BY source ORDER BY doc_id
+        |                 ROWS UNBOUNDED PRECEDING) AS end_tok
+        |  FROM documents)
+        |ORDER BY source, doc_id""".stripMargin),
+    // ln on the vocab dim, rounded to integer micros BEFORE the per-doc
+    // sum — so the distributed aggregation is order-independent integers
+    "unigram_surprisal" -> qx(
+      """, toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), vocab AS (
+        |  SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok
+        |), vtotal AS (
+        |  SELECT SUM(freq) AS total_toks FROM vocab
+        |), scored AS (
+        |  SELECT tok,
+        |         CAST(ROUND(1e6 * ln(CAST(total_toks AS DOUBLE) / freq)) AS BIGINT)
+        |           AS sur_micro
+        |  FROM vocab CROSS JOIN vtotal
+        |)""".stripMargin,
+      """SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(sur_micro) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+        |         AS mean_sur_micro
+        |FROM toks JOIN scored USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "dedup_exact" -> q(
       """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin),

@@ -62,6 +62,9 @@ object SparkEntry {
     "semi_join_customers" -> (JoinOps.semiJoinCustomers _),
     "pending_gate" -> (JoinOps.pendingGate _),
     "customers_with_urgent" -> (JoinOps.customersWithUrgent _),
+    "source_caps" -> (TextOps.sourceCaps _),
+    "doc_pack" -> (TextOps.docPack _),
+    "unigram_surprisal" -> (TextOps.unigramSurprisal _),
     "set_intersect" -> (JoinOps.setIntersect _),
     "set_except" -> (JoinOps.setExcept _),
     "stats_rollup" -> (JoinOps.statsRollup _),

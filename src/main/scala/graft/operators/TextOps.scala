@@ -371,6 +371,84 @@ object TextOps {
         lit(4) * coalesce(col("n_overlap"), lit(0L)) < col("sz"))
   }
 
+  /** Per-source document caps — the per-domain cap every web-corpus
+    * curation applies (bound any one domain's share of the corpus):
+    * keep at most 20 docs per source, selected by a deterministic
+    * uniform hash (md5 — cross-engine identical), so the kept subset
+    * is an unbiased sample and reproducible across retries.
+    *
+    * Scale: the per-source rank is a PARTITIONED window and Catalyst's
+    * InferWindowGroupLimit prunes to ≤cap rows per source map-side
+    * before the shuffle — each mapper ships at most 20 rows per
+    * source, never a source's whole slice. */
+  def sourceCaps(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cap = 20
+    Tables.documents(spark, sfDir)
+      .withColumn("u", md5(col("doc_id").cast("string")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(asc("u"), asc("doc_id"))))
+      .filter(col("rn") <= cap)
+      .select(col("doc_id"), col("source"), col("rn").cast("int").as("rn"))
+      .orderBy("source", "rn")
+  }
+
+  /** Sequence packing — assign documents to fixed-size (2048-token)
+    * training contexts by greedy concatenation in deterministic
+    * (source, doc_id) order: pack_id = which context the document
+    * STARTS in (boundary-crossing concatenation, the standard
+    * pretraining packing). Pure integer arithmetic end to end: a
+    * per-source running token cumsum (partitioned window, never
+    * global) minus the doc's own count gives its start offset.
+    *
+    * Scale: windows partition by source; a 100 TB corpus packs each
+    * source shard independently (exactly how distributed packing
+    * runs — the pack boundary is per-shard, not global). */
+  def docPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ctx = 2048L
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        Exprs.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("end_tok", sum("n_tokens").over(w))
+      .withColumn("start_tok", col("end_tok") - col("n_tokens"))
+      .withColumn("pack_id", floor(col("start_tok") / ctx).cast("long"))
+      .select("doc_id", "source", "n_tokens", "start_tok", "pack_id")
+      .orderBy("source", "doc_id")
+  }
+
+  /** Unigram-LM surprisal scoring — the language-model quality signal
+    * (low mean surprisal ≈ common/fluent text, high ≈ rare/garbage):
+    * corpus unigram probabilities, then mean −ln p(token) per doc.
+    *
+    * Exactness design: the per-TOKEN surprisal is rounded to integer
+    * MICROS on the vocabulary dim (one double `ln` per distinct token
+    * — identical input in both engines), and per-doc aggregation is
+    * then pure integer SUM + integer division — order-independent, so
+    * the distributed sum needs no float-summation-order caveats.
+    *
+    * Scale: vocabulary is a dim table (broadcast back against the
+    * token explode); the only wide stages are the vocab count and the
+    * per-doc sum — both map-side-partial hash aggregations. */
+  def unigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+    val total = vocab.agg(sum("freq").as("total_toks"))
+    val scored = vocab.crossJoin(broadcast(total))
+      .select(col("tok"),
+        round(lit(1e6) * log(col("total_toks").cast("double") / col("freq")))
+          .cast("long").as("sur_micro"))
+    toks.join(broadcast(scored), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("sur_micro").as("sum_sur_micro"))
+      .select(col("doc_id"), col("n_tokens"),
+        // integer DIV, not float /: exact in both engines
+        expr("sum_sur_micro DIV n_tokens").as("mean_sur_micro"))
+      .orderBy("doc_id")
+  }
+
   /** Chunk-level exact dedup (the C4/RefinedWeb line-dedup shape):
     * split each doc into 10-token chunks and find chunks repeated
     * anywhere in the corpus — boilerplate headers/footers that
