@@ -13,8 +13,10 @@ import graft.functions.{CosineSimilarity, MinHashSig, SimHash64, TokenChunksGen,
   * harness queries use, since Verify/Bench own the session).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.CountOnlyShingles)
+  }
 }
 
 object GraftExtensions {
@@ -87,9 +89,15 @@ object GraftExtensions {
     templateFn("graft_backoff_sec", 1,
       "CASE WHEN arg0 <= 0 THEN 0 ELSE CAST(2 * POW(2, arg0 - 1) AS INT) END"))
 
-  /** Idempotently register graft functions on a live session. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotently register graft functions + optimizer rules on a live
+    * session (experimentalMethods is the post-build injection point —
+    * same rule object the extensions class injects at build time). */
+  def register(spark: SparkSession): Unit = {
     descriptors.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    val ex = spark.experimental
+    if (!ex.extraOptimizations.contains(graft.plans.CountOnlyShingles))
+      ex.extraOptimizations = ex.extraOptimizations :+ graft.plans.CountOnlyShingles
+  }
 }

@@ -131,6 +131,62 @@ case class TokenChunksGen(child: Expression, width: Int)
     copy(child = newChild)
 }
 
+/** Count of distinct n-token shingles WITHOUT materializing them:
+  * the optimizer-rule target for `size(graft_shingles(text, n))`
+  * ([[graft.GraftExtensions]] injects the rewrite). Counting needs only
+  * a hash-set membership probe per window — no UTF8String array, no
+  * GenericArrayData; the set holds xxhash64 of each window (a 2⁻⁶⁴
+  * collision would undercount by 1 — the same accepted odds as every
+  * hash-keyed dedup in this engine). Returns IntegerType to slot
+  * exactly where `size(...)` stood.
+  */
+case class ShingleCount(child: Expression, n: Int) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && n > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_count expects (string, positive int literal), got " +
+        s"${child.dataType.simpleString}, n=$n")
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "graft_shingle_count"
+
+  override def nullSafeEval(t: Any): Any =
+    compute(t.asInstanceOf[UTF8String])
+
+  def compute(text: UTF8String): Int = {
+    val toks = text.toString.split(" ", -1)
+    val sz = toks.length
+    val seen = new java.util.HashSet[java.lang.Long]
+    var i = 0
+    while (i == 0 || i <= sz - n) {
+      val hi = math.min(i + n, sz)
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < hi) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      seen.add(XXH64.hashUTF8String(UTF8String.fromString(sb.toString), 7L))
+      i += 1
+    }
+    seen.size
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val self = ctx.addReferenceObj("shingleCount", this, classOf[ShingleCount].getName)
+      s"${ev.value} = $self.compute($t);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native 64-bit SimHash of a document: `graft_simhash64(text)`.
   *
   * Bit b of the result is set iff more than half the doc's

@@ -77,6 +77,24 @@ class TokenGramsSpec extends SparkSuite {
     assert(diff.isEmpty, s"signature differs for docs: ${diff.take(5)}")
   }
 
+  test("optimizer rule rewrites size(graft_shingles) to count-only form") {
+    GraftExtensions.register(spark)
+    val df = operators.TextOps.repetitionRatio(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_shingle_count"),
+      s"rewrite did not fire:\n$optimized")
+    // and the rewritten plan computes the same numbers as the real
+    // materialized-array count (HOF form — NOT subject to the rule,
+    // so this genuinely crosses the rewrite boundary)
+    val viaArray = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(operators.TextOps.shingles3(col("text"))).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_distinct").toInt)).toMap
+    assert(got == viaArray, "count-only rewrite changed results")
+  }
+
   test("generator streams per-row (null text yields no rows)") {
     GraftExtensions.register(spark)
     val df = Seq(Some("a b"), None).toDF("text")
