@@ -22,26 +22,34 @@ import org.apache.spark.sql.functions._
   */
 object Processors {
 
-  /** Registered processors: task_type → (udf name, body). Bodies mirror
-    * TaskOps.processDispatch's CASE so the two forms share one oracle. */
-  val registry: Seq[(String, String, String => String)] = Seq(
-    ("1-URGENT", "graft_proc_spider", id => s"spider:row $id processed"),
-    ("2-HIGH", "graft_proc_wechat", id => s"wechat:row $id processed"),
-    ("3-MEDIUM", "graft_proc_noop", id => s"noop:$id"),
-    ("4-NOT SPECIFIED", "graft_proc_noop", id => s"noop:$id"),
-    ("5-LOW", "graft_proc_noop", id => s"noop:$id"))
+  /** Processor implementations, one per UDF NAME (so a name can never
+    * be registered twice with diverging bodies — the map key enforces
+    * uniqueness structurally). Bodies mirror TaskOps.processDispatch's
+    * CASE so the two forms share one oracle. */
+  val processors: Map[String, String => String] = Map(
+    "graft_proc_spider" -> (id => s"spider:row $id processed"),
+    "graft_proc_wechat" -> (id => s"wechat:row $id processed"),
+    "graft_proc_noop" -> (id => s"noop:$id"))
+
+  /** Task type → registered processor name (worker.go's registry map). */
+  val typeToProcessor: Seq[(String, String)] = Seq(
+    "1-URGENT" -> "graft_proc_spider",
+    "2-HIGH" -> "graft_proc_wechat",
+    "3-MEDIUM" -> "graft_proc_noop",
+    "4-NOT SPECIFIED" -> "graft_proc_noop",
+    "5-LOW" -> "graft_proc_noop")
+  require(typeToProcessor.forall { case (_, n) => processors.contains(n) },
+    "typeToProcessor references an unregistered processor")
 
   /** Idempotently register every processor UDF on the session. */
   def register(spark: SparkSession): Unit =
-    registry.map { case (_, name, f) => name -> f }.distinct.foreach {
-      case (name, f) => spark.udf.register(name, udf(f))
-    }
+    processors.foreach { case (name, f) => spark.udf.register(name, udf(f)) }
 
   /** Dispatch expression derived from the registry: CASE over the
     * registered types calling each type's UDF; unregistered → miss. */
   def dispatch(idCol: Column, typeCol: Column): Column =
-    registry.foldLeft(when(lit(false), lit(""))) {
-      case (acc, (taskType, fnName, _)) =>
+    typeToProcessor.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (taskType, fnName)) =>
         acc.when(typeCol === taskType, call_function(fnName, idCol))
     }.otherwise(lit("error: no processor registered"))
 
@@ -49,7 +57,7 @@ object Processors {
     * miss → failed), matching worker.go:241-251. */
   def newStatus(typeCol: Column): Column = {
     import graft.sources.Tables
-    when(typeCol.isin(registry.map(_._1): _*), lit(Tables.Completed))
+    when(typeCol.isin(typeToProcessor.map(_._1): _*), lit(Tables.Completed))
       .otherwise(lit(Tables.Failed)).cast("int")
   }
 }

@@ -21,28 +21,44 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[TokenShingles]] a scalar array expression that stays inside
   * whole-stage codegen via a single static-shaped call.
   *
-  * Semantics are BIT-IDENTICAL to the HOF forms (asserted by
-  * TokenGramsSpec): token split is `split(text, " ", -1)` (trailing
-  * empties kept), chunk i covers tokens [i·w, i·w+w), the last chunk may
-  * be short, an empty/short text yields one (possibly empty) chunk —
-  * matching `sequence(0, greatest(size-1, 0), w)` + `slice` +
-  * `concat_ws(" ", …)`; shingles are every n-token window (short docs →
-  * the whole text), first-occurrence-distinct like `array_distinct`.
+  * Semantics are BIT-IDENTICAL to the HOF forms on NON-NULL text
+  * (asserted by TokenGramsSpec): token split is `split(text, " ", -1)`
+  * (trailing empties kept), chunk i covers tokens [i·w, i·w+w), the
+  * last chunk may be short, an empty/short text yields one (possibly
+  * empty) chunk — matching `sequence(0, greatest(size-1, 0), w)` +
+  * `slice` + `concat_ws(" ", …)`; shingles are every n-token window
+  * (short docs → the whole text), first-occurrence-distinct like
+  * `array_distinct`.
+  *
+  * NULL text: the native forms are uniformly null-strict — scalar
+  * expressions return NULL, the generator emits no rows. The HOF
+  * forms were NOT uniform there (chunks10(NULL) = [""] because
+  * concat_ws swallows the NULL slice, while the aggregate signature
+  * pipelines DROPPED null-text docs at the explode), so null-strict is
+  * the one consistent semantic. TokenGramsSpec pins both behaviors
+  * explicitly and asserts the documents fixture carries no NULL text,
+  * which is what keeps every oracle hash green across the swap.
   *
   * Registered for SQL/Column use as `graft_chunks(text, w)` (generator)
   * and `graft_shingles(text, n)` via [[graft.GraftExtensions]].
   */
 object TokenGrams {
 
-  /** One pass over the split tokens: emit `width`-token chunks. */
-  def chunks(text: UTF8String, width: Int): Array[UTF8String] = {
-    val toks = text.toString.split(" ", -1)
-    val n = toks.length
-    val out = Array.newBuilder[UTF8String]
+  /** The ONE canonical window walk every native token-gram form shares
+    * (chunks, shingles, shingle count, minhash — TokenChunksGen's
+    * streaming iterator mirrors it and is the only other copy): visit
+    * the space-joined token window starting at 0, step, 2·step, …,
+    * while the start ≤ `lastStart` — and ALWAYS the window at 0, the
+    * at-least-one-window invariant the HOF forms encode via
+    * `sequence(0, greatest(lastStart, 0), step)`. The window may run
+    * short at the end of the doc. */
+  private[functions] def foreachWindow(
+      toks: Array[String], width: Int, step: Int, lastStart: Int)(
+      f: String => Unit): Unit = {
+    val sz = toks.length
     var i = 0
-    // mirrors sequence(0, greatest(n-1, 0), width): always ≥1 chunk
-    while (i == 0 || i <= n - 1) {
-      val hi = math.min(i + width, n)
+    while (i == 0 || i <= lastStart) {
+      val hi = math.min(i + width, sz)
       val sb = new java.lang.StringBuilder
       var j = i
       while (j < hi) {
@@ -50,31 +66,26 @@ object TokenGrams {
         sb.append(toks(j))
         j += 1
       }
-      out += UTF8String.fromString(sb.toString)
-      i += width
+      f(sb.toString)
+      i += step
     }
+  }
+
+  /** One pass over the split tokens: emit `width`-token chunks
+    * (windows at 0, w, 2w, … while the start is a valid index). */
+  def chunks(text: UTF8String, width: Int): Array[UTF8String] = {
+    val toks = text.toString.split(" ", -1)
+    val out = Array.newBuilder[UTF8String]
+    foreachWindow(toks, width, width, toks.length - 1)(
+      s => out += UTF8String.fromString(s))
     out.result()
   }
 
   /** One pass: distinct n-token shingles in first-occurrence order. */
   def shingles(text: UTF8String, n: Int): ArrayData = {
     val toks = text.toString.split(" ", -1)
-    val sz = toks.length
     val seen = new java.util.LinkedHashSet[String]
-    var i = 0
-    // mirrors sequence(0, greatest(sz-n, 0)): always ≥1 shingle
-    while (i == 0 || i <= sz - n) {
-      val hi = math.min(i + n, sz)
-      val sb = new java.lang.StringBuilder
-      var j = i
-      while (j < hi) {
-        if (j > i) sb.append(' ')
-        sb.append(toks(j))
-        j += 1
-      }
-      seen.add(sb.toString)
-      i += 1
-    }
+    foreachWindow(toks, n, 1, toks.length - n)(s => seen.add(s))
     val out = new Array[AnyRef](seen.size)
     val it = seen.iterator()
     var k = 0
@@ -159,21 +170,9 @@ case class ShingleCount(child: Expression, n: Int) extends UnaryExpression {
 
   def compute(text: UTF8String): Int = {
     val toks = text.toString.split(" ", -1)
-    val sz = toks.length
     val seen = new java.util.HashSet[java.lang.Long]
-    var i = 0
-    while (i == 0 || i <= sz - n) {
-      val hi = math.min(i + n, sz)
-      val sb = new java.lang.StringBuilder
-      var j = i
-      while (j < hi) {
-        if (j > i) sb.append(' ')
-        sb.append(toks(j))
-        j += 1
-      }
-      seen.add(XXH64.hashUTF8String(UTF8String.fromString(sb.toString), 7L))
-      i += 1
-    }
+    TokenGrams.foreachWindow(toks, n, 1, toks.length - n)(s =>
+      seen.add(XXH64.hashUTF8String(UTF8String.fromString(s), 7L)))
     seen.size
   }
 
@@ -287,22 +286,11 @@ case class MinHashSig(child: Expression, perms: Int) extends UnaryExpression {
 
   def compute(text: UTF8String): ArrayData = {
     val toks = text.toString.split(" ", -1)
-    val sz = toks.length
     val seen = new java.util.HashSet[String]
     val mins = Array.fill(perms)(Long.MaxValue)
     var any = false
-    var i = 0
-    // same window walk as TokenGrams.shingles (n = 3), skipping ""
-    while (i == 0 || i <= sz - 3) {
-      val hi = math.min(i + 3, sz)
-      val sb = new java.lang.StringBuilder
-      var j = i
-      while (j < hi) {
-        if (j > i) sb.append(' ')
-        sb.append(toks(j))
-        j += 1
-      }
-      val s = sb.toString
+    // same canonical walk as TokenGrams.shingles (n = 3), skipping ""
+    TokenGrams.foreachWindow(toks, 3, 1, toks.length - 3) { s =>
       if (s.nonEmpty && seen.add(s)) {
         any = true
         val h = XXH64.hashUTF8String(UTF8String.fromString(s), 42L)
@@ -314,7 +302,6 @@ case class MinHashSig(child: Expression, perms: Int) extends UnaryExpression {
           p += 1
         }
       }
-      i += 1
     }
     if (!any) null else new GenericArrayData(mins.map(Long.box(_): AnyRef))
   }

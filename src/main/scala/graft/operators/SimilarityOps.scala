@@ -433,7 +433,11 @@ object SimilarityOps {
     Tables.embeddings(spark, sfDir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("label", "pos")
-      .agg(count(lit(1)).as("n"),
+      // count(v), not count(*): a schema-legal explicit NULL element
+      // must not count toward n while avg skips it — keeps n and
+      // mean_e4 consistent with each other and with the oracle's
+      // COUNT(v) over non-null positions
+      .agg(count(col("v")).as("n"),
         round(lit(10000.0) * avg(col("v").cast("double"))).cast("long")
           .as("mean_e4"))
       .orderBy("label", "pos")

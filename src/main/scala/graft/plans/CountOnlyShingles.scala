@@ -24,8 +24,27 @@ import graft.functions.{ShingleCount, TokenShingles}
   * `experimental.extraOptimizations` on live sessions).
   */
 object CountOnlyShingles extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressions {
-      case Size(ts: TokenShingles, false) => ShingleCount(ts.child, ts.n)
-    }
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case op =>
+      // Rewrite ONLY when the operator does not ALSO materialize the
+      // same shingle array elsewhere (e.g. curationFlags selects both
+      // `sh` and `size(sh)`): there, codegen subexpression elimination
+      // shares ONE TokenShingles pass, and splitting the count into a
+      // separate ShingleCount would tokenize every row twice — the
+      // rewrite would be a pessimization, not a win.
+      val all = op.expressions.flatMap(_.collect {
+        case ts: TokenShingles => ts.canonicalized })
+      val underSize = op.expressions.flatMap(_.collect {
+        case Size(ts: TokenShingles, false) => ts.canonicalized })
+      val counts = all.groupBy(identity).map { case (k, v) => k -> v.size }
+      val sizeCounts = underSize.groupBy(identity).map { case (k, v) => k -> v.size }
+      // `all` visits the TokenShingles under Size too, so an expression
+      // is count-only iff every occurrence sits under a Size
+      val countOnly = sizeCounts.keySet.filter(k => counts(k) == sizeCounts(k))
+      if (countOnly.isEmpty) op
+      else op.transformExpressions {
+        case Size(ts: TokenShingles, false) if countOnly(ts.canonicalized) =>
+          ShingleCount(ts.child, ts.n)
+      }
+  }
 }

@@ -47,20 +47,35 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Memoized driver-side row count of a fixture table, keyed by
-    * (session, dir, table). Strategy picks ([[graft.operators.TextOps
+  /** Memoized driver-side row count of a fixture table, scoped PER
+    * SESSION via a WeakHashMap (dead sessions release their entries —
+    * no unbounded growth, no identity-hash collisions across GC'd
+    * sessions). Strategy picks ([[graft.operators.TextOps
     * .ngramJaccard]]) and dim-modulo parameters ([[assignedTasks]]) need
     * one scalar per table; without the cache every query invocation
     * re-ran a count job — parquet-footer-cheap locally, but at 100 TB
     * each count is an object-store listing + footer sweep costing
-    * seconds of driver latency PER QUERY. One count per JVM per
-    * (session, dir, table) instead. */
+    * seconds of driver latency PER QUERY.
+    *
+    * Cache contract: fixture dirs are immutable for a session's
+    * lifetime (the driver regenerates testdata only between rounds).
+    * A deployment with mutable tables would key this by snapshot/commit
+    * id the way a lakehouse catalog does. */
   private val countCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), java.lang.Long]()
-  def cachedCount(spark: SparkSession, sfDir: String, name: String): Long =
-    countCache.computeIfAbsent(
-      (System.identityHashCode(spark).toString, sfDir, name),
-      _ => table(spark, sfDir, name).count())
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]]()
+  def cachedCount(spark: SparkSession, sfDir: String, name: String): Long = {
+    val perSession = countCache.synchronized {
+      var m = countCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+        countCache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(
+      (sfDir, name), _ => table(spark, sfDir, name).count())
+  }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")

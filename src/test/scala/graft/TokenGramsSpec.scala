@@ -95,11 +95,30 @@ class TokenGramsSpec extends SparkSuite {
     assert(got == viaArray, "count-only rewrite changed results")
   }
 
-  test("generator streams per-row (null text yields no rows)") {
+  test("NULL text: native forms are null-strict; HOF divergence is pinned") {
     GraftExtensions.register(spark)
     val df = Seq(Some("a b"), None).toDF("text")
+    // generator: no rows for NULL
     val out = df.select(call_function("graft_chunks", col("text"), lit(10)))
       .collect()
     assert(out.length == 1 && out(0).getString(0) == "a b")
+    // scalars: NULL in, NULL out
+    val scalars = df.filter(col("text").isNull).select(
+      call_function("graft_shingles", col("text"), lit(3)),
+      call_function("graft_simhash64", col("text")),
+      call_function("graft_minhash", col("text"), lit(4))).head()
+    assert((0 to 2).forall(scalars.isNullAt),
+      "native scalar forms must be null-strict")
+    // the HOF chunk form instead yields [""] on NULL (concat_ws swallows
+    // the null slice) — the documented divergence this spec pins
+    val hofNull = df.filter(col("text").isNull)
+      .select(operators.TextOps.chunks10(col("text")).as("c")).head()
+    assert(hofNull.getSeq[String](0) == Seq(""),
+      "HOF chunks10(NULL) behavior changed — update TokenGrams docs")
+    // ...and the fixture guarantee that makes the divergence moot for
+    // every oracle-checked query:
+    assert(sources.Tables.documents(spark, sf)
+      .filter(col("text").isNull).isEmpty,
+      "documents fixture unexpectedly contains NULL text")
   }
 }
