@@ -296,6 +296,26 @@ object Oracles {
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue_cents DESC, o_orderdate ASC, l_orderkey ASC
         |LIMIT 10""".stripMargin),
+    // trunc() spelled explicitly: DuckDB's double→BIGINT cast rounds
+    // while Spark's truncates; floor-e6 for the scale for the same reason
+    "embedding_quantize" -> qx(
+      """, qv AS (
+        |  SELECT vec_id,
+        |         list_max(list_transform(embedding,
+        |           x -> abs(CAST(x AS DOUBLE)))) AS max_abs,
+        |         embedding
+        |  FROM embeddings
+        |), dims AS (
+        |  SELECT unnest(range(0, (SELECT MAX(len(embedding)) FROM embeddings))) AS pos
+        |)""".stripMargin,
+      """SELECT vec_id, CAST(pos AS INT) AS pos,
+        |       CAST(floor(max_abs * 1e6) AS BIGINT) AS scale_e6,
+        |       CASE WHEN max_abs = 0 THEN 0
+        |            ELSE CAST(trunc(CAST(embedding[CAST(pos AS INT) + 1] AS DOUBLE)
+        |                            * 127 / max_abs) AS BIGINT) END AS q
+        |FROM qv CROSS JOIN dims
+        |WHERE embedding[CAST(pos AS INT) + 1] IS NOT NULL
+        |ORDER BY vec_id, pos""".stripMargin),
     // spine derived from the data (max embedding length), and n counts
     // non-NULL values only — so variable-dimension embeddings agree
     // with Spark's posexplode side (which emits only present positions)

@@ -63,6 +63,7 @@ object SparkEntry {
     "pending_gate" -> (JoinOps.pendingGate _),
     "customers_with_urgent" -> (JoinOps.customersWithUrgent _),
     "source_caps" -> (TextOps.sourceCaps _),
+    "embedding_quantize" -> (SimilarityOps.embeddingQuantize _),
     "doc_pack" -> (TextOps.docPack _),
     "unigram_surprisal" -> (TextOps.unigramSurprisal _),
     "set_intersect" -> (JoinOps.setIntersect _),

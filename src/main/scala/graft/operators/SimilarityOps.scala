@@ -442,6 +442,34 @@ object SimilarityOps {
           .as("mean_e4"))
       .orderBy("label", "pos")
 
+  /** Symmetric int8 quantization of the embedding store — the standard
+    * ANN compression (4× smaller vectors, SIMD-friendly dot products):
+    * q_i = trunc(127·v_i / max|v|) with the per-vector scale kept
+    * alongside (scale_e6, integer micros).
+    *
+    * Exactness design: multiply-then-divide in double (IEEE-identical
+    * cross-engine) and TRUNCATION to integer — Spark's double→long cast
+    * truncates while DuckDB's rounds, so the oracle spells trunc()
+    * explicitly; no round() knife-edges anywhere. Pure per-row
+    * projection (zero shuffles at any scale); output is the exploded
+    * narrow form so the compare is scalar rows. */
+  def embeddingQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = asDouble(col("embedding"))
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), v.as("v"))
+      .withColumn("max_abs", array_max(transform(col("v"), x => abs(x))))
+      .select(col("vec_id"),
+        col("max_abs"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      .filter(col("x").isNotNull)
+      .select(col("vec_id"), col("pos"),
+        floor(col("max_abs") * 1e6).cast("long").as("scale_e6"),
+        when(col("max_abs") === 0, lit(0L))
+          .otherwise((col("x") * 127.0 / col("max_abs")).cast("long"))
+          .as("q"))
+      .orderBy("vec_id", "pos")
+  }
+
   // Shingling now uses the native TokenShingles expression via
   // TextOps.shingles3Native (the interpreted-HOF form it replaced lives
   // on as TextOps.shingles3, the spec-pinned comparison pair).
