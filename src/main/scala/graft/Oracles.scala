@@ -296,8 +296,37 @@ object Oracles {
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue_cents DESC, o_orderdate ASC, l_orderkey ASC
         |LIMIT 10""".stripMargin),
-    // trunc() spelled explicitly: DuckDB's double→BIGINT cast rounds
-    // while Spark's truncates; floor-e6 for the scale for the same reason
+    // integer dot product of the quantized vectors — exact in both
+    // engines (no float summation order), spine-joined per position
+    "ann_q8_topk" -> qx(
+      """, q8 AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x ->
+        |           CASE WHEN mx = 0 THEN 0
+        |                ELSE CAST(floor(CAST(x AS DOUBLE) * 127 / mx + 0.5) AS BIGINT)
+        |           END) AS q8
+        |  FROM (SELECT vec_id, embedding,
+        |               list_max(list_transform(embedding,
+        |                 x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |        FROM embeddings)
+        |), dims AS (
+        |  SELECT unnest(range(0, (SELECT MAX(len(embedding)) FROM embeddings))) AS pos
+        |), pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id,
+        |         CAST(SUM(q.q8[CAST(pos AS INT) + 1]
+        |                   * c.q8[CAST(pos AS INT) + 1]) AS BIGINT) AS dot
+        |  FROM q8 q
+        |  JOIN q8 c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+        |  CROSS JOIN dims
+        |  GROUP BY 1, 2
+        |)""".stripMargin,
+      """SELECT query_id, vec_id, CAST(rank AS INT) AS rank, dot FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY dot DESC, vec_id) AS rank FROM pairs)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    // floor(x+0.5) spelled explicitly: the engines' native double→int
+    // casts disagree (Spark truncates, DuckDB rounds); floor is exact
+    // in both. floor-e6 for the scale for the same reason.
     "embedding_quantize" -> qx(
       """, qv AS (
         |  SELECT vec_id,
@@ -311,8 +340,8 @@ object Oracles {
       """SELECT vec_id, CAST(pos AS INT) AS pos,
         |       CAST(floor(max_abs * 1e6) AS BIGINT) AS scale_e6,
         |       CASE WHEN max_abs = 0 THEN 0
-        |            ELSE CAST(trunc(CAST(embedding[CAST(pos AS INT) + 1] AS DOUBLE)
-        |                            * 127 / max_abs) AS BIGINT) END AS q
+        |            ELSE CAST(floor(CAST(embedding[CAST(pos AS INT) + 1] AS DOUBLE)
+        |                            * 127 / max_abs + 0.5) AS BIGINT) END AS q
         |FROM qv CROSS JOIN dims
         |WHERE embedding[CAST(pos AS INT) + 1] IS NOT NULL
         |ORDER BY vec_id, pos""".stripMargin),

@@ -64,6 +64,7 @@ object SparkEntry {
     "customers_with_urgent" -> (JoinOps.customersWithUrgent _),
     "source_caps" -> (TextOps.sourceCaps _),
     "embedding_quantize" -> (SimilarityOps.embeddingQuantize _),
+    "ann_q8_topk" -> (SimilarityOps.annQ8Topk _),
     "doc_pack" -> (TextOps.docPack _),
     "unigram_surprisal" -> (TextOps.unigramSurprisal _),
     "set_intersect" -> (JoinOps.setIntersect _),

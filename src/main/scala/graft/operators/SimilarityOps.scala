@@ -442,17 +442,50 @@ object SimilarityOps {
           .as("mean_e4"))
       .orderBy("label", "pos")
 
+  /** Quantized inner-product search over the int8 store — what the
+    * quantization in [[embeddingQuantize]] is FOR: score = Σ qa_i·qb_i,
+    * pure integer arithmetic (|dot| ≤ 64·127² — no overflow, no float
+    * summation order anywhere), so unlike float ANN this variant is
+    * fully oracle-checkable. Top-10 per query (vec_id < 5) by integer
+    * dot desc. Scale: query side broadcast; corpus side is one scan
+    * with the per-row quantization fused into the projection; ranking
+    * is a per-query window over ≤|corpus| candidate rows — the brute
+    * path; the IVF/LSH bucketed variants bound candidates at 100 TB. */
+  def annQ8Topk(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = asDouble(col("embedding"))
+    val q8row = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), v.as("v"))
+      .withColumn("max_abs", array_max(transform(col("v"), x => abs(x))))
+      .select(col("vec_id"),
+        transform(col("v"), x =>
+          when(col("max_abs") === 0, lit(0L))
+            .otherwise(floor(x * 127.0 / col("max_abs") + 0.5))).as("q8"))
+    val q = q8row.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("q8").as("qa"))
+    val dotQ = aggregate(zip_with(col("qa"), col("q8"), _ * _), lit(0L), _ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("dot"), asc("vec_id"))
+    q8row.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("dot", dotQ)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id"),
+        col("rank").cast("int").as("rank"), col("dot"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Symmetric int8 quantization of the embedding store — the standard
     * ANN compression (4× smaller vectors, SIMD-friendly dot products):
     * q_i = trunc(127·v_i / max|v|) with the per-vector scale kept
     * alongside (scale_e6, integer micros).
     *
     * Exactness design: multiply-then-divide in double (IEEE-identical
-    * cross-engine) and TRUNCATION to integer — Spark's double→long cast
-    * truncates while DuckDB's rounds, so the oracle spells trunc()
-    * explicitly; no round() knife-edges anywhere. Pure per-row
-    * projection (zero shuffles at any scale); output is the exploded
-    * narrow form so the compare is scalar rows. */
+    * cross-engine) and `floor(x + 0.5)` to integer — floor is exact in
+    * both engines, whereas the engines' native double→int casts
+    * DISAGREE (Spark truncates, DuckDB rounds) and round() itself has
+    * HALF_UP dialect differences. Pure per-row projection (zero
+    * shuffles at any scale); output is the exploded narrow form so the
+    * compare is scalar rows. */
   def embeddingQuantize(spark: SparkSession, sfDir: String): DataFrame = {
     val v = asDouble(col("embedding"))
     Tables.embeddings(spark, sfDir)
@@ -465,7 +498,7 @@ object SimilarityOps {
       .select(col("vec_id"), col("pos"),
         floor(col("max_abs") * 1e6).cast("long").as("scale_e6"),
         when(col("max_abs") === 0, lit(0L))
-          .otherwise((col("x") * 127.0 / col("max_abs")).cast("long"))
+          .otherwise(floor(col("x") * 127.0 / col("max_abs") + 0.5))
           .as("q"))
       .orderBy("vec_id", "pos")
   }

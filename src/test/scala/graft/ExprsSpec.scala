@@ -106,6 +106,40 @@ class ExprsSpec extends SparkSuite {
     assert(recall >= seedRecall, s"2-round $recall < 0-round $seedRecall")
   }
 
+  test("ann_q8_topk: recall@10 >= 0.7 vs exact inner product, all picks in true top-25") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // metric-matched baseline: EXACT double inner product (what the
+    // int8 form approximates) — this isolates quantization loss from
+    // metric choice
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("dot"), asc("vec_id"))
+    val ranked = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("dot",
+        aggregate(zip_with(col("qv"), col("v"), _ * _), lit(0.0), _ + _))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 25)
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    val exact10 = ranked.filter(_._3 <= 10).map(t => (t._1, t._2)).toSet
+    val exact25 = ranked.map(t => (t._1, t._2)).toSet
+    val q8 = SimilarityOps.annQ8Topk(spark, sf)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    // the synthetic fixture's random vectors have razor-thin gaps at the
+    // top-10 boundary, so some churn there is inherent; what int8 must
+    // deliver is (a) most of the true top-10 and (b) NO wild errors —
+    // every q8 pick sits inside the true top-25
+    val recall = (exact10 & q8).size.toDouble / exact10.size
+    assert(recall >= 0.7, s"quantization recall=$recall")
+    assert((q8 -- exact25).isEmpty,
+      s"q8 returned far-from-top items: ${(q8 -- exact25).take(5)}")
+  }
+
   test("minhash estimate is 1000 for identical texts (pair-level sanity)") {
     val s = spark
     import s.implicits._
