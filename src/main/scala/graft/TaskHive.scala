@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.functions.Exprs
+import graft.sources.Tables
+
+/** The reference's public API surface, one method per exported entry
+  * point, so a user of the reference can switch libraries and call the
+  * same operations by the same names — parameterized (real ids/status/
+  * limits, unlike the fixed-parameter oracle queries in [[SparkEntry]],
+  * which pin one instantiation of each plan for the correctness gate).
+  *
+  * Reference mapping:
+  *  - `New`/`DefaultConfig` (taskhive/taskhive.go:48-91) → [[TaskHive.apply]]
+  *  - `SubmitTask` (taskhive/taskhive.go:248-251) → [[submitTasks]]
+  *  - `RegisterTaskProcessor` (taskhive/taskhive.go:253-255) →
+  *    [[registerTaskProcessor]] (session UDF registry,
+  *    [[graft.functions.Processors]])
+  *  - `Start` (taskhive/taskhive.go:150-212: dispatcher election +
+  *    workers + watch loops) → [[start]] (the Structured Streaming
+  *    lifecycle engine; exactly-once replaces election/CAS entirely)
+  *  - `GetTaskByID` (tasks/api.go:43) → [[getTaskByID]]
+  *  - `ListTasks` (tasks/api.go:114) → [[listTasks]]
+  *  - `GetTaskStats` (tasks/api.go:200) → [[getTaskStats]]
+  *  - `ListWorkers` (tasks/api.go:243) → [[listWorkers]]
+  *  - `GetWorkerTasks` (tasks/api.go:280) → [[getWorkerTasks]]
+  *
+  * Every method returns a lazy DataFrame (the Spark-first contract:
+  * callers compose/collect as needed); plans are identical in shape to
+  * the oracle-gated queries (status prefix scans = pushed filters,
+  * workers always broadcast, limits = TakeOrdered).
+  */
+final class TaskHive private (val spark: SparkSession, val dir: String) {
+
+  /** GetTaskByID (api.go:43-111): point lookup incl. worker extract. */
+  def getTaskByID(id: String): DataFrame =
+    Tables.assignedTasks(spark, dir)
+      .filter(col("id") === id)
+      .select("id", "status", "priority", "retry_count", "worker_id")
+
+  /** ListTasks (api.go:114-159): one status partition, or all five
+    * unioned for the empty filter, globally ordered + limited. */
+  def listTasks(status: Option[String] = None, limit: Int = 100): DataFrame = {
+    val t = Tables.tasks(spark, dir).select("id", "status", "priority")
+    val filtered = status match {
+      case Some(s) => t.filter(col("status") === Exprs.statusCode(lit(s)))
+      case None => t
+    }
+    filtered.orderBy(desc("priority"), asc("id")).limit(limit)
+  }
+
+  /** GetTaskStats (api.go:200-240): per-status counts. */
+  def getTaskStats(): DataFrame =
+    Tables.tasks(spark, dir).groupBy("status")
+      .agg(count(lit(1)).as("cnt")).orderBy("status")
+
+  /** ListWorkers (api.go:243-277): worker dim + liveness flag. */
+  def listWorkers(): DataFrame =
+    operators.WorkerOps.activeWorkers(spark, dir)
+
+  /** GetWorkerTasks (api.go:280-310): one worker's in-flight tasks. */
+  def getWorkerTasks(workerId: String): DataFrame =
+    Tables.assignedTasks(spark, dir)
+      .filter(col("status") === Tables.Processing &&
+        col("worker_id") === workerId)
+      .select("id", "priority", "create_time", "worker_id")
+      .orderBy("id")
+
+  /** SubmitTask (taskhive.go:248-251), batch form: normalize incoming
+    * rows to the task schema with the reference's defaults (priority 5,
+    * status pending — model.go:24-38). The returned frame is what a
+    * caller appends to the task table / feeds the streaming engine. */
+  def submitTasks(payloads: DataFrame): DataFrame = {
+    require(payloads.columns.contains("id") &&
+      payloads.columns.contains("payload"),
+      "submitTasks expects columns (id, payload[, priority, task_type])")
+    val withPrio =
+      if (payloads.columns.contains("priority")) payloads
+      else payloads.withColumn("priority", lit(5))
+    val withType =
+      if (withPrio.columns.contains("task_type")) withPrio
+      else withPrio.withColumn("task_type", lit("default"))
+    withType.select(col("id").cast("string").as("id"), col("payload"),
+      col("priority").cast("int").as("priority"),
+      lit(Tables.Pending).as("status"), col("task_type"))
+  }
+
+  /** RegisterTaskProcessor (taskhive.go:253-255): install a named
+    * processor UDF; [[operators.TaskOps.processDispatchUdf]]'s dispatch
+    * derives its CASE from this registry. */
+  def registerTaskProcessor(name: String, f: String => String): Unit =
+    spark.udf.register(name, udf(f))
+
+  /** Start (taskhive.go:150-212): run the lifecycle state machine over
+    * a task-event stream into a checkpointed parquet transition log —
+    * Structured Streaming's exactly-once replaces the reference's
+    * leader election, CAS loops and watch threads. */
+  def start(events: org.apache.spark.sql.Dataset[streaming.TaskEngine.TaskEvent],
+      checkpointDir: String, outDir: String): StreamingQuery =
+    streaming.TaskEngine.transitions(spark, events)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet").option("path", outDir)
+      .start()
+}
+
+object TaskHive {
+  /** DefaultConfig + New (taskhive.go:48-91). */
+  def apply(spark: SparkSession, dir: String): TaskHive = {
+    GraftExtensions.register(spark)
+    functions.Processors.register(spark)
+    new TaskHive(spark, dir)
+  }
+}
