@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, MinHashSig, SimHash64, TokenChunksGen, TokenShingles}
+import graft.functions.{CosineSimilarity, MinHashSig, RollingFp, SimHash64, TokenChunksGen, TokenShingles}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for the SQL surface. Use either at session build time
@@ -52,7 +52,8 @@ object GraftExtensions {
     * ExprsSpec): status name/code per common/constants.go:49-82 (no
     * unknown→PENDING bug), backoff per tasks/worker.go:72-79. */
   /** Second argument of the token-gram functions must be an int literal
-    * (it sizes per-row state at plan time, like `ngram_count`'s n). */
+    * — it is baked into the expression at plan time (window width /
+    * permutation count), not evaluated per row. */
   private def litInt(name: String, e: Expression): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
     case other => throw new IllegalArgumentException(
@@ -78,6 +79,9 @@ object GraftExtensions {
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (children: Seq[Expression]) =>
         MinHashSig(children(0), litInt("graft_minhash", children(1)))),
+    (FunctionIdentifier("graft_rollfp"),
+      new ExpressionInfo(classOf[RollingFp].getName, "graft_rollfp"),
+      (children: Seq[Expression]) => RollingFp(children(0))),
     templateFn("graft_status_name", 1,
       """CASE WHEN arg0 = 0 THEN 'pending' WHEN arg0 = 1 THEN 'processing'
         |     WHEN arg0 = 2 THEN 'completed' WHEN arg0 = 3 THEN 'failed'

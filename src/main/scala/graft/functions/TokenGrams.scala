@@ -250,6 +250,53 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native rolling polynomial fingerprint: `graft_rollfp(text)` —
+  * h = (h·31 + codepoint) mod 1e9+7 folded left to right over the
+  * characters, identical to the `aggregate(split(text,""), …)` HOF
+  * form it replaces ([[graft.operators.TextOps.fingerprintRollingHof]],
+  * the spec-pinned comparison pair) and to TokenGramsSpec's Scala
+  * reference fold. The HOF form built one single-char UTF8String per
+  * character and ran an interpreted pmod expression per step; this is
+  * one flat loop over the string's chars.
+  */
+case class RollingFp(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  private val Prime = 1000000007L
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_rollfp expects string input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_rollfp"
+
+  override def nullSafeEval(t: Any): Any =
+    compute(t.asInstanceOf[UTF8String])
+
+  def compute(text: UTF8String): Long = {
+    val s = text.toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = ((h * 31 + s.charAt(i).toLong) % Prime + Prime) % Prime
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val self = ctx.addReferenceObj("rollfp", this, classOf[RollingFp].getName)
+      s"${ev.value} = $self.compute($t);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native MinHash signature: `graft_minhash(text, perms)` → array of
   * `perms` permutation minima over the doc's distinct non-empty word
   * 3-shingles.

@@ -126,12 +126,24 @@ object TextOps {
       .select(col("doc_id"), md5(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
-  /** Rolling polynomial hash (h = h*31 + chr mod 2^61-1) computed with
-    * the `aggregate` higher-order function — fully codegen-compatible,
-    * no UDF. Not oracle-checked (DuckDB lacks an equivalent fold);
-    * spec-tested against a Scala reference implementation. */
+  /** Rolling polynomial hash (h = h*31 + chr mod 1e9+7), computed by
+    * the native `graft_rollfp` expression — one flat pass per row (the
+    * HOF form allocated a single-char UTF8String + interpreted pmod per
+    * character). Not oracle-checked (DuckDB lacks an equivalent fold);
+    * spec-tested against a Scala reference fold AND pinned ≡ the HOF
+    * comparison pair [[fingerprintRollingHof]]. */
   def fingerprintRolling(spark: SparkSession, sfDir: String): DataFrame = {
-    // 1e9+7: keeps acc*31+255 far below 2^63 (ANSI overflow-safe).
+    graft.GraftExtensions.register(spark)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        call_function("graft_rollfp", col("text")).as("rolling_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** HOF formulation of [[fingerprintRolling]] — the comparison pair:
+    * `aggregate` over the per-char split, interpreted but UDF-free.
+    * 1e9+7 keeps acc*31+255 far below 2^63 (ANSI overflow-safe). */
+  def fingerprintRollingHof(spark: SparkSession, sfDir: String): DataFrame = {
     val prime = 1000000007L
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),

@@ -95,6 +95,14 @@ class TokenGramsSpec extends SparkSuite {
     assert(got == viaArray, "count-only rewrite changed results")
   }
 
+  test("graft_rollfp ≡ per-char aggregate HOF fold, bit-identical") {
+    val native = operators.TextOps.fingerprintRolling(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hof = operators.TextOps.fingerprintRollingHof(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(native == hof)
+  }
+
   test("NULL text: native forms are null-strict; HOF divergence is pinned") {
     GraftExtensions.register(spark)
     val df = Seq(Some("a b"), None).toDF("text")
