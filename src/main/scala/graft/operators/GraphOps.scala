@@ -106,6 +106,32 @@ object GraphOps {
       .orderBy("doc_id")
   }
 
+  /** The dedup pipeline's FINAL verdict — what actually gets dropped:
+    * for every chunk-share cluster keep exactly one canonical member
+    * (longest text, tie → min doc_id: the standard keep-the-longest
+    * near-dup survivor rule), keep all unclustered docs. Composes
+    * [[dedupClusters]] with the documents scan; the per-cluster argmax
+    * is a max_by aggregation over (n_chars, −doc_id) — no window, no
+    * sort, group count = cluster count (tiny at any scale).
+    * Rows-only correctness (inherits the iterative fixpoint);
+    * GraphOpsSpec asserts exactly one survivor per cluster and the
+    * argmax choice. */
+  def dedupCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+    val clusters = dedupClusters(spark, sfDir)
+      .select(col("doc_id"), col("component"))
+    val members = clusters.join(docs, Seq("doc_id"))
+    val canon = members.groupBy("component")
+      .agg(max_by(col("doc_id"),
+        struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("canon_id"))
+    docs.join(clusters, Seq("doc_id"), "left")
+      .join(canon, Seq("component"), "left")
+      .select(col("doc_id"), col("component"),
+        (col("component").isNull || col("doc_id") === col("canon_id"))
+          .as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** Edge list: doc → min-doc-of-group for every chunk duplicated
     * across docs. Distinct per (doc, chunk) so within-doc repetition
     * adds no edges; group roots come from the same md5-keyed

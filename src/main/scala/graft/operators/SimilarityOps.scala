@@ -145,6 +145,13 @@ object SimilarityOps {
     val nprobe = 6
     val dim = 64
     val w = org.apache.spark.sql.expressions.Window
+    // Deliberately NOT persisted/checkpointed despite 3+lloydRounds
+    // re-scans: the columnar parquet read + float→double cast fuses
+    // into each pass's whole-stage codegen, and measured checkpointing
+    // here is ~30% SLOWER (materialization + lost scan fusion outweigh
+    // re-reading a column that parquet serves from the OS page cache).
+    // On a cluster where the corpus re-read is remote I/O, persist
+    // MEMORY_AND_DISK like MLlib's k-means does.
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     // seed pick = orderBy+limit → TakeOrderedAndProject (distributed

@@ -33,4 +33,26 @@ class GraphOpsSpec extends SparkSuite {
         sizeByComp(r.getAs[Long]("component")))
     }
   }
+
+  test("dedup_canonical keeps exactly the longest member per cluster") {
+    val nChars = sources.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = operators.GraphOps.dedupCanonical(spark, sf).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        r.getBoolean(2)))
+    assert(rows.length == nChars.size, "every document gets a verdict")
+    // unclustered docs are always kept
+    assert(rows.filter(_._2.isEmpty).forall(_._3))
+    // exactly one survivor per component, and it is the argmax
+    rows.filter(_._2.isDefined).groupBy(_._2.get).foreach {
+      case (comp, members) =>
+        val kept = members.filter(_._3)
+        assert(kept.length == 1, s"component $comp kept ${kept.length}")
+        val best = members.map(_._1)
+          .maxBy(id => (nChars(id), -id))
+        assert(kept.head._1 == best,
+          s"component $comp kept ${kept.head._1}, expected $best")
+    }
+  }
 }
