@@ -409,14 +409,67 @@ object TextOps {
     * training contexts by greedy concatenation in deterministic
     * (source, doc_id) order: pack_id = which context the document
     * STARTS in (boundary-crossing concatenation, the standard
-    * pretraining packing). Pure integer arithmetic end to end: a
-    * per-source running token cumsum (partitioned window, never
-    * global) minus the doc's own count gives its start offset.
+    * pretraining packing). Pure integer arithmetic end to end.
     *
-    * Scale: windows partition by source; a 100 TB corpus packs each
-    * source shard independently (exactly how distributed packing
-    * runs — the pack boundary is per-shard, not global). */
+    * Scale design — a TWO-PASS DISTRIBUTED PREFIX SUM, not a window:
+    * `sum() over (partition by source order by doc_id)` funnels each
+    * source through ONE reducer — with 20 sources over a 100 TB corpus
+    * that is a handful of serial sort spills. Instead: range-partition
+    * by (source, doc_id) (order-preserving), pass 1 collects
+    * per-(partition, source) token subtotals (a ≤ partitions×sources
+    * dim — driver-side scalars, not data), prefix-sums them into
+    * per-partition base offsets, pass 2 runs the per-partition
+    * sequential scan seeded by its base. Both passes run over ONE
+    * checkpointed layout so the partition bounds (sampled by the
+    * RangePartitioner) are identical — offsets keyed by partition id
+    * would silently mismatch otherwise. (Third sanctioned RDD use:
+    * like round_robin_assign's rank, Catalyst has no distributed-scan
+    * primitive that avoids the per-group window funnel.)
+    * [[docPackWindow]] is the window-form comparison pair; the spec
+    * asserts equality and the oracle checks the window semantics. */
   def docPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ctx = 2048L
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        Exprs.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .repartitionByRange(32, asc("source"), asc("doc_id"))
+      .sortWithinPartitions(asc("source"), asc("doc_id"))
+      .localCheckpoint() // pin ONE sampled partitioning for both passes
+      .as[(Long, String, Long)]
+    // pass 1: per-(partition, source) subtotals, in in-partition order
+    val subs = base.rdd.mapPartitionsWithIndex { (p, it) =>
+      val sums = scala.collection.mutable.LinkedHashMap[String, Long]()
+      it.foreach { case (_, src, n) => sums(src) = sums.getOrElse(src, 0L) + n }
+      Iterator.single(p -> sums.toSeq)
+    }.collect()
+    // driver: prefix-sum the subtotals into each partition's per-source
+    // base offset (bounded scalar work — partitions × sources)
+    val running = scala.collection.mutable.Map[String, Long]()
+    val offsets: Map[(Int, String), Long] = subs.sortBy(_._1).flatMap {
+      case (p, sums) => sums.map { case (src, tot) =>
+        val off = running.getOrElse(src, 0L)
+        running(src) = off + tot
+        ((p, src), off)
+      }
+    }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    // pass 2: per-partition sequential scan seeded by the base offset
+    base.rdd.mapPartitionsWithIndex { (p, it) =>
+      val pos = scala.collection.mutable.Map[String, Long]()
+      it.map { case (id, src, n) =>
+        val start = pos.getOrElse(src, bc.value.getOrElse((p, src), 0L))
+        pos(src) = start + n
+        (id, src, n, start, start / ctx)
+      }
+    }.toDF("doc_id", "source", "n_tokens", "start_tok", "pack_id")
+      .orderBy("source", "doc_id")
+  }
+
+  /** Window formulation of [[docPack]] — the comparison pair (equality
+    * spec-asserted): correct and concise, but the per-source window is
+    * a single-reducer funnel at corpus scale. */
+  def docPackWindow(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ctx = 2048L
     val w = Window.partitionBy("source").orderBy("doc_id")
@@ -440,9 +493,14 @@ object TextOps {
     * then pure integer SUM + integer division — order-independent, so
     * the distributed sum needs no float-summation-order caveats.
     *
-    * Scale: vocabulary is a dim table (broadcast back against the
-    * token explode); the only wide stages are the vocab count and the
-    * per-doc sum — both map-side-partial hash aggregations. */
+    * Scale: the 1-row total broadcasts; the scored VOCABULARY joins
+    * back against the token explode WITHOUT a broadcast hint — a
+    * fixture-scale vocab broadcasts (AQE picks that), but a web-scale
+    * vocabulary (hundreds of millions of distinct tokens) cannot, and
+    * the shuffle hash join on `tok` is the correct plan there. The
+    * production variant caps the scored vocab to top-V tokens + an
+    * out-of-vocabulary surprisal default, which restores the broadcast
+    * at any corpus size. */
   def unigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -452,7 +510,7 @@ object TextOps {
       .select(col("tok"),
         round(lit(1e6) * log(col("total_toks").cast("double") / col("freq")))
           .cast("long").as("sur_micro"))
-    toks.join(broadcast(scored), Seq("tok"))
+    toks.join(scored, Seq("tok"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("sur_micro").as("sum_sur_micro"))
       .select(col("doc_id"), col("n_tokens"),

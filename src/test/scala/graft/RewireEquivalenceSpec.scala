@@ -21,6 +21,14 @@ import graft.sources.Tables
   * independently-written naive plans.
   */
 class RewireEquivalenceSpec extends SparkSuite {
+
+  test("doc_pack distributed prefix sum equals the window form at sf0.01") {
+    val dist = operators.TextOps.docPack(spark, "/root/testdata/sf0.01")
+      .collect().map(_.toSeq).toSeq
+    val win = operators.TextOps.docPackWindow(spark, "/root/testdata/sf0.01")
+      .collect().map(_.toSeq).toSeq
+    assert(dist == win)
+  }
   private val sf01 = "/root/testdata/sf0.01"
 
   private def rows(df: DataFrame): Seq[Seq[Any]] = df.collect().toSeq.map(_.toSeq)
