@@ -27,7 +27,12 @@ object Bench {
     "asof_join", "dedup_exact", "minhash_dedup", "simhash_dedup",
     "ngram_jaccard", "embedding_dedup", "dedup_clusters",
     "cosine_topk_native", "ann_lsh_topk", "ann_ivf_topk", "token_freq",
-    "pipeline_curate")
+    "pipeline_curate",
+    // round-4 surface: subqueries, UDF registry dispatch, curation
+    // extras, quantized ANN, dedup verdict, distributed prefix sum
+    "pending_gate", "customers_with_urgent", "process_dispatch_udf",
+    "source_caps", "doc_pack", "unigram_surprisal", "ann_q8_topk",
+    "dedup_canonical")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
