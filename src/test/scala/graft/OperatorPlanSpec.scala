@@ -137,6 +137,25 @@ class OperatorPlanSpec extends SparkSuite {
       s"scalar subquery missing:\n$plan")
   }
 
+  test("source_caps: per-source cap gets map-side WindowGroupLimit") {
+    val plan = executedPlanString(graft.operators.TextOps.sourceCaps(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), s"no group limit:\n$plan")
+    assert(plan.contains("Partial"), s"no map-side partial group limit:\n$plan")
+  }
+
+  test("doc_pack distributed form has no per-source Window funnel") {
+    val plan = executedPlanString(graft.operators.TextOps.docPack(spark, sf))
+    assert(!plan.contains("WindowExec") && !plan.contains("RunningWindow"),
+      s"window crept back into the distributed prefix sum:\n$plan")
+  }
+
+  test("ann_q8_topk: query side broadcast, no cartesian") {
+    val plan = executedPlanString(graft.operators.SimilarityOps.annQ8Topk(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+  }
+
   test("bloom_prune_join: runtime bloom filter injected once size gates allow") {
     // The injection is size-gated for real workloads (creation side under
     // ~10 MB, probe scan over ~10 GB); at fixture scale the probe is tiny,
