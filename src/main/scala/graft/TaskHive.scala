@@ -70,9 +70,12 @@ final class TaskHive private (val spark: SparkSession, val dir: String) {
       .orderBy("id")
 
   /** SubmitTask (taskhive.go:248-251), batch form: normalize incoming
-    * rows to the task schema with the reference's defaults (priority 5,
-    * status pending — model.go:24-38). The returned frame is what a
-    * caller appends to the task table / feeds the streaming engine. */
+    * rows to the full task schema with the reference's defaults
+    * (priority 5, status pending, retry_count 0, create_time now —
+    * model.go:24-38), column-ordered like [[Tables.tasks]] so the frame
+    * appends via `tasks.unionByName(submitted, allowMissingColumns =
+    * true)` (the fixture task table carries extra derived columns and
+    * no payload; the streaming engine takes payload directly). */
   def submitTasks(payloads: DataFrame): DataFrame = {
     require(payloads.columns.contains("id") &&
       payloads.columns.contains("payload"),
@@ -83,16 +86,49 @@ final class TaskHive private (val spark: SparkSession, val dir: String) {
     val withType =
       if (withPrio.columns.contains("task_type")) withPrio
       else withPrio.withColumn("task_type", lit("default"))
-    withType.select(col("id").cast("string").as("id"), col("payload"),
+    withType.select(col("id").cast("string").as("id"),
       col("priority").cast("int").as("priority"),
-      lit(Tables.Pending).as("status"), col("task_type"))
+      lit(Tables.Pending).as("status"),
+      current_timestamp().as("create_time"),
+      col("task_type"),
+      lit(0).as("retry_count"),
+      col("payload"))
   }
 
-  /** RegisterTaskProcessor (taskhive.go:253-255): install a named
-    * processor UDF; [[operators.TaskOps.processDispatchUdf]]'s dispatch
-    * derives its CASE from this registry. */
-  def registerTaskProcessor(name: String, f: String => String): Unit =
-    spark.udf.register(name, udf(f))
+  /** RegisterTaskProcessor (taskhive.go:253-255): install a processor
+    * for a TASK TYPE — the reference's registry key (worker.go:30-32).
+    * The body becomes a session UDF and the type→processor entry is
+    * recorded on this instance so [[processTasks]]' dispatch CASE
+    * includes it; re-registering a type replaces its entry (last-wins,
+    * like the Go map assignment). */
+  def registerTaskProcessor(taskType: String, f: String => String): Unit =
+    synchronized {
+      val name = functions.Processors.userProcName(taskType)
+      spark.udf.register(name, udf(f))
+      userProcs.put(taskType, name)
+    }
+
+  private val userProcs =
+    scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+  /** The worker processing pass (worker.go:228-260): dispatch every
+    * task to the processor registered for its type — built-ins plus
+    * everything installed via [[registerTaskProcessor]] (user entries
+    * override built-ins for the same type); unregistered types hit the
+    * registry-miss → failed path (worker.go:241-251). Same plan shape
+    * as the oracle-gated `process_dispatch_udf` (one narrow projection,
+    * CASE built once at plan time). */
+  def processTasks(): DataFrame = synchronized {
+    val mapping = functions.Processors.typeToProcessor
+      .filterNot { case (t, _) => userProcs.contains(t) } ++ userProcs.toSeq
+    Tables.tasks(spark, dir)
+      .select(col("id"), col("task_type"),
+        functions.Processors.dispatch(col("id"), col("task_type"), mapping)
+          .as("result"),
+        functions.Processors.newStatus(col("task_type"), mapping)
+          .as("new_status"))
+      .orderBy("id")
+  }
 
   /** Start (taskhive.go:150-212): run the lifecycle state machine over
     * a task-event stream into a checkpointed parquet transition log —

@@ -45,19 +45,29 @@ object Processors {
   def register(spark: SparkSession): Unit =
     processors.foreach { case (name, f) => spark.udf.register(name, udf(f)) }
 
-  /** Dispatch expression derived from the registry: CASE over the
-    * registered types calling each type's UDF; unregistered → miss. */
-  def dispatch(idCol: Column, typeCol: Column): Column =
-    typeToProcessor.foldLeft(when(lit(false), lit(""))) {
+  /** UDF name for a user-registered processor: derived from the task
+    * type so re-registering the same type replaces the same session UDF
+    * (last-wins, like the reference's Go map assignment). */
+  def userProcName(taskType: String): String =
+    "graft_proc_user_" + taskType.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+
+  /** Dispatch expression derived from a registry mapping: CASE over the
+    * registered types calling each type's UDF; unregistered → miss.
+    * `mapping` defaults to the built-ins; [[graft.TaskHive.processTasks]]
+    * passes built-ins ++ user registrations. */
+  def dispatch(idCol: Column, typeCol: Column,
+      mapping: Seq[(String, String)] = typeToProcessor): Column =
+    mapping.foldLeft(when(lit(false), lit(""))) {
       case (acc, (taskType, fnName)) =>
         acc.when(typeCol === taskType, call_function(fnName, idCol))
     }.otherwise(lit("error: no processor registered"))
 
   /** Post-dispatch status, also registry-derived (hit → completed,
     * miss → failed), matching worker.go:241-251. */
-  def newStatus(typeCol: Column): Column = {
+  def newStatus(typeCol: Column,
+      mapping: Seq[(String, String)] = typeToProcessor): Column = {
     import graft.sources.Tables
-    when(typeCol.isin(typeToProcessor.map(_._1): _*), lit(Tables.Completed))
+    when(typeCol.isin(mapping.map(_._1): _*), lit(Tables.Completed))
       .otherwise(lit(Tables.Failed)).cast("int")
   }
 }

@@ -280,9 +280,16 @@ case class RollingFp(child: Expression) extends UnaryExpression {
     val s = text.toString
     var h = 0L
     var i = 0
+    // Fold CODEPOINTS, not UTF-16 code units: the HOF comparison pair
+    // splits into per-character strings (Java regex "" split keeps
+    // surrogate pairs whole) and hashes ascii() = codePointAt(0), so an
+    // astral-plane char must contribute ONE step here too, or the two
+    // forms diverge on any non-BMP text (emoji are routine in web
+    // corpora).
     while (i < s.length) {
-      h = ((h * 31 + s.charAt(i).toLong) % Prime + Prime) % Prime
-      i += 1
+      val cp = s.codePointAt(i)
+      h = ((h * 31 + cp) % Prime + Prime) % Prime
+      i += Character.charCount(cp)
     }
     h
   }

@@ -458,18 +458,30 @@ object SimilarityOps {
     * with the per-row quantization fused into the projection; ranking
     * is a per-query window over ≤|corpus| candidate rows — the brute
     * path; the IVF/LSH bucketed variants bound candidates at 100 TB. */
+  /** Symmetric int8 quantization of one element: q = floor(127·x/max|v|
+    * + 0.5), 0 when the vector is all-zero. The SINGLE definition both
+    * the store ([[embeddingQuantize]]) and the search ([[annQ8Topk]])
+    * quantize with — search is only correct if it scores exactly the
+    * stored form, so the formula must never fork. */
+  private def q8Elem(x: Column, maxAbs: Column): Column =
+    when(maxAbs === 0, lit(0L)).otherwise(floor(x * 127.0 / maxAbs + 0.5))
+
   def annQ8Topk(spark: SparkSession, sfDir: String): DataFrame = {
     val v = asDouble(col("embedding"))
     val q8row = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), v.as("v"))
       .withColumn("max_abs", array_max(transform(col("v"), x => abs(x))))
       .select(col("vec_id"),
-        transform(col("v"), x =>
-          when(col("max_abs") === 0, lit(0L))
-            .otherwise(floor(x * 127.0 / col("max_abs") + 0.5))).as("q8"))
+        transform(col("v"), x => q8Elem(x, col("max_abs"))).as("q8"))
     val q = q8row.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("q8").as("qa"))
-    val dotQ = aggregate(zip_with(col("qa"), col("q8"), _ * _), lit(0L), _ + _)
+    // Null-safe dot: zip_with pads the shorter array with nulls (and a
+    // null ELEMENT yields a null product) — coalesce each term to 0 so
+    // mismatched lengths score the common prefix, matching the oracle's
+    // SUM-skips-nulls semantics instead of null-poisoning the whole dot.
+    val dotQ = aggregate(
+      zip_with(col("qa"), col("q8"), (x, y) => coalesce(x * y, lit(0L))),
+      lit(0L), _ + _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("dot"), asc("vec_id"))
     q8row.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -504,9 +516,7 @@ object SimilarityOps {
       .filter(col("x").isNotNull)
       .select(col("vec_id"), col("pos"),
         floor(col("max_abs") * 1e6).cast("long").as("scale_e6"),
-        when(col("max_abs") === 0, lit(0L))
-          .otherwise(floor(col("x") * 127.0 / col("max_abs") + 0.5))
-          .as("q"))
+        q8Elem(col("x"), col("max_abs")).as("q"))
       .orderBy("vec_id", "pos")
   }
 

@@ -25,9 +25,21 @@ object MergeSink {
   /** Idempotent per-batch landing: retry of batch N overwrites ONLY
     * `batch=N`. Append-mode writes would duplicate on retry; full
     * overwrite would drop history — per-partition overwrite is the
-    * exactly-once middle ground. */
-  def mergeBatch(batch: DataFrame, logDir: String, batchId: Long): Unit =
-    batch.write.mode("overwrite").parquet(s"$logDir/batch=$batchId")
+    * exactly-once middle ground. A `_graft_committed` marker is created
+    * AFTER the write completes so readers can distinguish a committed
+    * batch from one mid-(re)write — overwrite deletes the whole dir
+    * (marker included) before writing, so the marker's presence means
+    * the batch's files are complete. */
+  def mergeBatch(batch: DataFrame, logDir: String, batchId: Long): Unit = {
+    val dir = s"$logDir/batch=$batchId"
+    batch.write.mode("overwrite").parquet(dir)
+    val marker = new org.apache.hadoop.fs.Path(dir, CommitMarker)
+    val fs = marker.getFileSystem(
+      batch.sparkSession.sessionState.newHadoopConf())
+    fs.create(marker, true).close()
+  }
+
+  private val CommitMarker = "_graft_committed"
 
   /** Start the CDC ingestion stream: every micro-batch appends its own
     * partition under `logDir`; `checkpointDir` carries the batch-id
@@ -40,11 +52,30 @@ object MergeSink {
 
   /** Last-writer-wins view over the log: one hash aggregation keyed by
     * (user_id, event_type), latest row selected by event_id via max_by
-    * — identical to the batch cdc_latest compaction (spec-asserted). */
-  def compactedRead(spark: SparkSession, logDir: String): DataFrame =
-    spark.read.parquet(logDir)
+    * — identical to the batch cdc_latest compaction (spec-asserted).
+    *
+    * Isolation from in-flight writes: only batch dirs carrying the
+    * commit marker are read, so a batch mid-(re)write — whose dir
+    * exists but is incomplete — is excluded instead of surfacing a
+    * partial batch. `ignoreMissingFiles` covers the residual window
+    * where a listed COMMITTED batch is deleted by a crash-retry between
+    * listing and execution (the reader then sees the pre-batch view for
+    * those files rather than failing). */
+  def compactedRead(spark: SparkSession, logDir: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(logDir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val committed = fs.listStatus(base).filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, CommitMarker)))
+      .map(_.toString).sorted
+    require(committed.nonEmpty, s"no committed batches under $logDir")
+    spark.read
+      .option("ignoreMissingFiles", "true")
+      .option("basePath", logDir)
+      .parquet(committed.toIndexedSeq: _*)
       .groupBy("user_id", "event_type")
       .agg(max("event_id").as("last_event_id"),
         max_by(col("cents"), col("event_id")).as("last_cents"),
         count(lit(1)).as("n_versions"))
+  }
 }

@@ -37,20 +37,45 @@ class TaskHiveSpec extends SparkSuite {
     assert(rows.forall(_.getAs[String]("worker_id") == anyWorker))
   }
 
-  test("submitTasks applies reference defaults (priority 5, pending)") {
+  test("submitTasks applies reference defaults and appends to the task table") {
     val in = Seq(("t1", "{\"k\":1}"), ("t2", "{\"k\":2}")).toDF("id", "payload")
-    val out = hive.submitTasks(in).collect()
-    assert(out.length == 2)
-    assert(out.forall(r => r.getAs[Int]("priority") == 5 &&
-      r.getAs[Int]("status") == 0 && r.getAs[String]("task_type") == "default"))
+    val out = hive.submitTasks(in)
+    assert(out.columns.toSeq == Seq("id", "priority", "status",
+      "create_time", "task_type", "retry_count", "payload"))
+    val rows = out.collect()
+    assert(rows.length == 2)
+    assert(rows.forall(r => r.getAs[Int]("priority") == 5 &&
+      r.getAs[Int]("status") == 0 && r.getAs[String]("task_type") == "default" &&
+      r.getAs[Int]("retry_count") == 0 && r.getAs[java.sql.Timestamp]("create_time") != null))
+    // the documented append path must analyze cleanly
+    sources.Tables.tasks(spark, sf)
+      .unionByName(out, allowMissingColumns = true).schema
     intercept[IllegalArgumentException] {
       hive.submitTasks(Seq("x").toDF("payload_only"))
     }
   }
 
-  test("registerTaskProcessor installs a SQL-callable UDF") {
-    hive.registerTaskProcessor("graft_proc_test", id => s"test:$id")
-    assert(spark.sql("SELECT graft_proc_test('7') AS r").head().getString(0)
-      == "test:7")
+  test("processTasks with no user registrations ≡ the registry-dispatch oracle") {
+    val fresh = TaskHive(spark, sf)
+    assert(fresh.processTasks().collect().toSeq ==
+      operators.TaskOps.processDispatchUdf(spark, sf).collect().toSeq)
+  }
+
+  test("registerTaskProcessor routes its task type through dispatch") {
+    val h2 = TaskHive(spark, sf)
+    h2.registerTaskProcessor("1-URGENT", id => s"custom:$id")
+    val rows = h2.processTasks().collect()
+    val urgent = rows.filter(_.getAs[String]("task_type") == "1-URGENT")
+    assert(urgent.nonEmpty && urgent.forall(r =>
+      r.getAs[String]("result") == s"custom:${r.getAs[String]("id")}" &&
+        r.getAs[Int]("new_status") == sources.Tables.Completed))
+    // built-ins for other types are untouched
+    val high = rows.filter(_.getAs[String]("task_type") == "2-HIGH")
+    assert(high.nonEmpty &&
+      high.forall(_.getAs[String]("result").startsWith("wechat:")))
+    // per-instance registry: the sibling facade still runs the built-in
+    assert(hive.processTasks()
+      .filter(col("task_type") === "1-URGENT").collect()
+      .forall(_.getAs[String]("result").startsWith("spider:")))
   }
 }

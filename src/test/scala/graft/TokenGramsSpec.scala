@@ -103,6 +103,24 @@ class TokenGramsSpec extends SparkSuite {
     assert(native == hof)
   }
 
+  test("graft_rollfp folds codepoints: non-BMP text still ≡ the HOF fold") {
+    GraftExtensions.register(spark)
+    // The fixture is pure ASCII, so this pins the astral-plane case the
+    // corpus will hit: split("") keeps surrogate pairs whole and ascii()
+    // is codePointAt(0), so the native loop must advance per CODEPOINT.
+    val prime = 1000000007L
+    val rows = Seq("hello 😀 world", "😀😁",
+      "mixé ✓ 🤖", "").toDF("text")
+      .select(
+        call_function("graft_rollfp", col("text")).as("native"),
+        aggregate(split(col("text"), ""), lit(0L),
+          (acc, ch) => pmod(acc * 31 + coalesce(ascii(ch).cast("long"), lit(0L)),
+            lit(prime))).as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"native ${r.getLong(0)} != hof ${r.getLong(1)}"))
+  }
+
   test("NULL text: native forms are null-strict; HOF divergence is pinned") {
     GraftExtensions.register(spark)
     val df = Seq(Some("a b"), None).toDF("text")
