@@ -354,18 +354,26 @@ object TextOps {
       .orderBy("stage")
   }
 
+  /** The quality-gate predicate, the SINGLE definition shared by the
+    * batch pipeline ([[curationFlags]]) and the streaming ingestion
+    * form ([[graft.streaming.CurationStream]]) — the gate must never
+    * fork between the two modes. */
+  private[graft] def isQuality(text: Column): Column = {
+    val nTokens = Exprs.tokenCount(text)
+    val nonSpace = length(text) - (nTokens - 1)
+    nTokens >= 10 && nTokens <= 10000 && (nonSpace / nTokens) <= 20
+  }
+
   /** Per-doc curation flags, computed once and shared by curate/funnel:
     * (doc_id, fp, n_tokens, is_quality, is_clean). The contamination
     * join carries only (doc_id, tok) — never text or shingle arrays —
     * and the flags join back on doc_id with narrow columns. */
   private def curationFlags(spark: SparkSession, sfDir: String): DataFrame = {
     val nTokens = Exprs.tokenCount(col("text"))
-    val nonSpace = length(col("text")) - (nTokens - 1)
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), md5(col("text")).as("fp"),
         nTokens.as("n_tokens"),
-        (nTokens >= 10 && nTokens <= 10000 && (nonSpace / nTokens) <= 20)
-          .as("is_quality"),
+        isQuality(col("text")).as("is_quality"),
         size(shingles3Native(spark, col("text"))).cast("long").as("sz"),
         shingles3Native(spark, col("text")).as("sh"))
     val bench = Tables.documents(spark, sfDir)

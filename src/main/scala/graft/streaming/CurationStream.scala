@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exprs
+import graft.operators.TextOps
+
+/** Curation as a STREAMING INGESTION job — the same three gates as the
+  * batch pipeline ([[graft.operators.TextOps.pipelineCurate]]), applied
+  * while documents arrive instead of over a finished corpus (what a
+  * 100 TB pipeline actually runs: curation at ingestion, not as a
+  * nightly rewrite). Spec-asserted stream ≡ batch on the same data.
+  *
+  * Streaming-legal re-expression of each gate:
+  *  - quality: stateless per-row predicate — the SAME Column object as
+  *    batch ([[TextOps.isQuality]]), so the gate can't fork;
+  *  - decontamination: the batch form's broadcast join + per-doc count
+  *    becomes a per-row `array_intersect` against the eval set's
+  *    shingle hashes. Eval sets are dim-sized at ANY corpus scale
+  *    (benchmarks are small by construction), so shipping them as an
+  *    array literal/broadcast is the right plan — at extreme sizes a
+  *    bloom filter replaces the exact array, same shape. No stream
+  *    aggregation, no shuffle.
+  *  - exact dedup: `dropDuplicates` on the content fingerprint — keyed
+  *    state holding one fingerprint per distinct document. First
+  *    arrival wins, which equals the batch min-doc_id canonical pick
+  *    whenever ingestion is id-ordered; unbounded-history dedup is the
+  *    semantic here, and a production deployment bounds state with
+  *    `dropDuplicatesWithinWatermark` once "duplicate" has a time
+  *    horizon (see StreamingSpec's ST9 test).
+  */
+object CurationStream {
+
+  /** Hashed distinct eval-set shingles, computed batch-side once per
+    * benchmark release (xxhash64 — 8-byte currency, matching the
+    * stream side's hashed compare). */
+  def benchShingleHashes(spark: SparkSession, sfDir: String): Array[Long] = {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 100 === 0)
+      .select(explode(call_function("graft_shingles", col("text"), lit(3)))
+        .as("tok"))
+      .distinct()
+      .select(xxhash64(col("tok")))
+      .as[Long].collect().sorted
+  }
+
+  /** The streaming curation transform. `docs` is a streaming frame with
+    * (doc_id, text); output is the curated (doc_id, n_tokens) in append
+    * mode. */
+  def curate(spark: SparkSession, docs: DataFrame,
+      benchHashes: Array[Long]): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val sh: Column = call_function("graft_shingles", col("text"), lit(3))
+    docs
+      .filter(TextOps.isQuality(col("text")))
+      .withColumn("sh_h", transform(sh, t => xxhash64(t)))
+      // graft_shingles emits DISTINCT shingles, so |intersect| is the
+      // batch form's per-doc distinct-overlap count
+      .filter(lit(4) * size(array_intersect(col("sh_h"), lit(benchHashes)))
+        < size(col("sh_h")))
+      .withColumn("fp", md5(col("text")))
+      .dropDuplicates("fp")
+      .select(col("doc_id"), Exprs.tokenCount(col("text")).as("n_tokens"))
+  }
+}
