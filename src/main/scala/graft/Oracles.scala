@@ -730,6 +730,13 @@ object Oracles {
         |      < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
         |             THEN '80' ELSE '29' END
         |ORDER BY doc_id""".stripMargin),
+    "split_assign" -> q(
+      """SELECT doc_id, source,
+        |       substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS u,
+        |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin),
     "pii_redact" -> q(
       """SELECT event_id,
         |       substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS user_pseud,
@@ -1019,9 +1026,9 @@ object Oracles {
         """, bd AS (
           |  SELECT doc_id,
           |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS dl,
-          |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' hash ', ''))) / 6 AS INT) AS tf_hash,
-          |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' merge ', ''))) / 7 AS INT) AS tf_merge,
-          |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' scan ', ''))) / 6 AS INT) AS tf_scan
+          |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'hash')) AS INT) AS tf_hash,
+          |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'merge')) AS INT) AS tf_merge,
+          |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'scan')) AS INT) AS tf_scan
           |  FROM documents
           |), st AS (
           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,

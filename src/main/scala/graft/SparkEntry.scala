@@ -98,6 +98,7 @@ object SparkEntry {
     "repetition_ratio" -> (TextOps.repetitionRatio _),
     "chunk_dedup" -> (TextOps.chunkDedup _),
     "stratified_sample" -> (TextOps.stratifiedSample _),
+    "split_assign" -> (TextOps.splitAssign _),
     "pii_redact" -> (TextOps.piiRedact _),
     "chars_histogram" -> (TextOps.charsHistogram _),
     // LLM-pipeline: retrieval scoring + corpus mixture planning

@@ -57,31 +57,24 @@ object RetrievalOps {
     * would parameterize these. All three occur in the fixture corpus. */
   private val QueryTerms = Seq("hash", "merge", "scan")
 
-  private def padded: Column = concat(lit(" "), col("text"), lit(" "))
-
   /** BM25 ranked search for a fixed 3-term query → top-20 docs.
     * Okapi BM25 (Robertson et al.): score(d) = Σ_t idf_t · tf·(k1+1) /
     * (tf + k1·(1−b+b·dl/avgdl)), idf_t = ln((N−df+0.5)/(df+0.5)+1).
     *
-    * One corpus scan computes per-doc tf (length/replace arithmetic —
-    * regex-free, byte-identical in DuckDB) + doc length; a second
-    * 1-row aggregate yields the corpus stats (N, Σdl, df per term)
-    * which broadcast back — the per-doc score is then a pure map-side
-    * projection and the top-20 compiles to TakeOrderedAndProject.
-    * Ordering ties are broken on the ROUNDED integer score + doc_id,
-    * so the result is stable cross-engine.
-    *
-    * Known tf caveat (mirrored in the oracle, so the gate stays exact):
-    * occurrence counting via non-overlapping ' term ' replacement
-    * undercounts IMMEDIATELY ADJACENT repeats — in "hash hash" the
-    * shared space is consumed by the first match, so tf = 1, not 2.
-    * Acceptable for the fixed-query fixture form; a parameterized
-    * version must switch both sides to split-based counting. */
+    * One corpus scan computes per-doc tf (split-based exact token
+    * counting — true Okapi tf, adjacent repeats included; the same
+    * filter-over-split is byte-identical in DuckDB's list_filter) +
+    * doc length; a second 1-row aggregate yields the corpus stats
+    * (N, Σdl, df per term) which broadcast back — the per-doc score is
+    * then a pure map-side projection and the top-20 compiles to
+    * TakeOrderedAndProject. Ordering ties are broken on the ROUNDED
+    * integer score + doc_id, so the result is stable cross-engine. */
   def bm25Search(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(col("text"), " ")
     val perDoc = Tables.documents(spark, sfDir).select(
       col("doc_id") +: Exprs.tokenCount(col("text")).as("dl") +:
         QueryTerms.map(t =>
-          Exprs.occurrences(padded, s" $t ").as(s"tf_$t")): _*)
+          size(filter(toks, x => x === t)).as(s"tf_$t")): _*)
     val statsAggs = count(lit(1)).as("n_docs") +:
       sum("dl").as("sum_dl") +:
       QueryTerms.map(t =>

@@ -589,6 +589,25 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test split assignment — the reproducible
+    * partition every training pipeline stamps on its corpus before
+    * anything downstream runs. Same hash-threshold family as
+    * [[stratifiedSample]]: u = md5(doc_id) hex prefix, lexical
+    * thresholds 'e6'/'f3' → ≈89.8% train / 5.1% val / 5.1% test
+    * (230 and 13 of 256 hex pairs). Content-keyed and RNG-free, so the
+    * assignment is identical across retries, engines and re-runs, and
+    * adding documents never reshuffles existing ones — the property
+    * that keeps eval sets stable as a 100 TB corpus grows. Pure narrow
+    * projection: zero shuffles at any scale. */
+  def splitAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = substring(md5(col("doc_id").cast("string")), 1, 2)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), u.as("u"),
+        when(u < "e6", lit("train")).when(u < "f3", lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy("doc_id")
+  }
+
   /** PII scrubbing pass — pseudonymize the user key (keyed hash
     * prefix) and redact numeric identifiers inside the free-form
     * props payload. Pure per-row projection (codegen'd regexp_replace
