@@ -7,12 +7,16 @@ import org.apache.spark.sql.functions._
   * with typed metadata, and run decode / feature-extraction as
   * distributed per-partition batch transforms.
   *
-  * The container has no image/audio codecs, so the decode itself is a
-  * clearly-marked deterministic STUB (`fakeDecode`); everything Spark-
-  * side — the binary column, the metadata schema, the typed Dataset
-  * mapPartitions batch shape, partitioning — is real and spec-tested.
-  * In production the stub body is replaced by the codec call with the
-  * same signature (bytes → features).
+  * IMAGES decode for real: [[decodeImages]]/[[resizeImages]] use
+  * javax.imageio, whose PNG/JPEG/GIF/BMP codecs are part of the JDK —
+  * spec-tested end-to-end on real PNG bytes. Audio/video codecs are
+  * genuinely absent from the container, so those decodes are clearly-
+  * marked deterministic STUBs (`fakeDecode`/`fakeFrames`) with the
+  * production signature (bytes → features); the fixture's payloads are
+  * text bytes, so the ORACLE-checked queries also use the fakes.
+  * Everything Spark-side — the binary column, the metadata schema, the
+  * typed Dataset mapPartitions batch shape, partitioning — is real and
+  * spec-tested in both paths.
   *
   * Scale: decode runs mapPartitions (one codec init per partition, not
   * per row); binary payloads never shuffle — metadata is extracted
@@ -111,6 +115,90 @@ object MultimodalOps {
       .select(col("doc_id"), col("thumb_w"), col("thumb_h"),
         hex(md5(col("thumb"))).as("thumb_md5"))
       .orderBy("doc_id")
+
+  /** Features decoded from REAL pixels ([[decodeImages]]); integer
+    * luma (‰ of full-scale) keeps the value deterministic. */
+  final case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+      n_channels: Int, mean_luma_milli: Long, ok: Boolean)
+
+  /** REAL image decode — javax.imageio, whose PNG/JPEG/GIF/BMP codecs
+    * ship inside the JDK itself (no external libs; this is NOT a
+    * stub). The fixture's media payloads are text bytes, so the
+    * oracle-checked queries keep the deterministic fake; this is the
+    * production decode path, spec-tested on real PNG bytes generated
+    * in MultimodalSpec.
+    *
+    * Robustness: an undecodable payload yields an `ok=false` row
+    * instead of throwing — at 100 TB corrupt blobs are a certainty and
+    * one bad byte string must never kill a stage (callers route
+    * `!ok` rows to a quarantine sink). Same mapPartitions batch shape
+    * as the stub form: codecs initialize per partition, payload bytes
+    * die with the partition. */
+  def decodeImages(images: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { rows =>
+      rows.map { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          if (img == null) ImageFeatures(r.doc_id, 0, 0, 0, 0L, ok = false)
+          else {
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                sum += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                  114 * (rgb & 0xff)) / 1000
+                x += 1
+              }
+              y += 1
+            }
+            val n = img.getWidth.toLong * img.getHeight
+            ImageFeatures(r.doc_id, img.getWidth, img.getHeight,
+              img.getColorModel.getNumComponents, sum * 1000 / (n * 255),
+              ok = true)
+          }
+        } catch {
+          case _: Exception => ImageFeatures(r.doc_id, 0, 0, 0, 0L, ok = false)
+        }
+      }
+    }
+  }
+
+  /** REAL image resize: decode → aspect-preserving scale to ≤ maxDim →
+    * PNG re-encode, all via the JDK codec. Undecodable payloads are
+    * dropped (flatMap — the quarantine split belongs to
+    * [[decodeImages]]'s ok flag). Thumbnails are the only binary that
+    * flows downstream. */
+  def resizeImages(images: Dataset[MediaRecord], maxDim: Int): Dataset[MediaThumb] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          if (img == null) None
+          else {
+            val scale = math.min(1.0,
+              maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+            val w = math.max(1, math.round(img.getWidth * scale).toInt)
+            val h = math.max(1, math.round(img.getHeight * scale).toInt)
+            val out = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.drawImage(img.getScaledInstance(w, h, java.awt.Image.SCALE_SMOOTH),
+              0, 0, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Some(MediaThumb(r.doc_id, w, h, bos.toByteArray))
+          }
+        } catch { case _: Exception => None }
+      }
+    }
+  }
 
   /** One sampled frame of a "video" payload. */
   final case class MediaFrame(doc_id: Long, frame_idx: Int, frame_md5: String)

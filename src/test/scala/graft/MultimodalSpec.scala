@@ -16,6 +16,61 @@ class MultimodalSpec extends SparkSuite {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
+  // --- REAL image codec path (javax.imageio, bundled with the JDK) ---
+
+  /** Deterministic RGB test image encoded to real PNG bytes. */
+  private def pngBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (((x * 7 + seed) % 256) << 16) |
+        (((y * 13) % 256) << 8) | ((x + y + seed) % 256))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImages reads real PNG bytes: dims, channels, exact mean luma") {
+    val s = spark
+    import s.implicits._
+    val recs = Seq(
+      MultimodalOps.MediaRecord(1L, pngBytes(40, 25, 0), "image/png", 0L),
+      MultimodalOps.MediaRecord(2L, pngBytes(8, 8, 99), "image/png", 0L),
+      MultimodalOps.MediaRecord(3L, "not an image".getBytes, "image/png", 0L))
+    val got = MultimodalOps.decodeImages(recs.toDS())
+      .collect().map(f => f.doc_id -> f).toMap
+    // expected luma recomputed here with the same integer arithmetic
+    def luma(w: Int, h: Int, seed: Int): Long = {
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        sum += (299 * ((x * 7 + seed) % 256) + 587 * ((y * 13) % 256) +
+          114 * ((x + y + seed) % 256)) / 1000
+      sum * 1000 / (w.toLong * h * 255)
+    }
+    assert(got(1L) == MultimodalOps.ImageFeatures(1L, 40, 25, 3, luma(40, 25, 0), ok = true))
+    assert(got(2L) == MultimodalOps.ImageFeatures(2L, 8, 8, 3, luma(8, 8, 99), ok = true))
+    assert(got(3L) == MultimodalOps.ImageFeatures(3L, 0, 0, 0, 0L, ok = false),
+      "corrupt payload must quarantine, not throw")
+  }
+
+  test("resizeImages produces real, re-decodable PNG thumbnails ≤ maxDim") {
+    val s = spark
+    import s.implicits._
+    val recs = Seq(
+      MultimodalOps.MediaRecord(1L, pngBytes(100, 60, 1), "image/png", 0L),
+      MultimodalOps.MediaRecord(2L, pngBytes(16, 16, 2), "image/png", 0L), // already small
+      MultimodalOps.MediaRecord(3L, Array[Byte](1, 2, 3), "image/png", 0L))
+    val thumbs = MultimodalOps.resizeImages(recs.toDS(), maxDim = 32)
+      .collect().map(t => t.doc_id -> t).toMap
+    assert(!thumbs.contains(3L), "undecodable payload must be dropped")
+    assert((thumbs(1L).thumb_w, thumbs(1L).thumb_h) == (32, 19)) // aspect kept
+    assert((thumbs(2L).thumb_w, thumbs(2L).thumb_h) == (16, 16)) // never upscaled
+    // the thumbnail is itself a valid PNG with the claimed dims
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(thumbs(1L).thumb))
+    assert(back != null && back.getWidth == 32 && back.getHeight == 19)
+  }
+
   test("frame sampling yields every 4th 256-byte frame per document") {
     val s = spark
     import s.implicits._
