@@ -86,10 +86,15 @@ final class TaskHive private (val spark: SparkSession, val dir: String) {
     val withType =
       if (withPrio.columns.contains("task_type")) withPrio
       else withPrio.withColumn("task_type", lit("default"))
+    // submission time captured ONCE here, not current_timestamp():
+    // that expression re-evaluates at every action, so the same
+    // returned frame materialized twice (task table + engine feed)
+    // would stamp the same task with two different create_times
+    val submittedAt = lit(java.sql.Timestamp.from(java.time.Instant.now()))
     withType.select(col("id").cast("string").as("id"),
       col("priority").cast("int").as("priority"),
       lit(Tables.Pending).as("status"),
-      current_timestamp().as("create_time"),
+      submittedAt.as("create_time"),
       col("task_type"),
       lit(0).as("retry_count"),
       col("payload"))
@@ -103,13 +108,16 @@ final class TaskHive private (val spark: SparkSession, val dir: String) {
     * like the Go map assignment). */
   def registerTaskProcessor(taskType: String, f: String => String): Unit =
     synchronized {
-      val name = functions.Processors.userProcName(taskType)
+      val name = functions.Processors.userProcName(instanceTag, taskType)
       spark.udf.register(name, udf(f))
       userProcs.put(taskType, name)
     }
 
   private val userProcs =
     scala.collection.mutable.LinkedHashMap.empty[String, String]
+  // distinct per facade instance so two TaskHives on one SparkSession
+  // never share (and never clobber) each other's processor UDFs
+  private val instanceTag = s"i${TaskHive.instanceIds.incrementAndGet()}"
 
   /** The worker processing pass (worker.go:228-260): dispatch every
     * task to the processor registered for its type — built-ins plus
@@ -144,6 +152,8 @@ final class TaskHive private (val spark: SparkSession, val dir: String) {
 }
 
 object TaskHive {
+  private val instanceIds = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** DefaultConfig + New (taskhive.go:48-91). */
   def apply(spark: SparkSession, dir: String): TaskHive = {
     GraftExtensions.register(spark)

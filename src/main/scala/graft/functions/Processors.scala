@@ -45,11 +45,23 @@ object Processors {
   def register(spark: SparkSession): Unit =
     processors.foreach { case (name, f) => spark.udf.register(name, udf(f)) }
 
-  /** UDF name for a user-registered processor: derived from the task
-    * type so re-registering the same type replaces the same session UDF
+  /** UDF name for a user-registered processor. INJECTIVE per
+    * (owner, exact task type): the readable sanitized form alone would
+    * collide ("etl-v1.0" vs "etl v1 0", or any two symbol-only types),
+    * silently making the last registration's body process both types —
+    * so an md5 prefix of the raw type string disambiguates, and the
+    * owner tag isolates registries sharing one SparkSession (session
+    * UDF names are global; without the tag two TaskHive instances
+    * registering the same type would clobber each other's body).
+    * Re-registering the same (owner, type) still replaces the same UDF
     * (last-wins, like the reference's Go map assignment). */
-  def userProcName(taskType: String): String =
-    "graft_proc_user_" + taskType.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+  def userProcName(ownerTag: String, taskType: String): String = {
+    val readable = taskType.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+    val exact = java.security.MessageDigest.getInstance("MD5")
+      .digest(taskType.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    s"graft_proc_user_${ownerTag}_${readable}_$exact"
+  }
 
   /** Dispatch expression derived from a registry mapping: CASE over the
     * registered types calling each type's UDF; unregistered → miss.

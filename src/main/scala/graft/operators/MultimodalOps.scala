@@ -138,11 +138,9 @@ object MultimodalOps {
     import images.sparkSession.implicits._
     images.mapPartitions { rows =>
       rows.map { r =>
-        try {
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.payload))
-          if (img == null) ImageFeatures(r.doc_id, 0, 0, 0, 0L, ok = false)
-          else {
+        tryDecode(r.payload) match {
+          case None => ImageFeatures(r.doc_id, 0, 0, 0, 0L, ok = false)
+          case Some(img) =>
             var sum = 0L
             var y = 0
             while (y < img.getHeight) {
@@ -159,13 +157,21 @@ object MultimodalOps {
             ImageFeatures(r.doc_id, img.getWidth, img.getHeight,
               img.getColorModel.getNumComponents, sum * 1000 / (n * 255),
               ok = true)
-          }
-        } catch {
-          case _: Exception => ImageFeatures(r.doc_id, 0, 0, 0, 0L, ok = false)
         }
       }
     }
   }
+
+  /** Decode-or-quarantine, the single definition both image ops share.
+    * MemoryCacheImageInputStream, NOT ImageIO.read(InputStream): the
+    * bare-stream overload defaults to a DISK-backed cache — a temp
+    * file created and deleted per image, pure wasted I/O on a path
+    * that runs once per row at corpus scale. */
+  private def tryDecode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))))
+    catch { case _: Exception => None }
 
   /** REAL image resize: decode → aspect-preserving scale to ≤ maxDim →
     * PNG re-encode, all via the JDK codec. Undecodable payloads are
@@ -176,11 +182,8 @@ object MultimodalOps {
     import images.sparkSession.implicits._
     images.mapPartitions { rows =>
       rows.flatMap { r =>
-        try {
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.payload))
-          if (img == null) None
-          else {
+        tryDecode(r.payload).flatMap { img =>
+          try {
             val scale = math.min(1.0,
               maxDim.toDouble / math.max(img.getWidth, img.getHeight))
             val w = math.max(1, math.round(img.getWidth * scale).toInt)
@@ -194,8 +197,8 @@ object MultimodalOps {
             val bos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(out, "png", bos)
             Some(MediaThumb(r.doc_id, w, h, bos.toByteArray))
-          }
-        } catch { case _: Exception => None }
+          } catch { case _: Exception => None }
+        }
       }
     }
   }

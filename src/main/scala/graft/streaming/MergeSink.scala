@@ -57,22 +57,35 @@ object MergeSink {
     * Isolation from in-flight writes: only batch dirs carrying the
     * commit marker are read, so a batch mid-(re)write — whose dir
     * exists but is incomplete — is excluded instead of surfacing a
-    * partial batch. `ignoreMissingFiles` covers the residual window
-    * where a listed COMMITTED batch is deleted by a crash-retry between
-    * listing and execution (the reader then sees the pre-batch view for
-    * those files rather than failing). */
+    * partial batch. Residual window: a COMMITTED dir deleted by a
+    * crash-retry between our listing and plan resolution fails root-
+    * path resolution (`ignoreMissingFiles` only suppresses files that
+    * vanish AFTER the file index is built, never missing root paths) —
+    * that read re-lists and retries, converging because the retried
+    * batch either re-commits or stays excluded by the marker gate. */
   def compactedRead(spark: SparkSession, logDir: String): DataFrame = {
     val base = new org.apache.hadoop.fs.Path(logDir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
-    val committed = fs.listStatus(base).filter(_.isDirectory)
-      .map(_.getPath)
-      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, CommitMarker)))
-      .map(_.toString).sorted
-    require(committed.nonEmpty, s"no committed batches under $logDir")
-    spark.read
-      .option("ignoreMissingFiles", "true")
-      .option("basePath", logDir)
-      .parquet(committed.toIndexedSeq: _*)
+    var attempt = 0
+    var result: DataFrame = null
+    while (result == null) {
+      attempt += 1
+      val committed = fs.listStatus(base).filter(_.isDirectory)
+        .map(_.getPath)
+        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, CommitMarker)))
+        .map(_.toString).sorted
+      require(committed.nonEmpty, s"no committed batches under $logDir")
+      try result = spark.read
+        .option("ignoreMissingFiles", "true")
+        .option("basePath", logDir)
+        .parquet(committed.toIndexedSeq: _*)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException if attempt < 3 =>
+          // a listed batch dir vanished before plan resolution
+          // (crash-retry overwrite); re-list and try again
+      }
+    }
+    result
       .groupBy("user_id", "event_type")
       .agg(max("event_id").as("last_event_id"),
         max_by(col("cents"), col("event_id")).as("last_cents"),

@@ -77,5 +77,21 @@ class TaskHiveSpec extends SparkSuite {
     assert(hive.processTasks()
       .filter(col("task_type") === "1-URGENT").collect()
       .forall(_.getAs[String]("result").startsWith("spider:")))
+    // and a THIRD instance registering the SAME type must not clobber
+    // h2's processor body (session UDF names are instance-tagged)
+    val h3 = TaskHive(spark, sf)
+    h3.registerTaskProcessor("1-URGENT", id => s"other:$id")
+    assert(h2.processTasks()
+      .filter(col("task_type") === "1-URGENT").collect()
+      .forall(_.getAs[String]("result").startsWith("custom:")))
+    assert(h3.processTasks()
+      .filter(col("task_type") === "1-URGENT").collect()
+      .forall(_.getAs[String]("result").startsWith("other:")))
+  }
+
+  test("userProcName stays injective when sanitized forms collide") {
+    val names = Seq("etl-v1.0", "etl v1 0", "ETL_V1_0", "###", "!!!")
+      .map(functions.Processors.userProcName("i1", _))
+    assert(names.distinct.size == names.size, s"collisions in $names")
   }
 }
