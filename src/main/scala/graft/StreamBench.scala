@@ -15,7 +15,47 @@ import graft.streaming.TaskEngine.TaskEvent
   * 10 ÷ 2 s simulated latency); this measures the Spark engine's
   * single-node equivalent. Diagnostic main, not a driver contract. */
 object StreamBench {
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit =
+    if (args.headOption.contains("curation")) curationBench(args.drop(1))
+    else engineBench(args)
+
+  /** Streaming-curation throughput: replay the fixture corpus N× (fresh
+    * ids, duplicate CONTENT — so the dedup state does real work) through
+    * CurationStream as a file-source stream and report input docs/s. */
+  private def curationBench(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val copies = args.headOption.map(_.toInt).getOrElse(4)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = GraftSession.builder(32).master("local[32]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val root = Files.createTempDirectory("graft-curationbench").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val base = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+    val nBase = base.count()
+    (0 until copies).map(c => base.withColumn("doc_id",
+        col("doc_id") + lit(c.toLong * 1000000000L)))
+      .reduce(_ unionByName _)
+      .repartition(24).write.parquet(in)
+    val bench = graft.streaming.CurationStream.benchShingleHashes(spark, sfDir)
+    val docs = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "4").parquet(in)
+    val t0 = System.nanoTime()
+    val q = graft.streaming.CurationStream.curate(spark, docs, bench)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val nIn = nBase * copies
+    val nOut = spark.read.parquet(out).count()
+    println(f"""{"metric":"curation_docs_per_sec","value":${nIn / sec}%.0f,"docs_in":$nIn,"docs_kept":$nOut,"sec":$sec%.2f}""")
+    spark.stop()
+  }
+
+  private def engineBench(args: Array[String]): Unit = {
     val nTasks = args.headOption.map(_.toInt).getOrElse(50000)
     val spark = GraftSession.builder(32).master("local[32]").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
