@@ -32,7 +32,9 @@ object Bench {
     // extras, quantized ANN, dedup verdict, distributed prefix sum
     "pending_gate", "customers_with_urgent", "process_dispatch_udf",
     "source_caps", "doc_pack", "unigram_surprisal", "ann_q8_topk",
-    "dedup_canonical")
+    "dedup_canonical",
+    // retrieval + split assignment
+    "bm25_search", "tfidf_terms", "split_assign")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
