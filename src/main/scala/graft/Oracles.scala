@@ -712,6 +712,18 @@ object Oracles {
         |FROM lh ORDER BY doc_id""".stripMargin),
     "doc_fingerprint" -> q(
       "SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id"),
+    // list_reduce has no initial accumulator (the first element seeds
+    // it), which equals the 0-seeded fold because h1 = (0*31+c0) mod p
+    // = c0 for any codepoint c0 < p. unicode(substr(...)) walks
+    // CODEPOINTS, matching the native expression's fold. Non-empty
+    // text only (the fixture guarantees it; list_reduce errors on []).
+    "fingerprint_rolling" -> q(
+      """SELECT doc_id,
+        |       list_reduce(
+        |         list_transform(range(1, length(text)+1),
+        |           i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
+        |         (a, b) -> (a * 31 + b) % 1000000007) AS rolling_fp
+        |FROM documents ORDER BY doc_id""".stripMargin),
     "chunk_dedup" -> qx(
       """, ch AS (
         |  SELECT doc_id,
