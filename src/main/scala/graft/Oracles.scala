@@ -922,6 +922,48 @@ object Oracles {
         |       hex(substring(text, 1, 8)) AS header_hex,
         |       'text/plain' AS mime
         |FROM documents ORDER BY doc_id""".stripMargin),
+    // The stub codec bodies are deterministic byte arithmetic, so for
+    // the ASCII fixture (codepoint = byte) they are SQL-expressible —
+    // which turns "stubbed" into "hash-verified cross-engine": the
+    // mapPartitions plumbing's exact output is pinned by DuckDB.
+    "multimodal_decode" -> qx(
+      """, bs AS (
+        |  SELECT doc_id, length(text) AS n,
+        |         list_aggregate(list_transform(range(1, length(text)+1),
+        |           i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
+        |           'sum') AS bsum
+        |  FROM documents
+        |)""".stripMargin,
+      """SELECT doc_id, CAST(16 + n % 64 AS INT) AS width,
+        |       CAST(16 + bsum % 64 AS INT) AS height,
+        |       CAST(3 AS INT) AS n_channels,
+        |       CAST(bsum % 256 AS DOUBLE) / 255.0 AS mean_luma
+        |FROM bs ORDER BY doc_id""".stripMargin),
+    "multimodal_resize" -> qx(
+      """, st AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |         GREATEST(1, length(text) // 64) AS stride
+        |  FROM documents
+        |), sub AS (
+        |  SELECT doc_id,
+        |         array_to_string(list_transform(
+        |           range(0, LEAST(64, (n + stride - 1) // stride)),
+        |           k -> substr(text, CAST(k * stride + 1 AS INT), 1)), '') AS thumb
+        |  FROM st
+        |)""".stripMargin,
+      """SELECT doc_id, CAST(length(thumb) AS INT) AS thumb_w,
+        |       CAST(1 AS INT) AS thumb_h, upper(md5(thumb)) AS thumb_md5
+        |FROM sub ORDER BY doc_id""".stripMargin),
+    "multimodal_framesample" -> qx(
+      """, fr AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(0, (length(text) + 255) // 256)) AS frame_idx
+        |  FROM documents
+        |)""".stripMargin,
+      """SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |       upper(md5(substr(text, CAST(frame_idx * 256 + 1 AS INT), 256))) AS frame_md5
+        |FROM fr WHERE frame_idx % 4 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin),
   ) ++ aggSql
 
   private def aggSql: Map[String, String] = {

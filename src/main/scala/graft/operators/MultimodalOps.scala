@@ -109,11 +109,14 @@ object MultimodalOps {
     }
   }
 
-  /** Harness view: thumbnail sizes + content hash (rows-only). */
+  /** Harness view: thumbnail sizes + content hash (oracle-checked —
+    * the stub arithmetic is SQL-expressible over the ASCII fixture).
+    * md5() already yields a hex STRING; upper(), not hex(), matches
+    * the oracle (hex(md5(..)) would re-encode the hex text itself). */
   def multimodalResize(spark: SparkSession, sfDir: String): DataFrame =
     resizeThumbs(spark, sfDir).toDF()
       .select(col("doc_id"), col("thumb_w"), col("thumb_h"),
-        hex(md5(col("thumb"))).as("thumb_md5"))
+        upper(md5(col("thumb"))).as("thumb_md5"))
       .orderBy("doc_id")
 
   /** Features decoded from REAL pixels ([[decodeImages]]); integer
