@@ -58,6 +58,38 @@ object Oracles {
   private def qx(extraCte: String, sql: String): String =
     CTE + extraCte + "\n" + sql
 
+  /** Like [[qx]] but the with-list is RECURSIVE (DuckDB wants the
+    * keyword immediately after WITH; it is harmless for the
+    * non-recursive CTEs in the shared prefix). */
+  private def qrx(extraCte: String, sql: String): String =
+    "WITH RECURSIVE" + CTE.stripPrefix("WITH") + extraCte + "\n" + sql
+
+  /** Star edges from duplicated 10-token chunks + min-label components
+    * — shared by the dedup_clusters and dedup_canonical oracles. */
+  private val DedupClustersCte: String =
+    """, ch AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(0, len(string_split(text, ' ')), 10),
+      |           i -> array_to_string(string_split(text, ' ')[i+1:i+10], ' '))) AS chunk
+      |  FROM documents
+      |), grp AS (
+      |  SELECT chunk, MIN(doc_id) AS src, list(DISTINCT doc_id) AS docs
+      |  FROM ch GROUP BY chunk HAVING COUNT(DISTINCT doc_id) > 1
+      |), star AS (
+      |  SELECT src, unnest(docs) AS dst FROM grp
+      |), und AS (
+      |  SELECT src AS a, dst AS b FROM star WHERE src <> dst
+      |  UNION SELECT dst, src FROM star WHERE src <> dst
+      |), nodes AS (
+      |  SELECT DISTINCT a AS node FROM und
+      |), reach(node, label) AS (
+      |  SELECT node, node FROM nodes
+      |  UNION
+      |  SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.node
+      |), comp AS (
+      |  SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node
+      |)""".stripMargin
+
   val sql: Map[String, String] = windowSql ++ joinSql ++ eventSql ++
     textSql ++ layoutSql ++ Map(
     "scan_tasks" -> q(
@@ -922,6 +954,35 @@ object Oracles {
         |       hex(substring(text, 1, 8)) AS header_hex,
         |       'text/plain' AS mime
         |FROM documents ORDER BY doc_id""".stripMargin),
+    // Connected components ARE oracle-expressible: a recursive CTE
+    // propagates labels along the undirected star edges (UNION dedups,
+    // so the accumulation terminates; components here are near-dup
+    // clusters — tiny — so the label-pair blowup is bounded) and the
+    // outer MIN per node recovers exactly the min-label fixpoint the
+    // Spark iteration converges to. Chunking mirrors chunk_dedup's
+    // oracle; grouping by the chunk STRING equals the engine's
+    // xxhash64(chunk) grouping (the hash is internal currency only).
+    "dedup_clusters" -> qrx(DedupClustersCte,
+      """SELECT doc_id, component,
+        |       COUNT(*) OVER (PARTITION BY component) AS cluster_size
+        |FROM comp ORDER BY doc_id""".stripMargin),
+    // canonical pick: longest text, tie -> min doc_id. The composite
+    // argmax key is encoded as ONE scalar (n_chars*1e9 - doc_id; doc
+    // ids are far below 1e9 at any fixture SF) because this DuckDB's
+    // arg_max lacks struct keys.
+    "dedup_canonical" -> qrx(DedupClustersCte +
+      """, canon AS (
+        |  SELECT c.component,
+        |         arg_max(c.doc_id, d.n_chars * 1000000000 - c.doc_id) AS canon_id
+        |  FROM comp c JOIN documents d USING (doc_id)
+        |  GROUP BY c.component
+        |)""".stripMargin,
+      """SELECT d.doc_id, c.component,
+        |       (c.component IS NULL OR d.doc_id = canon.canon_id) AS kept
+        |FROM documents d
+        |LEFT JOIN comp c ON d.doc_id = c.doc_id
+        |LEFT JOIN canon ON c.component = canon.component
+        |ORDER BY d.doc_id""".stripMargin),
     // The stub codec bodies are deterministic byte arithmetic, so for
     // the ASCII fixture (codepoint = byte) they are SQL-expressible —
     // which turns "stubbed" into "hash-verified cross-engine": the
