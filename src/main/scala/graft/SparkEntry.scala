@@ -129,6 +129,7 @@ object SparkEntry {
     "ann_ivf_topk" -> (SimilarityOps.annIvfTopk _),
     "minhash_dedup" -> (SimilarityOps.minhashDedup _),
     "embedding_centroids" -> (SimilarityOps.embeddingCentroids _),
+    "embedding_coverage" -> (SimilarityOps.embeddingCoverage _),
     "simhash_dedup" -> (SimilarityOps.simhashDedup _),
     // LLM-pipeline: multimodal plumbing
     "multimodal_meta" -> (MultimodalOps.multimodalMeta _),

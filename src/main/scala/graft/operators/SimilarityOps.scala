@@ -449,6 +449,27 @@ object SimilarityOps {
           .as("mean_e4"))
       .orderBy("label", "pos")
 
+  /** Referential-integrity audit between the document corpus and the
+    * embedding store — the check every corpus+vector-store pipeline
+    * runs before training or serving: per source, how many documents
+    * have an embedding at all, and how many of those conform to the
+    * store's declared dimension (64 throughout this engine). Left join
+    * on the id (both sides corpus-sized at 100 TB → an honest shuffle
+    * equi-join; the per-source aggregate collapses map-side), counts
+    * only ever carry (source, tiny ints). */
+  def embeddingCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), size(col("embedding")).as("dim"))
+    docs.join(vecs, col("doc_id") === col("vec_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("vec_id")).as("n_with_embedding"),
+        (count(lit(1)) - count(col("vec_id"))).as("n_missing"),
+        sum(when(col("dim") === 64, 1L).otherwise(0L)).as("n_dim_ok"))
+      .orderBy("source")
+  }
+
   /** Quantized inner-product search over the int8 store — what the
     * quantization in [[embeddingQuantize]] is FOR: score = Σ qa_i·qb_i,
     * pure integer arithmetic (|dot| ≤ 64·127² — no overflow, no float
