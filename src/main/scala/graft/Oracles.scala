@@ -381,14 +381,6 @@ object Oracles {
     // non-NULL values only — so variable-dimension embeddings agree
     // with Spark's posexplode side (which emits only present positions)
     // instead of silently diverging off the 64-dim fixture
-    "embedding_coverage" -> q(
-      """SELECT d.source,
-        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |       CAST(COUNT(e.vec_id) AS BIGINT) AS n_with_embedding,
-        |       CAST(COUNT(*) - COUNT(e.vec_id) AS BIGINT) AS n_missing,
-        |       CAST(SUM(CASE WHEN len(e.embedding) = 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_dim_ok
-        |FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
-        |GROUP BY d.source ORDER BY d.source""".stripMargin),
     "embedding_centroids" -> qx(
       """, dims AS (
         |  SELECT unnest(range(0, (SELECT MAX(len(embedding)) FROM embeddings))) AS pos
@@ -402,6 +394,14 @@ object Oracles {
         |FROM ev
         |WHERE v IS NOT NULL
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin),
+    "embedding_coverage" -> q(
+      """SELECT d.source,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(e.vec_id) AS BIGINT) AS n_with_embedding,
+        |       CAST(COUNT(*) - COUNT(e.vec_id) AS BIGINT) AS n_missing,
+        |       CAST(SUM(CASE WHEN len(e.embedding) = 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_dim_ok
+        |FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin),
     "stats_grouping_sets" -> q(
       """SELECT status, task_type,
         |       CAST(grouping(status) AS INT) AS g_status,

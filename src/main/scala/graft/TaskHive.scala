@@ -119,6 +119,17 @@ final class TaskHive private (val spark: SparkSession, val dir: String) {
   // never share (and never clobber) each other's processor UDFs
   private val instanceTag = s"i${TaskHive.instanceIds.incrementAndGet()}"
 
+  /** Release this facade's session-global UDF registrations (the
+    * instance-tagged names would otherwise accumulate for the session's
+    * lifetime — a slow leak under a construct-per-request pattern).
+    * Mirrors the reference's `Stop` teardown (taskhive.go:215-246). */
+  def close(): Unit = synchronized {
+    userProcs.values.foreach { name =>
+      spark.sessionState.catalog.dropTempFunction(name, ignoreIfNotExists = true)
+    }
+    userProcs.clear()
+  }
+
   /** The worker processing pass (worker.go:228-260): dispatch every
     * task to the processor registered for its type — built-ins plus
     * everything installed via [[registerTaskProcessor]] (user entries

@@ -144,22 +144,30 @@ object MultimodalOps {
         tryDecode(r.payload) match {
           case None => ImageFeatures(r.doc_id, 0, 0, 0, 0L, ok = false)
           case Some(img) =>
-            var sum = 0L
-            var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) {
-                val rgb = img.getRGB(x, y)
-                sum += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
-                  114 * (rgb & 0xff)) / 1000
-                x += 1
+            // pixel extraction guarded too: a payload that DECODES but
+            // throws in getRGB/color conversion (exotic ICC/raster via
+            // a pluggable reader) must also quarantine, not kill the
+            // stage — the invariant is per-ROW containment
+            try {
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  sum += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                    114 * (rgb & 0xff)) / 1000
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
+              val n = img.getWidth.toLong * img.getHeight
+              ImageFeatures(r.doc_id, img.getWidth, img.getHeight,
+                img.getColorModel.getNumComponents, sum * 1000 / (n * 255),
+                ok = true)
+            } catch {
+              case _: Exception => ImageFeatures(r.doc_id, 0, 0, 0, 0L, ok = false)
             }
-            val n = img.getWidth.toLong * img.getHeight
-            ImageFeatures(r.doc_id, img.getWidth, img.getHeight,
-              img.getColorModel.getNumComponents, sum * 1000 / (n * 255),
-              ok = true)
         }
       }
     }

@@ -61,28 +61,35 @@ object MergeSink {
     * crash-retry between our listing and plan resolution fails root-
     * path resolution (`ignoreMissingFiles` only suppresses files that
     * vanish AFTER the file index is built, never missing root paths) —
-    * that read re-lists and retries, converging because the retried
-    * batch either re-commits or stays excluded by the marker gate. */
+    * that read re-lists with linear backoff (5 attempts, ~2 s total:
+    * the rewrite it is waiting out is one micro-batch's files), then
+    * rethrows if the log still has no readable committed batch. */
   def compactedRead(spark: SparkSession, logDir: String): DataFrame = {
     val base = new org.apache.hadoop.fs.Path(logDir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val MaxAttempts = 5
     var attempt = 0
     var result: DataFrame = null
     while (result == null) {
       attempt += 1
-      val committed = fs.listStatus(base).filter(_.isDirectory)
-        .map(_.getPath)
-        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, CommitMarker)))
-        .map(_.toString).sorted
-      require(committed.nonEmpty, s"no committed batches under $logDir")
-      try result = spark.read
-        .option("ignoreMissingFiles", "true")
-        .option("basePath", logDir)
-        .parquet(committed.toIndexedSeq: _*)
-      catch {
-        case _: org.apache.spark.sql.AnalysisException if attempt < 3 =>
-          // a listed batch dir vanished before plan resolution
-          // (crash-retry overwrite); re-list and try again
+      try {
+        val committed = fs.listStatus(base).filter(_.isDirectory)
+          .map(_.getPath)
+          .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, CommitMarker)))
+          .map(_.toString).sorted
+        require(committed.nonEmpty, s"no committed batches under $logDir")
+        result = spark.read
+          .option("ignoreMissingFiles", "true")
+          .option("basePath", logDir)
+          .parquet(committed.toIndexedSeq: _*)
+      } catch {
+        // retry BOTH shapes of the race: a listed dir vanished before
+        // plan resolution (AnalysisException), or the only committed
+        // batch is mid-rewrite so the filtered listing came up empty
+        // (IllegalArgumentException from the require)
+        case e @ (_: org.apache.spark.sql.AnalysisException |
+                  _: IllegalArgumentException) if attempt < MaxAttempts =>
+          Thread.sleep(100L * attempt)
       }
     }
     result

@@ -87,6 +87,13 @@ class TaskHiveSpec extends SparkSuite {
     assert(h3.processTasks()
       .filter(col("task_type") === "1-URGENT").collect()
       .forall(_.getAs[String]("result").startsWith("other:")))
+    // close() releases the session-global registrations: dispatch falls
+    // back to the built-ins (and the instance-tagged UDFs are dropped
+    // from the session registry, so per-request facades don't leak)
+    h3.close()
+    assert(h3.processTasks()
+      .filter(col("task_type") === "1-URGENT").collect()
+      .forall(_.getAs[String]("result").startsWith("spider:")))
   }
 
   test("userProcName stays injective when sanitized forms collide") {
