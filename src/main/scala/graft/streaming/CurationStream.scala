@@ -65,4 +65,28 @@ object CurationStream {
       .dropDuplicates("fp")
       .select(col("doc_id"), Exprs.tokenCount(col("text")).as("n_tokens"))
   }
+
+  /** The state-BOUNDED production form of [[curate]]: identical gates,
+    * but the dedup keeps a fingerprint only within `horizon` of the
+    * watermark (`dropDuplicatesWithinWatermark`), so state is bounded
+    * by the duplicate horizon instead of growing with corpus
+    * cardinality forever. `docs` must carry an `ingest_ts` timestamp
+    * (the micro-batch arrival time in a real deployment). The unbounded
+    * [[curate]] stays as the exact batch-equivalent form — the horizon
+    * is the standard accuracy/state trade: a duplicate arriving later
+    * than `horizon` after its original is re-admitted. */
+  def curateWithinWatermark(spark: SparkSession, docs: DataFrame,
+      benchHashes: Array[Long], horizon: String = "1 hour"): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val sh: Column = call_function("graft_shingles", col("text"), lit(3))
+    docs
+      .withWatermark("ingest_ts", horizon)
+      .filter(TextOps.isQuality(col("text")))
+      .withColumn("sh_h", transform(sh, t => xxhash64(t)))
+      .filter(lit(4) * size(array_intersect(col("sh_h"), lit(benchHashes)))
+        < size(col("sh_h")))
+      .withColumn("fp", md5(col("text")))
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col("doc_id"), Exprs.tokenCount(col("text")).as("n_tokens"))
+  }
 }

@@ -42,6 +42,30 @@ class CurationStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("watermarked variant dedups within the horizon, state stays bounded") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val text = ("tok " * 30).trim
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = streaming.CurationStream.curateWithinWatermark(spark,
+        input.toDF().toDF("doc_id", "ingest_ts", "text"),
+        Array(0L), horizon = "10 minutes")
+      .writeStream.format("memory").queryName("curated_wm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:05:00")
+      input.addData((1L, t0, text))
+      q.processAllAvailable()
+      input.addData((2L, t1, text)) // duplicate inside the horizon
+      q.processAllAvailable()
+      val out = spark.table("curated_wm").as[(Long, Int)].collect()
+      assert(out.toSeq == Seq((1L, 30)), s"got ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("re-sent duplicate content in a later micro-batch is dropped") {
     val s = spark
     import s.implicits._
