@@ -156,6 +156,25 @@ class OperatorPlanSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
   }
 
+  test("split_assign is a pure narrow projection (no exchange before the output sort)") {
+    val plan = executedPlanString(graft.operators.TextOps.splitAssign(spark, sf))
+    // exactly the one range exchange for the deterministic output order
+    // (count only the final plan — AQE's string repeats the initial one)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = "Exchange".r.findAllIn(finalPlan).size
+    assert(exchanges <= 1, s"expected at most the output-sort exchange:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("HashAggregate"),
+      s"split assignment must not join or aggregate:\n$plan")
+  }
+
+  test("embedding_coverage: equi-join (no broadcast of the corpus-sized store) + partial agg") {
+    val plan = executedPlanString(
+      graft.operators.SimilarityOps.embeddingCoverage(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"per-source aggregate should collapse map-side:\n$plan")
+  }
+
   test("bloom_prune_join: runtime bloom filter injected once size gates allow") {
     // The injection is size-gated for real workloads (creation side under
     // ~10 MB, probe scan over ~10 GB); at fixture scale the probe is tiny,
