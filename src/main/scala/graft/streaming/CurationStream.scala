@@ -26,9 +26,10 @@ import graft.operators.TextOps
   *    state holding one fingerprint per distinct document. First
   *    arrival wins, which equals the batch min-doc_id canonical pick
   *    whenever ingestion is id-ordered; unbounded-history dedup is the
-  *    semantic here, and a production deployment bounds state with
-  *    `dropDuplicatesWithinWatermark` once "duplicate" has a time
-  *    horizon (see StreamingSpec's ST9 test).
+  *    semantic here, and [[curateWithinWatermark]] is the bounded-state
+  *    production form once "duplicate" has a time horizon (eviction and
+  *    re-admission pinned by CurationStreamSpec; the raw operator's ST9
+  *    analog lives in StreamingE2ESpec).
   */
 object CurationStream {
 
@@ -47,10 +48,11 @@ object CurationStream {
       .as[Long].collect().sorted
   }
 
-  /** The streaming curation transform. `docs` is a streaming frame with
-    * (doc_id, text); output is the curated (doc_id, n_tokens) in append
-    * mode. */
-  def curate(spark: SparkSession, docs: DataFrame,
+  /** Quality gate + decontamination + fingerprint, the SINGLE
+    * definition both public forms dedup behind — the gates must never
+    * fork between the exact and the bounded form (same principle as
+    * [[TextOps.isQuality]] not forking between batch and stream). */
+  private def gated(spark: SparkSession, docs: DataFrame,
       benchHashes: Array[Long]): DataFrame = {
     graft.GraftExtensions.register(spark)
     val sh: Column = call_function("graft_shingles", col("text"), lit(3))
@@ -62,31 +64,34 @@ object CurationStream {
       .filter(lit(4) * size(array_intersect(col("sh_h"), lit(benchHashes)))
         < size(col("sh_h")))
       .withColumn("fp", md5(col("text")))
-      .dropDuplicates("fp")
-      .select(col("doc_id"), Exprs.tokenCount(col("text")).as("n_tokens"))
   }
 
-  /** The state-BOUNDED production form of [[curate]]: identical gates,
-    * but the dedup keeps a fingerprint only within `horizon` of the
-    * watermark (`dropDuplicatesWithinWatermark`), so state is bounded
-    * by the duplicate horizon instead of growing with corpus
-    * cardinality forever. `docs` must carry an `ingest_ts` timestamp
-    * (the micro-batch arrival time in a real deployment). The unbounded
+  private val Output = Seq(col("doc_id"),
+    Exprs.tokenCount(col("text")).as("n_tokens"))
+
+  /** The streaming curation transform. `docs` is a streaming frame with
+    * (doc_id, text); output is the curated (doc_id, n_tokens) in append
+    * mode. */
+  def curate(spark: SparkSession, docs: DataFrame,
+      benchHashes: Array[Long]): DataFrame =
+    gated(spark, docs, benchHashes)
+      .dropDuplicates("fp")
+      .select(Output: _*)
+
+  /** The state-BOUNDED production form of [[curate]]: identical gates
+    * (shared, not copied), but the dedup keeps a fingerprint only
+    * within `horizon` of the watermark
+    * (`dropDuplicatesWithinWatermark`), so state is bounded by the
+    * duplicate horizon instead of growing with corpus cardinality
+    * forever. `docs` must carry an `ingest_ts` timestamp (the
+    * micro-batch arrival time in a real deployment). The unbounded
     * [[curate]] stays as the exact batch-equivalent form — the horizon
     * is the standard accuracy/state trade: a duplicate arriving later
-    * than `horizon` after its original is re-admitted. */
+    * than `horizon` after its original is re-admitted (spec-pinned,
+    * both directions). */
   def curateWithinWatermark(spark: SparkSession, docs: DataFrame,
-      benchHashes: Array[Long], horizon: String = "1 hour"): DataFrame = {
-    graft.GraftExtensions.register(spark)
-    val sh: Column = call_function("graft_shingles", col("text"), lit(3))
-    docs
-      .withWatermark("ingest_ts", horizon)
-      .filter(TextOps.isQuality(col("text")))
-      .withColumn("sh_h", transform(sh, t => xxhash64(t)))
-      .filter(lit(4) * size(array_intersect(col("sh_h"), lit(benchHashes)))
-        < size(col("sh_h")))
-      .withColumn("fp", md5(col("text")))
+      benchHashes: Array[Long], horizon: String = "1 hour"): DataFrame =
+    gated(spark, docs.withWatermark("ingest_ts", horizon), benchHashes)
       .dropDuplicatesWithinWatermark("fp")
-      .select(col("doc_id"), Exprs.tokenCount(col("text")).as("n_tokens"))
-  }
+      .select(Output: _*)
 }

@@ -42,12 +42,13 @@ class CurationStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
-  test("watermarked variant dedups within the horizon, state stays bounded") {
+  test("watermarked variant: in-horizon dup dropped, past-horizon state evicted") {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = spark.sqlContext
 
     val text = ("tok " * 30).trim
+    val other = ("alt " * 30).trim
     val input = MemoryStream[(Long, java.sql.Timestamp, String)]
     val q = streaming.CurationStream.curateWithinWatermark(spark,
         input.toDF().toDF("doc_id", "ingest_ts", "text"),
@@ -55,14 +56,24 @@ class CurationStreamSpec extends SparkSuite {
       .writeStream.format("memory").queryName("curated_wm")
       .outputMode(OutputMode.Append).start()
     try {
-      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
-      val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:05:00")
-      input.addData((1L, t0, text))
+      def ts(t: String) = java.sql.Timestamp.valueOf(t)
+      input.addData((1L, ts("2024-01-01 10:00:00"), text))
       q.processAllAvailable()
-      input.addData((2L, t1, text)) // duplicate inside the horizon
+      input.addData((2L, ts("2024-01-01 10:05:00"), text)) // dup in horizon
       q.processAllAvailable()
-      val out = spark.table("curated_wm").as[(Long, Int)].collect()
-      assert(out.toSeq == Seq((1L, 30)), s"got ${out.toSeq}")
+      // advance the watermark to 10:50 — past first-seen + horizon
+      // (10:10), so text's fingerprint state is EVICTED...
+      input.addData((3L, ts("2024-01-01 11:00:00"), other))
+      q.processAllAvailable()
+      // ...and the same content re-sent after the horizon is
+      // RE-ADMITTED: the documented accuracy/state trade, and the
+      // observable difference from the unbounded curate() — if the
+      // operator silently reverted to dropDuplicates, this row would
+      // be dropped and the assert below would fail
+      input.addData((4L, ts("2024-01-01 11:01:00"), text))
+      q.processAllAvailable()
+      val out = spark.table("curated_wm").as[(Long, Int)].collect().sortBy(_._1)
+      assert(out.toSeq == Seq((1L, 30), (3L, 30), (4L, 30)), s"got ${out.toSeq}")
     } finally q.stop()
   }
 

@@ -167,12 +167,24 @@ class OperatorPlanSpec extends SparkSuite {
       s"split assignment must not join or aggregate:\n$plan")
   }
 
-  test("embedding_coverage: equi-join (no broadcast of the corpus-sized store) + partial agg") {
-    val plan = executedPlanString(
-      graft.operators.SimilarityOps.embeddingCoverage(spark, sf))
-    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
-    assert(plan.contains("partial_count") || plan.contains("Partial"),
-      s"per-source aggregate should collapse map-side:\n$plan")
+  test("embedding_coverage: shuffle equi-join once broadcast is off (the 100 TB shape) + partial agg") {
+    // at fixture scale the store broadcasts; at 100 TB both sides are
+    // corpus-sized, so the plan that matters is the shuffle EQUI-join —
+    // disable broadcast to pin that shape (same device as the bloom test)
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = executedPlanString(
+        graft.operators.SimilarityOps.embeddingCoverage(spark, sf))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffle equi-join:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"non-equi join shape:\n$plan")
+      assert(plan.contains("partial_count") || plan.contains("Partial"),
+        s"per-source aggregate should collapse map-side:\n$plan")
+    } finally saved.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+      conf.set("spark.sql.autoBroadcastJoinThreshold", _))
   }
 
   test("bloom_prune_join: runtime bloom filter injected once size gates allow") {
