@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, MinHashSig, RollingFp, SimHash64, TokenChunksGen, TokenShingles}
+import graft.functions.{CompressionRatio, CosineSimilarity, MinHashSig, RollingFp, SimHash64, TokenChunksGen, TokenShingles}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for the SQL surface. Use either at session build time
@@ -82,6 +82,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_rollfp"),
       new ExpressionInfo(classOf[RollingFp].getName, "graft_rollfp"),
       (children: Seq[Expression]) => RollingFp(children(0))),
+    (FunctionIdentifier("graft_zratio"),
+      new ExpressionInfo(classOf[CompressionRatio].getName, "graft_zratio"),
+      (children: Seq[Expression]) => CompressionRatio(children(0))),
     templateFn("graft_status_name", 1,
       """CASE WHEN arg0 = 0 THEN 'pending' WHEN arg0 = 1 THEN 'processing'
         |     WHEN arg0 = 2 THEN 'completed' WHEN arg0 = 3 THEN 'failed'

@@ -99,6 +99,7 @@ object SparkEntry {
     "chunk_dedup" -> (TextOps.chunkDedup _),
     "stratified_sample" -> (TextOps.stratifiedSample _),
     "split_assign" -> (TextOps.splitAssign _),
+    "compression_ratio" -> (TextOps.compressionRatio _),
     "pii_redact" -> (TextOps.piiRedact _),
     "chars_histogram" -> (TextOps.charsHistogram _),
     // LLM-pipeline: retrieval scoring + corpus mixture planning

@@ -402,3 +402,71 @@ case class TokenShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Native deflate-compression ratio: `graft_zratio(text)` → compressed
+  * size × 1000 / raw size (integer millis; empty text → 1000). The
+  * Gopher/FineWeb-family redundancy signal: looping or boilerplate
+  * text compresses far below natural prose, so a LOW ratio flags
+  * low-quality documents — complementary to the shingle-based
+  * [[graft.operators.TextOps.repetitionRatio]] (which sees only
+  * 3-token-exact repeats; deflate sees long-range and sub-token
+  * redundancy).
+  *
+  * zlib level 6 raw deflate via the JDK's bundled java.util.zip — no
+  * external libs. Only the SIZE is computed: compressed output is
+  * discarded buffer-by-buffer through one per-thread 8 KiB scratch
+  * array, and the Deflater (native zlib state) is reused via
+  * ThreadLocal — per-row allocation would thrash native memory at
+  * corpus scale. Not oracle-checkable (DuckDB ships no compression
+  * primitive); TokenGramsSpec pins determinism, bounds, and the
+  * repetitive ≪ prose ordering.
+  */
+case class CompressionRatio(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_zratio expects string input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_zratio"
+
+  override def nullSafeEval(t: Any): Any =
+    compute(t.asInstanceOf[UTF8String])
+
+  def compute(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    if (bytes.length == 0) 1000L
+    else {
+      val d = CompressionRatio.deflaters.get()
+      d.reset()
+      d.setInput(bytes)
+      d.finish()
+      val buf = CompressionRatio.scratch.get()
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total * 1000L / bytes.length
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val self = ctx.addReferenceObj("zratio", this, classOf[CompressionRatio].getName)
+      s"${ev.value} = $self.compute($t);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CompressionRatio {
+  // raw deflate (nowrap): the 2-byte zlib header/checksum would skew
+  // tiny documents; level 6 = zlib default, deterministic for a given
+  // input on the JDK's bundled zlib
+  private val deflaters: ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() => new java.util.zip.Deflater(6, true))
+  private val scratch: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](8192))
+}

@@ -589,6 +589,23 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Deflate-compression-ratio quality signal — the Gopher/FineWeb
+    * redundancy gate: looping/boilerplate text compresses far below
+    * natural prose, so a LOW zratio flags low-quality documents.
+    * Complementary to [[repetitionRatio]] (exact 3-token repeats only;
+    * deflate sees long-range and sub-token redundancy). Native
+    * codegen'd expression ([[graft.functions.CompressionRatio]]) —
+    * pure map-side scan projection, zero shuffles at any scale.
+    * Rows-only (DuckDB ships no compression primitive); TokenGramsSpec
+    * pins determinism, bounds, and repetitive ≪ prose. */
+  def compressionRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        call_function("graft_zratio", col("text")).as("zratio_milli"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic train/val/test split assignment — the reproducible
     * partition every training pipeline stamps on its corpus before
     * anything downstream runs. Same hash-threshold family as

@@ -103,6 +103,30 @@ class TokenGramsSpec extends SparkSuite {
     assert(native == hof)
   }
 
+  test("graft_zratio: deterministic, bounded, repetitive ≪ prose") {
+    GraftExtensions.register(spark)
+    val repetitive = ("spam " * 200).trim
+    val prose = (1 to 200).map(i => s"w${i * 2654435761L % 9973}").mkString(" ")
+    val rows = Seq(repetitive, prose, "")
+      .toDF("text")
+      .select(call_function("graft_zratio", col("text")).as("z"))
+      .collect().map(_.getLong(0))
+    val Array(zRep, zProse, zEmpty) = rows
+    assert(zEmpty == 1000L, "empty text is defined as ratio 1000")
+    assert(zRep > 0 && zRep < 100,
+      s"200x-repeated token should compress below 10% ($zRep)")
+    assert(zProse > 3 * zRep,
+      s"varied prose ($zProse) must compress far worse than loops ($zRep)")
+    // determinism across evaluations (ThreadLocal deflater reuse must
+    // not leak state between rows/runs)
+    val again = operators.TextOps.compressionRatio(spark, sf).collect()
+    val first = operators.TextOps.compressionRatio(spark, sf).collect()
+    assert(again.map(_.toSeq).toSeq == first.map(_.toSeq).toSeq)
+    assert(first.forall { r =>
+      val z = r.getLong(1); z > 0 && z <= 1500
+    }, "corpus ratios must land in (0, 1.5]")
+  }
+
   test("graft_rollfp folds codepoints: non-BMP text still ≡ the HOF fold") {
     GraftExtensions.register(spark)
     // The fixture is pure ASCII, so this pins the astral-plane case the
