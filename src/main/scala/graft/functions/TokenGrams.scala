@@ -404,9 +404,12 @@ case class TokenShingles(child: Expression, n: Int) extends UnaryExpression {
 }
 
 /** Native deflate-compression ratio: `graft_zratio(text)` → compressed
-  * size × 1000 / raw size (integer millis; empty text → 1000). The
-  * Gopher/FineWeb-family redundancy signal: looping or boilerplate
-  * text compresses far below natural prose, so a LOW ratio flags
+  * size × 1000 / raw size (integer millis; empty text → 0, i.e.
+  * maximally redundant, so a low-ratio quality gate REJECTS empty
+  * docs — the prose-like end of the scale must never be reachable by
+  * definitively-junk input). The Gopher/FineWeb-family redundancy
+  * signal: looping or boilerplate text compresses far below natural
+  * prose, so a LOW ratio flags
   * low-quality documents — complementary to the shingle-based
   * [[graft.operators.TextOps.repetitionRatio]] (which sees only
   * 3-token-exact repeats; deflate sees long-range and sub-token
@@ -438,7 +441,7 @@ case class CompressionRatio(child: Expression) extends UnaryExpression {
 
   def compute(text: UTF8String): Long = {
     val bytes = text.getBytes
-    if (bytes.length == 0) 1000L
+    if (bytes.length == 0) 0L
     else {
       val d = CompressionRatio.deflaters.get()
       d.reset()

@@ -18,10 +18,13 @@ class JsonlCorpusSpec extends SparkSuite {
     val lines = Seq(
       s"""{"doc_id": 1, "source": "web", "text": "$goodText"}""",
       s"""{"doc_id": 2, "source": "web", "text": "$goodText extra"}""",
-      s"""{"doc_id": 3, "source": "code", "text": "$goodText more"}""",
+      s"""{"doc_id": 3, "source": "code", "text": "$goodText more", "extra_field": {"nested": true}}""",
       """{"doc_id": 4, "source": "web"}""", // structurally valid, no text
       """{"doc_id": oops not json at all""", // malformed
-      """just some stray plain text""") // not even an object
+      """just some stray plain text""", // not even an object
+      s"""{"doc_id": 5, "source": "web", "text": "$goodText"} trailing junk""",
+      s"""{"doc_id": 6, "source": "web", "text": "a"}{"doc_id": 7, "source": "web", "text": "b"}""", // merged records
+      s"""{"doc_id": "eight", "source": "web", "text": "$goodText"}""") // wrong-typed id
     Files.write(java.nio.file.Paths.get(dir, "part-000.jsonl"),
       String.join("\n", lines: _*).getBytes)
     dir
@@ -37,11 +40,29 @@ class JsonlCorpusSpec extends SparkSuite {
     assert(docs.forall(_._3.startsWith("tok")))
     val quarantined = JsonlCorpus.quarantine(spark, dir)
       .as[String].collect().toSet
-    assert(quarantined.size == 3)
+    assert(quarantined.size == 6)
     assert(quarantined.exists(_.contains("oops")))
     assert(quarantined.exists(_.contains("stray")))
     assert(quarantined.exists(_.contains("\"doc_id\": 4")),
       "payload-less object must quarantine, not become a null-text doc")
+    // the producer bugs from_json silently ACCEPTS must quarantine here
+    assert(quarantined.exists(_.contains("trailing junk")),
+      "trailing garbage after a valid object must quarantine")
+    assert(quarantined.exists(_.contains("\"doc_id\": 6")),
+      "two records merged on one line must quarantine")
+    assert(quarantined.exists(_.contains("eight")),
+      "wrong-typed doc_id must quarantine")
+  }
+
+  test("streaming quarantine partitions the input exactly with the docs stream") {
+    val dir = writeFixture()
+    val q = JsonlCorpus.streamQuarantine(spark, dir)
+      .writeStream.format("memory").queryName("jsonl_quarantine")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("jsonl_quarantine").count() == 6)
+    } finally q.stop()
   }
 
   test("streaming JSONL feed flows through the curation gates") {

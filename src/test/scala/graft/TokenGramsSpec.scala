@@ -112,7 +112,8 @@ class TokenGramsSpec extends SparkSuite {
       .select(call_function("graft_zratio", col("text")).as("z"))
       .collect().map(_.getLong(0))
     val Array(zRep, zProse, zEmpty) = rows
-    assert(zEmpty == 1000L, "empty text is defined as ratio 1000")
+    assert(zEmpty == 0L,
+      "empty text is maximally redundant (0) so a low-ratio gate rejects it")
     assert(zRep > 0 && zRep < 100,
       s"200x-repeated token should compress below 10% ($zRep)")
     assert(zProse > 3 * zRep,
