@@ -33,8 +33,9 @@ object Bench {
     "pending_gate", "customers_with_urgent", "process_dispatch_udf",
     "source_caps", "doc_pack", "unigram_surprisal", "ann_q8_topk",
     "dedup_canonical",
-    // retrieval + split assignment
-    "bm25_search", "tfidf_terms", "split_assign")
+    // retrieval + split assignment + late round-4 curation surface
+    "bm25_search", "tfidf_terms", "split_assign",
+    "compression_ratio", "embedding_coverage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

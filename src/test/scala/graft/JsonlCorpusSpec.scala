@@ -65,6 +65,39 @@ class JsonlCorpusSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("curation dedup state survives a restart: duplicate across the restart is dropped") {
+    val dir = Files.createTempDirectory("graft-jsonl-restart").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(in, name),
+        String.join("\n", lines: _*).getBytes)
+    def runDrain(): Unit = {
+      val q = CurationStream.curate(spark,
+          JsonlCorpus.stream(spark, in).select("doc_id", "text"), Array(0L))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    writeFile("b1.jsonl", Seq(
+      s"""{"doc_id": 1, "source": "web", "text": "$goodText one"}""",
+      s"""{"doc_id": 2, "source": "web", "text": "$goodText two"}"""))
+    runDrain() // first incarnation drains batch 1, then stops
+    writeFile("b2.jsonl", Seq(
+      s"""{"doc_id": 3, "source": "web", "text": "$goodText one"}""", // dup of doc 1
+      s"""{"doc_id": 4, "source": "web", "text": "$goodText four"}"""))
+    runDrain() // SECOND incarnation: state restored from the checkpoint
+    val s = spark
+    import s.implicits._
+    val kept = spark.read.parquet(out).as[(Long, Int)].collect()
+      .map(_._1).sorted.toSeq
+    assert(kept == Seq(1L, 2L, 4L),
+      s"restart must restore dedup state (doc 3 duplicates doc 1): got $kept")
+  }
+
   test("streaming JSONL feed flows through the curation gates") {
     val dir = writeFixture()
     val q = CurationStream.curate(spark,
