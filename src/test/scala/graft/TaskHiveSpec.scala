@@ -96,6 +96,24 @@ class TaskHiveSpec extends SparkSuite {
       .forall(_.getAs[String]("result").startsWith("spider:")))
   }
 
+  test("start() runs the lifecycle engine end to end (facade smoke)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-hive-start").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[streaming.TaskEngine.TaskEvent]
+    input.addData(
+      streaming.TaskEngine.TaskEvent("t1", "submit", null, 0L),
+      streaming.TaskEngine.TaskEvent("t1", "assign", "w1", 1L),
+      streaming.TaskEngine.TaskEvent("t1", "complete", null, 2L))
+    val q = hive.start(input.toDS(), s"$dir/ckpt", s"$dir/out")
+    try q.processAllAvailable() finally q.stop()
+    val transitions = spark.read.parquet(s"$dir/out")
+    assert(transitions.count() == 3)
+    assert(transitions.filter(col("taskId") === "t1").count() == 3)
+  }
+
   test("userProcName stays injective when sanitized forms collide") {
     val names = Seq("etl-v1.0", "etl v1 0", "ETL_V1_0", "###", "!!!")
       .map(functions.Processors.userProcName("i1", _))
