@@ -419,23 +419,32 @@ object TextOps {
     * STARTS in (boundary-crossing concatenation, the standard
     * pretraining packing). Pure integer arithmetic end to end.
     *
-    * Scale design — a TWO-PASS DISTRIBUTED PREFIX SUM, not a window:
+    * Scale design — a DISTRIBUTED PREFIX SUM, not a corpus window:
     * `sum() over (partition by source order by doc_id)` funnels each
     * source through ONE reducer — with 20 sources over a 100 TB corpus
     * that is a handful of serial sort spills. Instead: range-partition
-    * by (source, doc_id) (order-preserving), pass 1 collects
-    * per-(partition, source) token subtotals (a ≤ partitions×sources
-    * dim — driver-side scalars, not data), prefix-sums them into
-    * per-partition base offsets, pass 2 runs the per-partition
-    * sequential scan seeded by its base. Both passes run over ONE
-    * checkpointed layout so the partition bounds (sampled by the
-    * RangePartitioner) are identical — offsets keyed by partition id
-    * would silently mismatch otherwise. (Third sanctioned RDD use:
-    * like round_robin_assign's rank, Catalyst has no distributed-scan
-    * primitive that avoids the per-group window funnel.)
+    * by (source, doc_id) (order-preserving), ONE per-partition
+    * sequential scan emits each row's LOCAL prefix (its start offset
+    * within its own partition), and the per-(partition, source)
+    * subtotals — derived by a map-side-combined aggregate, a
+    * ≤ partitions×sources frame that stays DISTRIBUTED — get their
+    * global base offsets from a cumsum window over
+    * `(source ORDER BY partition_id)`. That window partitions by
+    * source over the SUBTOTAL frame (#partitions rows per source,
+    * never corpus rows), so there is no funnel; the offsets then JOIN
+    * back (AQE broadcasts the tiny frame at fixture scale; a
+    * 10⁶-partition × 10³-source corpus falls back to a shuffle join on
+    * narrow int columns — either way nothing lands on the driver).
+    * The scan runs over ONE checkpointed layout so the partition
+    * bounds (sampled by the RangePartitioner) are identical across the
+    * two consumers — offsets keyed by partition id would silently
+    * mismatch otherwise. (Third sanctioned RDD use: like
+    * round_robin_assign's rank, Catalyst has no distributed-scan
+    * primitive for the in-partition sequential prefix.)
     * [[docPackWindow]] is the window-form comparison pair; the spec
     * asserts equality and the oracle checks the window semantics. */
   def docPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val ctx = 2048L
     val base = Tables.documents(spark, sfDir)
@@ -443,34 +452,32 @@ object TextOps {
         Exprs.tokenCount(col("text")).cast("long").as("n_tokens"))
       .repartitionByRange(32, asc("source"), asc("doc_id"))
       .sortWithinPartitions(asc("source"), asc("doc_id"))
-      .localCheckpoint() // pin ONE sampled partitioning for both passes
+      .localCheckpoint() // pin ONE sampled partitioning for both consumers
       .as[(Long, String, Long)]
-    // pass 1: per-(partition, source) subtotals, in in-partition order
-    val subs = base.rdd.mapPartitionsWithIndex { (p, it) =>
-      val sums = scala.collection.mutable.LinkedHashMap[String, Long]()
-      it.foreach { case (_, src, n) => sums(src) = sums.getOrElse(src, 0L) + n }
-      Iterator.single(p -> sums.toSeq)
-    }.collect()
-    // driver: prefix-sum the subtotals into each partition's per-source
-    // base offset (bounded scalar work — partitions × sources)
-    val running = scala.collection.mutable.Map[String, Long]()
-    val offsets: Map[(Int, String), Long] = subs.sortBy(_._1).flatMap {
-      case (p, sums) => sums.map { case (src, tot) =>
-        val off = running.getOrElse(src, 0L)
-        running(src) = off + tot
-        ((p, src), off)
-      }
-    }.toMap
-    val bc = spark.sparkContext.broadcast(offsets)
-    // pass 2: per-partition sequential scan seeded by the base offset
-    base.rdd.mapPartitionsWithIndex { (p, it) =>
+    // one pass: per-row local prefix within its partition (sequential
+    // scan — in-partition order is the (source, doc_id) sort)
+    val local = base.rdd.mapPartitionsWithIndex { (p, it) =>
       val pos = scala.collection.mutable.Map[String, Long]()
       it.map { case (id, src, n) =>
-        val start = pos.getOrElse(src, bc.value.getOrElse((p, src), 0L))
+        val start = pos.getOrElse(src, 0L)
         pos(src) = start + n
-        (id, src, n, start, start / ctx)
+        (p, id, src, n, start)
       }
-    }.toDF("doc_id", "source", "n_tokens", "start_tok", "pack_id")
+    }.toDF("p", "doc_id", "source", "n_tokens", "local_start")
+    // per-(partition, source) subtotals — map-side combine, stays a
+    // distributed frame (never collected to the driver)
+    val subs = local.groupBy("p", "source").agg(sum("n_tokens").as("sub"))
+    // exclusive cumsum over the subtotal frame: each partition's
+    // per-source global base offset
+    val offsets = subs
+      .withColumn("base", sum("sub").over(
+        Window.partitionBy("source").orderBy("p")) - col("sub"))
+      .select("p", "source", "base")
+    local.join(offsets, Seq("p", "source"))
+      .withColumn("start_tok", col("local_start") + col("base"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("start_tok"),
+        floor(col("start_tok") / ctx).cast("long").as("pack_id"))
       .orderBy("source", "doc_id")
   }
 

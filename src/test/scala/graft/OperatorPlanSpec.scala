@@ -143,10 +143,22 @@ class OperatorPlanSpec extends SparkSuite {
     assert(plan.contains("Partial"), s"no map-side partial group limit:\n$plan")
   }
 
-  test("doc_pack distributed form has no per-source Window funnel") {
-    val plan = executedPlanString(graft.operators.TextOps.docPack(spark, sf))
-    assert(!plan.contains("WindowExec") && !plan.contains("RunningWindow"),
-      s"window crept back into the distributed prefix sum:\n$plan")
+  test("doc_pack: no corpus window funnel and no driver-side collect") {
+    val full = executedPlanString(graft.operators.TextOps.docPack(spark, sf))
+    // AQE prints Final + Initial sections; assert on the final plan only
+    val plan = full.split("== Initial Plan ==")(0)
+    // the ONE allowed window is the exclusive cumsum over the
+    // per-(partition, source) SUBTOTAL frame — ordered by partition id
+    // `p`, fed by the subtotal HashAggregate. A corpus funnel would
+    // order by doc_id.
+    val wIdx = plan.indexOf("Window")
+    assert(wIdx >= 0, s"subtotal cumsum window missing:\n$plan")
+    assert(plan.indexOf("Window", wIdx + 1) < 0,
+      s"more than one window in the prefix sum:\n$plan")
+    assert(!plan.substring(wIdx).takeWhile(_ != '\n').contains("doc_id"),
+      s"window orders by doc_id — corpus funnel crept back:\n$plan")
+    assert(plan.indexOf("HashAggregate", wIdx) > wIdx,
+      s"window not fed by the subtotal aggregate:\n$plan")
   }
 
   test("ann_q8_topk: query side broadcast, no cartesian") {
