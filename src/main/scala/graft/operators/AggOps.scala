@@ -89,12 +89,15 @@ object AggOps {
     * rows (dim × dim) is trivially small at any SF. */
   private def workerIndex(spark: SparkSession, sfDir: String): DataFrame = {
     val wb = Tables.workers(spark, sfDir).select("worker_id")
-    val idx = wb.alias("x")
-      .join(wb.alias("y"), col("y.worker_id") <= col("x.worker_id"))
+    // ONE dim×dim join + ONE aggregate produce both the dense rank
+    // (conditional count) and the total (plain count) — no second
+    // scan/agg/crossJoin for `nw`, two fewer jobs per assignment query
+    wb.alias("x").join(broadcast(wb.alias("y")))
       .groupBy(col("x.worker_id").as("worker_id"))
-      .agg(count(lit(1)).cast("int").as("wrn"))
-    val nw = wb.agg(count(lit(1)).cast("int").as("nw"))
-    idx.crossJoin(broadcast(nw))
+      .agg(
+        count(when(col("y.worker_id") <= col("x.worker_id"), 1))
+          .cast("int").as("wrn"),
+        count(lit(1)).cast("int").as("nw"))
   }
 
   /** Round-robin dispatch strategy as a batch query
