@@ -215,6 +215,34 @@ object Oracles {
         |                  WHERE f.o_custkey = c.c_custkey
         |                    AND f.o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin),
+    "parts_below_avg" -> q(
+      """SELECT p.p_partkey, p.p_brand,
+        |       COUNT(*) AS n_small,
+        |       CAST(SUM(l.l_quantity) AS BIGINT) AS small_qty
+        |FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand = 'Brand#4'
+        |  AND l.l_quantity < CAST(0.2 AS DOUBLE) *
+        |      (SELECT AVG(l2.l_quantity) FROM lineitem l2
+        |       WHERE l2.l_partkey = p.p_partkey)
+        |GROUP BY p.p_partkey, p.p_brand
+        |ORDER BY p.p_partkey""".stripMargin),
+    "suppliers_waiting" -> q(
+      """SELECT s.s_name, COUNT(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name
+        |LIMIT 20""".stripMargin),
     "list_all_tasks" -> q(
       "SELECT id, status, priority FROM tasks ORDER BY priority DESC, id LIMIT 100"),
     "priority_queue" -> q(

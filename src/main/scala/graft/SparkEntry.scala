@@ -62,6 +62,8 @@ object SparkEntry {
     "semi_join_customers" -> (JoinOps.semiJoinCustomers _),
     "pending_gate" -> (JoinOps.pendingGate _),
     "customers_with_urgent" -> (JoinOps.customersWithUrgent _),
+    "parts_below_avg" -> (JoinOps.partsBelowAvg _),
+    "suppliers_waiting" -> (JoinOps.suppliersWaiting _),
     "source_caps" -> (TextOps.sourceCaps _),
     "embedding_quantize" -> (SimilarityOps.embeddingQuantize _),
     "ann_q8_topk" -> (SimilarityOps.annQ8Topk _),

@@ -84,6 +84,67 @@ object JoinOps {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Per-group correlated SCALAR subquery (TPC-H Q17 shape): lineitems
+    * below 20% of their part's average quantity — the "small orders"
+    * probe a user writes with a correlated AVG. Generalizes the
+    * reference dispatcher's count-gate (tasks/dispatcher.go:394-408)
+    * from one global scalar to one scalar PER GROUP. Catalyst's
+    * RewriteCorrelatedScalarSubquery turns the per-part AVG into ONE
+    * aggregate + left outer join (asserted by OperatorPlanSpec), so at
+    * 100 TB this is two passes over lineitem joined on l_partkey — not
+    * |lineitem| point queries. Exactness: quantities are integral
+    * doubles, so every per-part sum is exact and AVG and the 0.2
+    * threshold product are bit-identical across engines; only integer
+    * outputs are emitted. */
+  def partsBelowAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.part(spark, sfDir).createOrReplaceTempView("graft_part")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT p.p_partkey, p.p_brand,
+        |       COUNT(*) AS n_small,
+        |       CAST(SUM(l.l_quantity) AS BIGINT) AS small_qty
+        |FROM graft_part p JOIN graft_lineitem l ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand = 'Brand#4'
+        |  AND l.l_quantity < CAST(0.2 AS DOUBLE) *
+        |      (SELECT AVG(l2.l_quantity) FROM graft_lineitem l2
+        |       WHERE l2.l_partkey = p.p_partkey)
+        |GROUP BY p.p_partkey, p.p_brand
+        |ORDER BY p.p_partkey""".stripMargin)
+  }
+
+  /** Multi-EXISTS self-correlation (TPC-H Q21 shape): suppliers who
+    * were the ONLY supplier with a returned item in a finished
+    * multi-supplier order — one positive EXISTS and one negative
+    * EXISTS, both correlated on the same fact table with an
+    * INEQUALITY on a second column (l2.l_suppkey <> l1.l_suppkey).
+    * Catalyst decorrelates both into left-semi/left-anti joins on
+    * l_orderkey with the inequality as a join residual (asserted by
+    * OperatorPlanSpec) — at 100 TB: three shuffle joins, zero per-row
+    * probes. (Adapted to this schema: no receipt/commit dates, so the
+    * "failed" predicate is l_returnflag = 'R'.) */
+  def suppliersWaiting(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("graft_supplier")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_lineitem")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT s.s_name, COUNT(*) AS numwait
+        |FROM graft_supplier s
+        |JOIN graft_lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN graft_orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM graft_lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name
+        |LIMIT 20""".stripMargin)
+  }
+
   /** Set op: BUILDING-segment customers ∩ urgent-order customers. */
   def setIntersect(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir)

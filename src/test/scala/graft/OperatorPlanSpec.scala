@@ -127,6 +127,25 @@ class OperatorPlanSpec extends SparkSuite {
     assert(!optimized.contains("exists#"), s"correlated exists survived optimization:\n$optimized")
   }
 
+  test("parts_below_avg: correlated scalar AVG decorrelates to aggregate + join") {
+    val df = graft.operators.JoinOps.partsBelowAvg(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // RewriteCorrelatedScalarSubquery: the per-part AVG becomes ONE
+    // aggregate joined back — never a per-row subquery probe
+    assert(!optimized.contains("scalar-subquery"),
+      s"correlated scalar subquery survived optimization:\n$optimized")
+    assert(optimized.contains("Aggregate") && optimized.contains("Join"),
+      s"decorrelated aggregate+join missing:\n$optimized")
+  }
+
+  test("suppliers_waiting: multi-EXISTS self-correlation decorrelates to semi + anti joins") {
+    val df = graft.operators.JoinOps.suppliersWaiting(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("LeftSemi"), s"EXISTS not rewritten to semi join:\n$optimized")
+    assert(optimized.contains("LeftAnti"), s"NOT EXISTS not rewritten to anti join:\n$optimized")
+    assert(!optimized.contains("exists#"), s"correlated exists survived optimization:\n$optimized")
+  }
+
   test("pending_gate: scalar count subqueries execute once, not per row") {
     val df = graft.operators.JoinOps.pendingGate(spark, sf)
     val plan = executedPlanString(df)
