@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   *
   * IMAGES decode for real: [[decodeImages]]/[[resizeImages]] use
   * javax.imageio, whose PNG/JPEG/GIF/BMP codecs are part of the JDK —
-  * spec-tested end-to-end on real PNG bytes. Audio/video codecs are
-  * genuinely absent from the container, so those decodes are clearly-
-  * marked deterministic STUBs (`fakeDecode`/`fakeFrames`) with the
-  * production signature (bytes → features); the fixture's payloads are
-  * text bytes, so the ORACLE-checked queries also use the fakes.
+  * spec-tested end-to-end on real PNG bytes. AUDIO decodes for real
+  * too: [[decodeAudio]] parses WAV/AIFF/AU PCM via javax.sound.sampled
+  * (also pure JDK) — spec-tested on real generated WAV bytes. Only
+  * VIDEO codecs are genuinely absent from the container, so frame
+  * sampling stays a clearly-marked deterministic STUB (`fakeFrames`)
+  * with the production signature (bytes → frames); the fixture's
+  * payloads are text bytes, so the ORACLE-checked queries use the
+  * deterministic fakes (`fakeDecode`/`fakeResize`).
   * Everything Spark-side — the binary column, the metadata schema, the
   * typed Dataset mapPartitions batch shape, partitioning — is real and
   * spec-tested in both paths.
@@ -201,15 +204,79 @@ object MultimodalOps {
             val h = math.max(1, math.round(img.getHeight * scale).toInt)
             val out = new java.awt.image.BufferedImage(w, h,
               java.awt.image.BufferedImage.TYPE_INT_RGB)
+            // scale SYNCHRONOUSLY on the BufferedImage: getScaledInstance
+            // returns an async ToolkitImage whose production may not have
+            // finished when drawImage(.., null observer) returns — a
+            // nondeterministically blank thumbnail. Bilinear drawImage of
+            // a BufferedImage source completes before returning.
             val g = out.createGraphics()
-            g.drawImage(img.getScaledInstance(w, h, java.awt.Image.SCALE_SMOOTH),
-              0, 0, null)
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
             g.dispose()
             val bos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(out, "png", bos)
             Some(MediaThumb(r.doc_id, w, h, bos.toByteArray))
           } catch { case _: Exception => None }
         }
+      }
+    }
+  }
+
+  /** Features decoded from REAL audio frames ([[decodeAudio]]); RMS in
+    * integer milli-units of full scale keeps the value deterministic. */
+  final case class AudioFeatures(doc_id: Long, sample_rate: Int,
+      n_channels: Int, n_frames: Long, duration_ms: Long, rms_milli: Long,
+      ok: Boolean)
+
+  /** REAL audio decode — javax.sound.sampled, whose WAV/AIFF/AU
+    * parsers ship inside the JDK just like javax.imageio's PNG codec
+    * (no external libs; this is NOT a stub). Parses the container
+    * header for format metadata and reads the 16-bit signed PCM frames
+    * for an exact integer sum-of-squares RMS. Compressed codecs
+    * (MP3/AAC) are genuinely absent from the JDK and quarantine via
+    * the same `ok=false` path as corrupt blobs — at 100 TB a bad byte
+    * string must never kill a stage. Same mapPartitions batch shape as
+    * [[decodeImages]]: parser init per partition, payload bytes die
+    * with the partition. */
+  def decodeAudio(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    val bad = (id: Long) => AudioFeatures(id, 0, 0, 0L, 0L, 0L, ok = false)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          try {
+            val fmt = in.getFormat
+            // only uncompressed 16-bit signed PCM is sample-exact here;
+            // anything else quarantines rather than guessing
+            if (fmt.getEncoding !=
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                fmt.getSampleSizeInBits != 16) bad(r.doc_id)
+            else {
+              val data = in.readAllBytes()
+              var i = 0
+              var sumSq = 0L // exact: s² ≤ 2³⁰, overflows only past 2³³ samples
+              while (i + 1 < data.length) {
+                val s =
+                  if (fmt.isBigEndian)
+                    ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+                  else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+                sumSq += s.toLong * s
+                i += 2
+              }
+              val nSamples = data.length / 2
+              val frames = nSamples / fmt.getChannels
+              val rate = fmt.getSampleRate.toInt
+              val rms = if (nSamples == 0) 0L
+                else math.round(
+                  math.sqrt(sumSq.toDouble / nSamples) * 1000 / 32768)
+              AudioFeatures(r.doc_id, rate, fmt.getChannels, frames,
+                frames * 1000L / rate, rms, ok = true)
+            }
+          } finally in.close()
+        } catch { case _: Exception => bad(r.doc_id) }
       }
     }
   }

@@ -71,6 +71,49 @@ class MultimodalSpec extends SparkSuite {
     assert(back != null && back.getWidth == 32 && back.getHeight == 19)
   }
 
+  // --- REAL audio codec path (javax.sound.sampled, bundled with the JDK) ---
+
+  /** Deterministic 16-bit PCM square wave (±amp → RMS exactly amp),
+    * encoded to real WAV or AIFF container bytes. */
+  private def pcmBytes(rate: Float, channels: Int, frames: Int, amp: Short,
+      aiff: Boolean = false): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels,
+      true, aiff) // AIFF is big-endian, WAV little-endian
+    val data = new Array[Byte](frames * channels * 2)
+    for (f <- 0 until frames; c <- 0 until channels) {
+      val s: Short = if (f % 2 == 0) amp else (-amp).toShort
+      val off = (f * channels + c) * 2
+      if (aiff) { data(off) = (s >> 8).toByte; data(off + 1) = s.toByte }
+      else { data(off) = s.toByte; data(off + 1) = (s >> 8).toByte }
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      if (aiff) javax.sound.sampled.AudioFileFormat.Type.AIFF
+      else javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeAudio reads real WAV/AIFF bytes: rate, channels, frames, exact RMS") {
+    val s = spark
+    import s.implicits._
+    // amp 16384: RMS = 16384 → 16384*1000/32768 = 500 milli exactly
+    val recs = Seq(
+      MultimodalOps.MediaRecord(1L, pcmBytes(8000f, 1, 8000, 16384), "audio/wav", 0L),
+      MultimodalOps.MediaRecord(2L, pcmBytes(44100f, 2, 4410, 8192), "audio/wav", 0L),
+      MultimodalOps.MediaRecord(3L, pcmBytes(8000f, 1, 800, 16384, aiff = true), "audio/aiff", 0L),
+      MultimodalOps.MediaRecord(4L, "definitely not audio".getBytes, "audio/wav", 0L))
+    val got = MultimodalOps.decodeAudio(recs.toDS())
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(got(1L) == MultimodalOps.AudioFeatures(1L, 8000, 1, 8000, 1000, 500, ok = true))
+    assert(got(2L) == MultimodalOps.AudioFeatures(2L, 44100, 2, 4410, 100, 250, ok = true))
+    assert(got(3L) == MultimodalOps.AudioFeatures(3L, 8000, 1, 800, 100, 500, ok = true),
+      "big-endian AIFF frames must decode sample-exactly too")
+    assert(got(4L) == MultimodalOps.AudioFeatures(4L, 0, 0, 0, 0, 0, ok = false),
+      "corrupt payload must quarantine, not throw")
+  }
+
   test("frame sampling yields every 4th 256-byte frame per document") {
     val s = spark
     import s.implicits._
