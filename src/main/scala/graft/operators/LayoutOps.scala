@@ -28,7 +28,11 @@ object LayoutOps {
     * leading column). Pure bit arithmetic — codegen'd, no shuffle
     * beyond the final bounded aggregation (256 groups).
     */
-  def zorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Orders with their 2-D Z-value — the single derivation shared by
+    * the diagnostic aggregate ([[zorderLayout]]) and the executed
+    * rewrite ([[writeZOrdered]]), so the plan can never drift from
+    * what actually lands on disk. */
+  private def ordersZ(spark: SparkSession, sfDir: String): DataFrame = {
     val dd = datediff(col("o_orderdate"), lit("1992-01-01"))
     // interleave: z = sum_i xbit_i*4^i + ybit_i*2*4^i (x even bits, y odd)
     val z = (0 until 4)
@@ -41,8 +45,12 @@ object LayoutOps {
       .select(col("o_custkey"),
         (col("o_custkey") % 16).cast("int").as("xb"),
         least(lit(15), floor(dd / 160).cast("int")).cast("int").as("yb"),
-        dd.as("dd"))
+        dd.cast("int").as("dd"))
       .withColumn("z", z)
+  }
+
+  def zorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    ordersZ(spark, sfDir)
       .groupBy("z")
       .agg(count(lit(1)).as("n"),
         min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"),
@@ -59,17 +67,68 @@ object LayoutOps {
     * last is ≥ target. The window partitions by source and orders by
     * doc_id: partitions are bounded (one source's file listing), never
     * a global window. */
-  def compactionPlan(spark: SparkSession, sfDir: String): DataFrame = {
-    val target = 16384L
+  private val CompactionTarget = 16384L
+
+  /** Documents with their compaction bin — shared by the plan
+    * aggregate ([[compactionPlan]]) and the executed rewrite
+    * ([[writeCompacted]]). */
+  private def docsBinned(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("n_chars"))
       .withColumn("cum_before", coalesce(sum("n_chars").over(w), lit(0L)))
-      .withColumn("bin", floor(col("cum_before") / target).cast("int"))
+      .withColumn("bin", floor(col("cum_before") / CompactionTarget).cast("int"))
+  }
+
+  def compactionPlan(spark: SparkSession, sfDir: String): DataFrame =
+    docsBinned(spark, sfDir)
       .groupBy("source", "bin")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("bin_chars"),
         min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
       .orderBy("source", "bin")
-  }
+
+  // ------------------------------------------------------------------
+  // EXECUTED rewrites — the plans above actually land on disk, and the
+  // payoff (files a predicate scan can skip) is measured by LayoutOpsSpec
+  // from the written files' real column ranges. A layout that is never
+  // executed is a slideware index (the reference's analog: the keyspace
+  // layout IS its index, common/constants.go:5-14).
+  // ------------------------------------------------------------------
+
+  /** Write orders Z-CLUSTERED: range-partition on the Z-value then sort
+    * within partitions, so each output file's (custkey, date) min/max
+    * envelope is tight on BOTH dimensions and predicates on EITHER
+    * column skip files. `nFiles` stands in for the at-scale file count;
+    * the writer shape (repartitionByRange + sortWithinPartitions +
+    * plain parquet write) is exactly what a 1000-executor rewrite job
+    * runs — no driver-side anything. */
+  def writeZOrdered(spark: SparkSession, sfDir: String, outDir: String,
+      nFiles: Int = 16): Unit =
+    ordersZ(spark, sfDir)
+      .repartitionByRange(nFiles, col("z"))
+      .sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(outDir)
+
+  /** The comparison layout: linearly clustered on the leading column
+    * only (custkey) — what a naive "sort by primary key" rewrite
+    * produces. Prunes custkey predicates but leaves every file spanning
+    * the full date range. */
+  def writeLinear(spark: SparkSession, sfDir: String, outDir: String,
+      nFiles: Int = 16): Unit =
+    ordersZ(spark, sfDir)
+      .repartitionByRange(nFiles, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(outDir)
+
+  /** EXECUTE the compaction plan: co-locate each (source, bin) with a
+    * hash repartition — a bin lands wholly in one task, so the
+    * partitioned write emits exactly ONE data file per bin, each
+    * ≥ target chars except a source's last. Layout on disk =
+    * hive-partitioned by (source, bin). */
+  def writeCompacted(spark: SparkSession, sfDir: String, outDir: String): Unit =
+    docsBinned(spark, sfDir)
+      .select("doc_id", "source", "n_chars", "bin")
+      .repartition(col("source"), col("bin"))
+      .write.mode("overwrite").partitionBy("source", "bin").parquet(outDir)
 }
