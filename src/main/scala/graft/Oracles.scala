@@ -384,6 +384,54 @@ object Oracles {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY dot DESC, vec_id) AS rank FROM pairs)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    // the integer-plane LSH: same q8 store, Weyl-lattice planes
+    // (p·2654435761 + pos·40503) % 1001 − 500 — nonneg operands, so
+    // plain % agrees with Spark's; band key = Σ bit·2^(3−j)
+    "ann_q8_lsh_topk" -> qx(
+      """, q8 AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x ->
+        |           CASE WHEN mx = 0 THEN 0
+        |                ELSE CAST(floor(CAST(x AS DOUBLE) * 127 / mx + 0.5) AS BIGINT)
+        |           END) AS q8
+        |  FROM (SELECT vec_id, embedding,
+        |               list_max(list_transform(embedding,
+        |                 x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |        FROM embeddings)
+        |), dims AS (
+        |  SELECT unnest(range(0, (SELECT MAX(len(embedding)) FROM embeddings))) AS pos
+        |), planes AS (
+        |  SELECT unnest(range(0, 16)) AS p
+        |), sig AS (
+        |  SELECT vec_id, p,
+        |         CASE WHEN SUM(q8[CAST(pos AS INT) + 1] *
+        |                ((p*2654435761 + pos*40503) % 1001 - 500)) >= 0
+        |              THEN 1 ELSE 0 END AS bit
+        |  FROM q8 CROSS JOIN dims CROSS JOIN planes
+        |  GROUP BY vec_id, p
+        |), bandkey AS (
+        |  SELECT vec_id, CAST(p // 4 AS INT) AS band,
+        |         SUM(bit * CASE CAST(p % 4 AS INT)
+        |               WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END) AS key
+        |  FROM sig GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+        |  FROM bandkey q JOIN bandkey c ON q.band = c.band AND q.key = c.key
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+        |), pairs AS (
+        |  SELECT cand.query_id, cand.vec_id,
+        |         CAST(SUM(a.q8[CAST(pos AS INT) + 1]
+        |                   * b.q8[CAST(pos AS INT) + 1]) AS BIGINT) AS dot
+        |  FROM cand
+        |  JOIN q8 a ON a.vec_id = cand.query_id
+        |  JOIN q8 b ON b.vec_id = cand.vec_id
+        |  CROSS JOIN dims
+        |  GROUP BY 1, 2
+        |)""".stripMargin,
+      """SELECT query_id, vec_id, CAST(rank AS INT) AS rank, dot FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY dot DESC, vec_id) AS rank FROM pairs)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
     // floor(x+0.5) spelled explicitly: the engines' native double→int
     // casts disagree (Spark truncates, DuckDB rounds); floor is exact
     // in both. floor-e6 for the scale for the same reason.

@@ -67,6 +67,7 @@ object SparkEntry {
     "source_caps" -> (TextOps.sourceCaps _),
     "embedding_quantize" -> (SimilarityOps.embeddingQuantize _),
     "ann_q8_topk" -> (SimilarityOps.annQ8Topk _),
+    "ann_q8_lsh_topk" -> (SimilarityOps.annQ8LshTopk _),
     "doc_pack" -> (TextOps.docPack _),
     "unigram_surprisal" -> (TextOps.unigramSurprisal _),
     "set_intersect" -> (JoinOps.setIntersect _),

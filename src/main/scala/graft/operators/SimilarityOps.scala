@@ -541,6 +541,69 @@ object SimilarityOps {
       .orderBy("vec_id", "pos")
   }
 
+  /** LSH over the INT8 store with deterministic INTEGER hyperplanes —
+    * the first fully hash-checkable BUCKETED ANN path. Float SRP planes
+    * aren't DuckDB-reproducible (the other rows-only ANN entries); an
+    * integer plane is: plane(p,d) = (p·2654435761 + d·40503) % 1001 −
+    * 500 (a Weyl-style integer lattice, identical arithmetic in both
+    * engines), signature bit_p = [⟨plane_p, q8⟩ ≥ 0], banded 4 bands ×
+    * 4 bits, candidate = any band collision, integer-dot re-rank.
+    *
+    * Scale shape mirrors [[annLshTopk]]: signatures are a per-row
+    * projection fused into the scan (zero signature shuffle), the band
+    * join keys are (band, 4-bit key) against a BROADCAST query side,
+    * candidates go through an ids-only distinct (vectors never ride
+    * the shuffle), and the re-rank joins the q8 vectors back. The
+    * re-rank window is per-query over collided candidates only. */
+  def annQ8LshTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val P = 16
+    val bands = 4
+    val r = 4
+    val v = asDouble(col("embedding"))
+    val q8row = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), v.as("v"))
+      .withColumn("max_abs", array_max(transform(col("v"), x => abs(x))))
+      .select(col("vec_id"),
+        transform(col("v"), x => q8Elem(x, col("max_abs"))).as("q8"))
+    // deterministic integer plane element (nonneg operands: % == pmod
+    // in both engines)
+    def planeElem(p: Column, d: Column): Column =
+      (p * lit(2654435761L) + d * lit(40503L)) % lit(1001L) - lit(500L)
+    val sig = transform(sequence(lit(0L), lit(P - 1L)), p =>
+      when(aggregate(
+        zip_with(col("q8"),
+          sequence(lit(0L), size(col("q8")).cast("long") - lit(1L)),
+          (q, d) => coalesce(q * planeElem(p, d), lit(0L))),
+        lit(0L), _ + _) >= 0, lit(1L)).otherwise(lit(0L)))
+    // band key: fold acc·2 + bit over the band's r bits
+    val bandKeys = transform(sequence(lit(0), lit(bands - 1)), b =>
+      aggregate(sequence(lit(0), lit(r - 1)), lit(0L),
+        (acc, j) => acc * lit(2L) +
+          element_at(col("sig"), (b * lit(r) + j + lit(1)).cast("int"))))
+    val banded = q8row.withColumn("sig", sig)
+      .select(col("vec_id"), posexplode(bandKeys).as(Seq("band", "key")))
+    val qBands = banded.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("band"), col("key"))
+    val candIds = banded.join(broadcast(qBands), Seq("band", "key"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+      .distinct()
+    val qVecs = q8row.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("q8").as("qa"))
+    val dotQ = aggregate(
+      zip_with(col("qa"), col("q8"), (x, y) => coalesce(x * y, lit(0L))),
+      lit(0L), _ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("dot"), asc("vec_id"))
+    candIds.join(q8row, Seq("vec_id")).join(broadcast(qVecs), Seq("query_id"))
+      .withColumn("dot", dotQ)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id"),
+        col("rank").cast("int").as("rank"), col("dot"))
+      .orderBy("query_id", "rank")
+  }
+
   // Shingling now uses the native TokenShingles expression via
   // TextOps.shingles3Native (the interpreted-HOF form it replaced lives
   // on as TextOps.shingles3, the spec-pinned comparison pair).

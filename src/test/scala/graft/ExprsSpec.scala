@@ -76,6 +76,28 @@ class ExprsSpec extends SparkSuite {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("ann_q8_lsh_topk: recall >= 0.5 vs exhaustive q8 search at sf0.001") {
+    val s = spark
+    import s.implicits._
+    val brute = SimilarityOps.annQ8Topk(spark, sf)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val lsh = SimilarityOps.annQ8LshTopk(spark, sf)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall")
+    // same scorer as the store: every returned pair's dot must equal
+    // the exhaustive search's dot for that pair (bucketing only prunes
+    // candidates, never changes scores)
+    val bruteDots = SimilarityOps.annQ8Topk(spark, sf)
+      .select("query_id", "vec_id", "dot").as[(Long, Long, Long)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    SimilarityOps.annQ8LshTopk(spark, sf)
+      .select("query_id", "vec_id", "dot").as[(Long, Long, Long)]
+      .collect().foreach { case (q, v, d) =>
+        bruteDots.get((q, v)).foreach(bd => assert(bd == d, s"dot mismatch ($q,$v)"))
+      }
+  }
+
   test("graft SQL functions are registered for pure-SQL users") {
     GraftExtensions.register(spark)
     val row = spark.sql(
