@@ -149,6 +149,32 @@ final class TaskHive private (val spark: SparkSession, val dir: String) {
       .orderBy("id")
   }
 
+  /** GetTaskByID's LIVE half — the reference's TODO #1
+    * (readme.txt:19: query a task's status by id) and GetTaskByID's
+    * probe of the PROCESSING partition on the live system
+    * (tasks/api.go:43-111). [[getTaskByID]] reads the durable table;
+    * this reads the RUNNING engine's in-flight state: Spark's State
+    * Data Source scans the lifecycle engine's state store from the
+    * query's checkpoint — the last COMMITTED micro-batch's snapshot,
+    * safe while the query runs (what an operator asks at 3am: "what is
+    * task X doing RIGHT NOW?").
+    *
+    * Scale: the state source reads the store's shards directly (one
+    * task per row, sharded by task_id across executors) and the id
+    * filter prunes to one key — never a replay of the transition log. */
+  def getLiveTaskStatus(checkpointDir: String, id: String): DataFrame =
+    liveTaskStates(checkpointDir).filter(col("task_id") === id)
+
+  /** Every in-flight task the running engine holds in state (the
+    * un-filtered form of [[getLiveTaskStatus]]): one row per task key
+    * with its current lifecycle state. */
+  def liveTaskStates(checkpointDir: String): DataFrame =
+    spark.read.format("statestore").load(checkpointDir)
+      .select(col("key.value").as("task_id"),
+        col("value.groupState.status").as("status"),
+        col("value.groupState.retryCount").as("retry_count"),
+        col("value.groupState.workerId").as("worker_id"))
+
   /** Start (taskhive.go:150-212): run the lifecycle state machine over
     * a task-event stream into a checkpointed parquet transition log —
     * Structured Streaming's exactly-once replaces the reference's
