@@ -467,9 +467,18 @@ case class CompressionRatio(child: Expression) extends UnaryExpression {
 object CompressionRatio {
   // raw deflate (nowrap): the 2-byte zlib header/checksum would skew
   // tiny documents; level 6 = zlib default, deterministic for a given
-  // input on the JDK's bundled zlib
+  // input on the JDK's bundled zlib.
+  // LIFETIME: the per-thread Deflater pins native zlib state until its
+  // thread dies — bounded on Spark executors (fixed task-thread pools),
+  // and the Cleaner below frees the native state when a thread IS
+  // churned and its entry gets collected, so no leak either way.
+  private val cleaner = java.lang.ref.Cleaner.create()
   private val deflaters: ThreadLocal[java.util.zip.Deflater] =
-    ThreadLocal.withInitial(() => new java.util.zip.Deflater(6, true))
+    ThreadLocal.withInitial { () =>
+      val d = new java.util.zip.Deflater(6, true)
+      cleaner.register(Thread.currentThread(), () => d.end())
+      d
+    }
   private val scratch: ThreadLocal[Array[Byte]] =
     ThreadLocal.withInitial(() => new Array[Byte](8192))
 }

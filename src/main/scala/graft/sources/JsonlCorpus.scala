@@ -60,9 +60,16 @@ object JsonlCorpus {
               field match {
                 case "doc_id" if tok != JsonToken.VALUE_NULL =>
                   docId = Some(p.getLongValue) // throws on non-numeric
+                // strings must BE strings: getText would silently
+                // coerce {"text": 123} into text="123" — a type-confused
+                // producer bug must quarantine like every other one
                 case "source" if tok != JsonToken.VALUE_NULL =>
+                  if (tok != JsonToken.VALUE_STRING)
+                    throw new IllegalArgumentException("source must be a string")
                   source = Some(p.getText)
                 case "text" if tok != JsonToken.VALUE_NULL =>
+                  if (tok != JsonToken.VALUE_STRING)
+                    throw new IllegalArgumentException("text must be a string")
                   text = Some(p.getText)
                 case _ => p.skipChildren() // unknown/null fields tolerated
               }

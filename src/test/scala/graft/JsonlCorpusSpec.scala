@@ -24,7 +24,9 @@ class JsonlCorpusSpec extends SparkSuite {
       """just some stray plain text""", // not even an object
       s"""{"doc_id": 5, "source": "web", "text": "$goodText"} trailing junk""",
       s"""{"doc_id": 6, "source": "web", "text": "a"}{"doc_id": 7, "source": "web", "text": "b"}""", // merged records
-      s"""{"doc_id": "eight", "source": "web", "text": "$goodText"}""") // wrong-typed id
+      s"""{"doc_id": "eight", "source": "web", "text": "$goodText"}""", // wrong-typed id
+      """{"doc_id": 9, "source": "web", "text": 123}""", // wrong-typed text
+      s"""{"doc_id": 10, "source": 42, "text": "$goodText"}""") // wrong-typed source
     Files.write(java.nio.file.Paths.get(dir, "part-000.jsonl"),
       String.join("\n", lines: _*).getBytes)
     dir
@@ -40,7 +42,7 @@ class JsonlCorpusSpec extends SparkSuite {
     assert(docs.forall(_._3.startsWith("tok")))
     val quarantined = JsonlCorpus.quarantine(spark, dir)
       .as[String].collect().toSet
-    assert(quarantined.size == 6)
+    assert(quarantined.size == 8)
     assert(quarantined.exists(_.contains("oops")))
     assert(quarantined.exists(_.contains("stray")))
     assert(quarantined.exists(_.contains("\"doc_id\": 4")),
@@ -52,6 +54,10 @@ class JsonlCorpusSpec extends SparkSuite {
       "two records merged on one line must quarantine")
     assert(quarantined.exists(_.contains("eight")),
       "wrong-typed doc_id must quarantine")
+    assert(quarantined.exists(_.contains("\"text\": 123")),
+      "numeric text must quarantine, not coerce to \"123\"")
+    assert(quarantined.exists(_.contains("\"source\": 42")),
+      "numeric source must quarantine, not coerce to \"42\"")
   }
 
   test("streaming quarantine partitions the input exactly with the docs stream") {
@@ -61,7 +67,7 @@ class JsonlCorpusSpec extends SparkSuite {
       .outputMode(OutputMode.Append).start()
     try {
       q.processAllAvailable()
-      assert(spark.table("jsonl_quarantine").count() == 6)
+      assert(spark.table("jsonl_quarantine").count() == 8)
     } finally q.stop()
   }
 
