@@ -22,7 +22,9 @@ import graft.sources.Tables
   *  - `Start` (taskhive/taskhive.go:150-212: dispatcher election +
   *    workers + watch loops) → [[start]] (the Structured Streaming
   *    lifecycle engine; exactly-once replaces election/CAS entirely)
-  *  - `GetTaskByID` (tasks/api.go:43) → [[getTaskByID]]
+  *  - `GetTaskByID` (tasks/api.go:43) → [[getTaskByID]] (durable table)
+  *    and [[getLiveTaskStatus]] (the api.go:43-111 live-processing
+  *    probe + readme.txt:19 TODO #1: the RUNNING engine's state)
   *  - `ListTasks` (tasks/api.go:114) → [[listTasks]]
   *  - `GetTaskStats` (tasks/api.go:200) → [[getTaskStats]]
   *  - `ListWorkers` (tasks/api.go:243) → [[listWorkers]]
