@@ -35,7 +35,9 @@ object Bench {
     "dedup_canonical",
     // retrieval + split assignment + late round-4 curation surface
     "bm25_search", "tfidf_terms", "split_assign",
-    "compression_ratio", "embedding_coverage")
+    "compression_ratio", "embedding_coverage",
+    // round-5 surface: Q17/Q21 decorrelation, hash-checkable bucketed ANN
+    "parts_below_avg", "suppliers_waiting", "ann_q8_lsh_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

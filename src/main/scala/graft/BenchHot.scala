@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 object BenchHot {
   def main(args: Array[String]): Unit = {
-    val sfDir = "/root/testdata/sf0.1"
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.builder(32)
       .master("local[32]")
       .getOrCreate()

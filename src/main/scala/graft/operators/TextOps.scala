@@ -190,10 +190,18 @@ object TextOps {
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     // strategy pick: parquet metadata count (no data scan), memoized
     // per JVM (one driver round-trip per table, not per query). The
-    // crossover is where hot-shingle k²/9 candidates outgrow three
-    // extra O(n) stages — O(1M docs) for web-ish corpora.
+    // crossover is where hot-shingle candidates outgrow the df path's
+    // three extra O(n) stages. The hash path's prefix is hash-random,
+    // so a shingle shared by d same-source docs lands in ~d/3 prefixes
+    // → ~d²/18 candidate pairs; the df path puts each doc's RAREST
+    // shingles in the prefix, bounding bucket growth (the PPJoin
+    // insight). MEASURED on the 10× scale probe (ScaleProbe corpus,
+    // heavy boilerplate dup structure): 5k docs hash 0.8 s / df 1.8 s;
+    // 50k docs hash 16.2 s / df 4.4 s — crossover ≈20k docs, far below
+    // the k²/9-based 1M first estimate because real corpora have hot
+    // boilerplate shingles, not uniform ones.
     val docCount = Tables.cachedCount(spark, sfDir, "documents")
-    if (docCount < 1000000L) ngramJaccardPrefixHash(spark, sfDir)
+    if (docCount < 20000L) ngramJaccardPrefixHash(spark, sfDir)
     else ngramJaccardPrefixDf(spark, sfDir)
   }
 
