@@ -1272,6 +1272,76 @@ object Oracles {
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |WHERE o_orderpriority = '1-URGENT'
           |GROUP BY 1 ORDER BY 1""".stripMargin),
+      // Fuzzy dedup over the DuckDB-reproducible polynomial hash: per-
+      // word list_reduce fold (= graft_rollfp; first element seeds the
+      // fold, which equals the 0-seeded fold since h1 = c0), shingle /
+      // permutation / simhash arithmetic in exact BIGINT mod 1e9+7.
+      "minhash_dedup_poly" -> qx(
+        """, wh AS (
+          |  SELECT doc_id,
+          |         list_transform(string_split(text, ' '),
+          |           w -> list_reduce(
+          |                  list_transform(range(1, length(w)+1),
+          |                    i -> CAST(unicode(substr(w, CAST(i AS INT), 1)) AS BIGINT)),
+          |                  (a, b) -> (a * 31 + b) % 1000000007)) AS wh
+          |  FROM documents
+          |), shp AS (
+          |  SELECT doc_id,
+          |         list_transform(range(len(wh)-2),
+          |           i -> ((wh[CAST(i+1 AS INT)] * 31 + wh[CAST(i+2 AS INT)]) % 1000000007 * 31
+          |                 + wh[CAST(i+3 AS INT)]) % 1000000007) AS sh
+          |  FROM wh WHERE len(wh) >= 3
+          |), sig AS (
+          |  SELECT doc_id,
+          |         list_transform(range(16),
+          |           i -> list_min(list_transform(sh,
+          |                  h -> ((2*i+1) * h + 7919*i) % 1000000007))) AS sig
+          |  FROM shp
+          |), banded AS (
+          |  SELECT doc_id, sig, unnest(range(4)) AS band FROM sig
+          |), pairs AS (
+          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.sig AS sa, b.sig AS sb
+          |  FROM banded a JOIN banded b
+          |    ON a.band = b.band
+          |   AND a.sig[CAST(a.band*4+1 AS INT):CAST(a.band*4+4 AS INT)]
+          |     = b.sig[CAST(b.band*4+1 AS INT):CAST(b.band*4+4 AS INT)]
+          |   AND a.doc_id < b.doc_id
+          |)""".stripMargin,
+        """SELECT a_id, b_id,
+          |       CAST(round(1000.0 * list_sum(list_transform(range(16),
+          |              i -> CASE WHEN sa[CAST(i+1 AS INT)] = sb[CAST(i+1 AS INT)]
+          |                        THEN 1 ELSE 0 END)) / 16) AS BIGINT) AS est_jaccard_milli
+          |FROM pairs ORDER BY a_id, b_id""".stripMargin),
+      "simhash_dedup_poly" -> qx(
+        """, wh AS (
+          |  SELECT doc_id, source,
+          |         list_transform(string_split(text, ' '),
+          |           w -> list_reduce(
+          |                  list_transform(range(1, length(w)+1),
+          |                    i -> CAST(unicode(substr(w, CAST(i AS INT), 1)) AS BIGINT)),
+          |                  (a, b) -> (a * 31 + b) % 1000000007)) AS wh
+          |  FROM documents
+          |), shh AS (
+          |  SELECT doc_id, source,
+          |         list_sum(list_transform(range(30),
+          |           b -> CASE WHEN 2 * list_sum(list_transform(wh,
+          |                       h -> (h >> CAST(b AS INT)) & 1)) > len(wh)
+          |                     THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS simhash
+          |  FROM wh WHERE len(wh) > 0
+          |), banded AS (
+          |  SELECT doc_id, source, simhash, unnest(range(3)) AS band FROM shh
+          |), pairs AS (
+          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+          |                  a.simhash AS ha, b.simhash AS hb
+          |  FROM banded a JOIN banded b
+          |    ON a.source = b.source AND a.band = b.band
+          |   AND ((a.simhash >> CAST(a.band*10 AS INT)) & 1023)
+          |     = ((b.simhash >> CAST(b.band*10 AS INT)) & 1023)
+          |   AND a.doc_id < b.doc_id
+          |)""".stripMargin,
+        """SELECT a_id, b_id, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+          |FROM pairs WHERE bit_count(xor(ha, hb)) <= 2
+          |ORDER BY a_id, b_id""".stripMargin),
     )
   }
 }

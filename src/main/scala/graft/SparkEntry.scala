@@ -135,6 +135,9 @@ object SparkEntry {
     "embedding_centroids" -> (SimilarityOps.embeddingCentroids _),
     "embedding_coverage" -> (SimilarityOps.embeddingCoverage _),
     "simhash_dedup" -> (SimilarityOps.simhashDedup _),
+    // oracle-checkable twins over the DuckDB-reproducible poly hash
+    "minhash_dedup_poly" -> (SimilarityOps.minhashDedupPoly _),
+    "simhash_dedup_poly" -> (SimilarityOps.simhashDedupPoly _),
     // LLM-pipeline: multimodal plumbing
     "multimodal_meta" -> (MultimodalOps.multimodalMeta _),
     "multimodal_decode" -> (MultimodalOps.multimodalDecode _),

@@ -604,6 +604,116 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------------------------------------------------------
+  // Oracle-checkable fuzzy dedup: the xxhash64-based minhash_dedup /
+  // simhash_dedup above are the production forms but can't be
+  // DuckDB-verified (xxhash64 has no DuckDB equivalent). These _poly
+  // variants run the SAME banded-LSH / pigeonhole pipelines over a
+  // polynomial hash both engines can compute — h = (h·31 + codepoint)
+  // mod 1e9+7 per word (the graft_rollfp fold, = DuckDB list_reduce),
+  // shingle/simhash built from word hashes by pure integer arithmetic.
+  // They turn the fuzzy-dedup family's correctness gate from
+  // rows-only into full hash-match.
+  // ---------------------------------------------------------------
+
+  private val PolyPrime = 1000000007L
+  private val PolyPerms = 16
+  private val PolyBands = 4 // 4 bands × 4 rows
+  private val PolyRows = PolyPerms / PolyBands
+
+  /** Per-word polynomial hashes: graft_rollfp applied inside the word
+    * transform — one native fold per word, identical to DuckDB's
+    * `list_reduce(codepoints, (a,b) -> (a*31+b) % 1e9+7)`. */
+  private def polyWordHashes(spark: SparkSession, text: Column): Column = {
+    graft.GraftExtensions.register(spark)
+    transform(split(text, " "), w => call_function("graft_rollfp", w))
+  }
+
+  /** MinHash+LSH near-dup pairs over the polynomial hash — the
+    * oracle-checkable twin of [[minhashDedup]] (same band/bucket join
+    * shape, same est-Jaccard emit; only the hash family differs).
+    * Shingle hash combines the 3 word hashes with Horner steps mod p
+    * (operands stay < 3.2e10, far from ANSI overflow); permutation i
+    * is h ↦ ((2i+1)·h + 7919·i) mod p. Docs need ≥ 3 words. */
+  def minhashDedupPoly(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), polyWordHashes(spark, col("text")).as("wh"))
+      .filter(size(col("wh")) >= 3)
+    val shingleHashes = transform(sequence(lit(0), size(col("wh")) - 3), i =>
+      ((element_at(col("wh"), (i + 1).cast("int")) * 31 +
+        element_at(col("wh"), (i + 2).cast("int"))) % PolyPrime * 31 +
+        element_at(col("wh"), (i + 3).cast("int"))) % PolyPrime)
+    val sigCol = transform(sequence(lit(0), lit(PolyPerms - 1)), i =>
+      array_min(transform(col("sh"),
+        h => (h * (i * 2 + 1) + lit(7919L) * i) % PolyPrime)))
+    val sigs = docs.select(col("doc_id"), shingleHashes.as("sh"))
+      .select(col("doc_id"), sigCol.as("sig"))
+    // band bucket = the band's signature slice itself (array equality
+    // in the join; Murmur3 hashes arrays fine) — no re-hash, so the
+    // oracle's slice-equality is literally the same predicate.
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(PolyBands - 1)), b =>
+        slice(col("sig"), b * PolyRows + 1, lit(PolyRows)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val matches = aggregate(
+      zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .distinct()
+      .withColumn("est_jaccard_milli",
+        round(lit(1000.0) * matches / PolyPerms).cast("long"))
+      .select("a_id", "b_id", "est_jaccard_milli")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** 30-bit SimHash near-dup pairs over the polynomial word hash — the
+    * oracle-checkable twin of [[simhashDedup]]. Bit b is set iff a
+    * majority of the doc's word hashes have bit b set; pigeonhole
+    * banding splits the 30 bits into 3 disjoint 10-bit chunks, so any
+    * pair at Hamming ≤ 2 shares ≥ 1 intact chunk (recall 1 by
+    * construction); the exact bit_count verify runs on collisions
+    * only, within source. */
+  def simhashDedupPoly(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        polyWordHashes(spark, col("text")).as("wh"))
+      .filter(size(col("wh")) > 0)
+    val simhash = aggregate(sequence(lit(0), lit(29)), lit(0L), (acc, bit) =>
+      acc + when(
+        lit(2) * aggregate(col("wh"), lit(0L), (a, h) =>
+          a + call_function("shiftright", h, bit).bitwiseAND(lit(1L)))
+          > size(col("wh")).cast("long"),
+        call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L)))
+    val sh = docs.select(col("doc_id"), col("source"), simhash.as("simhash"))
+    val chunks = (0 until 3).map(i =>
+      shiftright(col("simhash"), i * 10).bitwiseAND(lit(1023L)))
+    val banded = sh
+      .select(col("doc_id"), col("source"), col("simhash"),
+        posexplode(array(chunks: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.source") === col("b.source") &&
+        col("a.band") === col("b.band") &&
+        col("a.chunk") === col("b.chunk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= 2)
+      .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
+      .orderBy("a_id", "b_id")
+  }
+
   // Shingling now uses the native TokenShingles expression via
   // TextOps.shingles3Native (the interpreted-HOF form it replaced lives
   // on as TextOps.shingles3, the spec-pinned comparison pair).

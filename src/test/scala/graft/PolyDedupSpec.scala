@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.SimilarityOps
+
+/** Pins the oracle-checkable poly-hash fuzzy-dedup twins against a
+  * fully independent plain-Scala reference implementation at sf0.001 —
+  * a third computation of the same semantics besides the Spark plan
+  * and the DuckDB oracle, so a shared-misunderstanding bug in the SQL
+  * pair can't slip through.
+  */
+class PolyDedupSpec extends SparkSuite {
+
+  private val P = 1000000007L
+
+  private def polyHash(w: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      h = (h * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  // (doc_id, source, word hashes) for every fixture doc
+  private lazy val docs: Seq[(Long, String, Array[Long])] =
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).map(polyHash)))
+
+  test("minhash_dedup_poly equals a plain-Scala reference at sf0.001") {
+    val sigs = docs.collect { case (id, _, wh) if wh.length >= 3 =>
+      val sh = (0 to wh.length - 3).map(i =>
+        ((wh(i) * 31 + wh(i + 1)) % P * 31 + wh(i + 2)) % P)
+      val sig = (0 until 16).map(i =>
+        sh.map(h => ((2 * i + 1) * h + 7919L * i) % P).min).toVector
+      id -> sig
+    }
+    val expected = (for {
+      (aId, sa) <- sigs; (bId, sb) <- sigs
+      if aId < bId
+      if (0 until 4).exists(b => sa.slice(b * 4, b * 4 + 4) == sb.slice(b * 4, b * 4 + 4))
+    } yield {
+      val matches = (0 until 16).count(i => sa(i) == sb(i))
+      (aId, bId, math.round(1000.0 * matches / 16))
+    }).toSet
+    val got = SimilarityOps.minhashDedupPoly(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty, "fixture should contain near-dup pairs")
+  }
+
+  test("simhash_dedup_poly equals a plain-Scala reference at sf0.001") {
+    val hashes = docs.collect { case (id, src, wh) if wh.nonEmpty =>
+      val simhash = (0 until 30).map { b =>
+        if (2 * wh.count(h => ((h >> b) & 1L) == 1L) > wh.length) 1L << b else 0L
+      }.sum
+      (id, src, simhash)
+    }
+    val expected = (for {
+      (aId, aSrc, ha) <- hashes; (bId, bSrc, hb) <- hashes
+      if aId < bId && aSrc == bSrc
+      if (0 until 3).exists(i => ((ha >> (i * 10)) & 1023L) == ((hb >> (i * 10)) & 1023L))
+      if java.lang.Long.bitCount(ha ^ hb) <= 2
+    } yield (aId, bId, java.lang.Long.bitCount(ha ^ hb))).toSet
+    val got = SimilarityOps.simhashDedupPoly(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty, "fixture should contain near-dup pairs")
+  }
+}
