@@ -64,6 +64,49 @@ object Oracles {
   private def qrx(extraCte: String, sql: String): String =
     "WITH RECURSIVE" + CTE.stripPrefix("WITH") + extraCte + "\n" + sql
 
+  /** Poly-hash MinHash pipeline (per-word rolling hash → 3-shingle
+    * Horner combine → 16 affine permutations → 4-band LSH buckets →
+    * candidate pairs with estimated Jaccard) — shared by the
+    * minhash_dedup_poly and fuzzy_dedup_canonical oracles; mirrors
+    * SimilarityOps.minhashPolyPairs step for step. */
+  private val PolyMinhashPairsCte: String =
+    """, wh AS (
+      |  SELECT doc_id,
+      |         list_transform(string_split(text, ' '),
+      |           w -> list_reduce(
+      |                  list_transform(range(1, length(w)+1),
+      |                    i -> CAST(unicode(substr(w, CAST(i AS INT), 1)) AS BIGINT)),
+      |                  (a, b) -> (a * 31 + b) % 1000000007)) AS wh
+      |  FROM documents
+      |), shp AS (
+      |  SELECT doc_id,
+      |         list_transform(range(len(wh)-2),
+      |           i -> ((wh[CAST(i+1 AS INT)] * 31 + wh[CAST(i+2 AS INT)]) % 1000000007 * 31
+      |                 + wh[CAST(i+3 AS INT)]) % 1000000007) AS sh
+      |  FROM wh WHERE len(wh) >= 3
+      |), sig AS (
+      |  SELECT doc_id,
+      |         list_transform(range(16),
+      |           i -> list_min(list_transform(sh,
+      |                  h -> ((2*i+1) * h + 7919*i) % 1000000007))) AS sig
+      |  FROM shp
+      |), banded AS (
+      |  SELECT doc_id, sig, unnest(range(4)) AS band FROM sig
+      |), pairs AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.sig AS sa, b.sig AS sb
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band
+      |   AND a.sig[CAST(a.band*4+1 AS INT):CAST(a.band*4+4 AS INT)]
+      |     = b.sig[CAST(b.band*4+1 AS INT):CAST(b.band*4+4 AS INT)]
+      |   AND a.doc_id < b.doc_id
+      |), pest AS (
+      |  SELECT a_id, b_id,
+      |         CAST(round(1000.0 * list_sum(list_transform(range(16),
+      |                i -> CASE WHEN sa[CAST(i+1 AS INT)] = sb[CAST(i+1 AS INT)]
+      |                          THEN 1 ELSE 0 END)) / 16) AS BIGINT) AS est_jaccard_milli
+      |  FROM pairs
+      |)""".stripMargin
+
   /** Star edges from duplicated 10-token chunks + min-label components
     * — shared by the dedup_clusters and dedup_canonical oracles. */
   private val DedupClustersCte: String =
@@ -1276,42 +1319,37 @@ object Oracles {
       // word list_reduce fold (= graft_rollfp; first element seeds the
       // fold, which equals the 0-seeded fold since h1 = c0), shingle /
       // permutation / simhash arithmetic in exact BIGINT mod 1e9+7.
-      "minhash_dedup_poly" -> qx(
-        """, wh AS (
-          |  SELECT doc_id,
-          |         list_transform(string_split(text, ' '),
-          |           w -> list_reduce(
-          |                  list_transform(range(1, length(w)+1),
-          |                    i -> CAST(unicode(substr(w, CAST(i AS INT), 1)) AS BIGINT)),
-          |                  (a, b) -> (a * 31 + b) % 1000000007)) AS wh
-          |  FROM documents
-          |), shp AS (
-          |  SELECT doc_id,
-          |         list_transform(range(len(wh)-2),
-          |           i -> ((wh[CAST(i+1 AS INT)] * 31 + wh[CAST(i+2 AS INT)]) % 1000000007 * 31
-          |                 + wh[CAST(i+3 AS INT)]) % 1000000007) AS sh
-          |  FROM wh WHERE len(wh) >= 3
-          |), sig AS (
-          |  SELECT doc_id,
-          |         list_transform(range(16),
-          |           i -> list_min(list_transform(sh,
-          |                  h -> ((2*i+1) * h + 7919*i) % 1000000007))) AS sig
-          |  FROM shp
-          |), banded AS (
-          |  SELECT doc_id, sig, unnest(range(4)) AS band FROM sig
-          |), pairs AS (
-          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.sig AS sa, b.sig AS sb
-          |  FROM banded a JOIN banded b
-          |    ON a.band = b.band
-          |   AND a.sig[CAST(a.band*4+1 AS INT):CAST(a.band*4+4 AS INT)]
-          |     = b.sig[CAST(b.band*4+1 AS INT):CAST(b.band*4+4 AS INT)]
-          |   AND a.doc_id < b.doc_id
+      "minhash_dedup_poly" -> qx(PolyMinhashPairsCte,
+        """SELECT a_id, b_id, est_jaccard_milli
+          |FROM pest ORDER BY a_id, b_id""".stripMargin),
+      // End-to-end fuzzy dedup: poly-MinHash pairs at est-Jaccard ≥ 0.5
+      // → recursive-CTE connected components (label = min reachable
+      // doc_id, the same fixpoint minLabelComponents converges to) →
+      // longest-text survivor per component.
+      "fuzzy_dedup_canonical" -> qrx(PolyMinhashPairsCte +
+        """, fund AS (
+          |  SELECT a_id AS a, b_id AS b FROM pest WHERE est_jaccard_milli >= 500
+          |  UNION SELECT b_id, a_id FROM pest WHERE est_jaccard_milli >= 500
+          |), fnodes AS (
+          |  SELECT DISTINCT a AS node FROM fund
+          |), freach(node, label) AS (
+          |  SELECT node, node FROM fnodes
+          |  UNION
+          |  SELECT u.b, r.label FROM freach r JOIN fund u ON u.a = r.node
+          |), fcomp AS (
+          |  SELECT node AS doc_id, MIN(label) AS component FROM freach GROUP BY node
+          |), fcanon AS (
+          |  SELECT c.component,
+          |         arg_max(c.doc_id, d.n_chars * 1000000000 - c.doc_id) AS canon_id
+          |  FROM fcomp c JOIN documents d USING (doc_id)
+          |  GROUP BY c.component
           |)""".stripMargin,
-        """SELECT a_id, b_id,
-          |       CAST(round(1000.0 * list_sum(list_transform(range(16),
-          |              i -> CASE WHEN sa[CAST(i+1 AS INT)] = sb[CAST(i+1 AS INT)]
-          |                        THEN 1 ELSE 0 END)) / 16) AS BIGINT) AS est_jaccard_milli
-          |FROM pairs ORDER BY a_id, b_id""".stripMargin),
+        """SELECT d.doc_id, c.component,
+          |       (c.component IS NULL OR d.doc_id = fcanon.canon_id) AS kept
+          |FROM documents d
+          |LEFT JOIN fcomp c ON d.doc_id = c.doc_id
+          |LEFT JOIN fcanon ON c.component = fcanon.component
+          |ORDER BY d.doc_id""".stripMargin),
       "simhash_dedup_poly" -> qx(
         """, wh AS (
           |  SELECT doc_id, source,

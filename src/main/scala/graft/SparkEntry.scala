@@ -138,6 +138,7 @@ object SparkEntry {
     // oracle-checkable twins over the DuckDB-reproducible poly hash
     "minhash_dedup_poly" -> (SimilarityOps.minhashDedupPoly _),
     "simhash_dedup_poly" -> (SimilarityOps.simhashDedupPoly _),
+    "fuzzy_dedup_canonical" -> (GraphOps.fuzzyDedupCanonical _),
     // LLM-pipeline: multimodal plumbing
     "multimodal_meta" -> (MultimodalOps.multimodalMeta _),
     "multimodal_decode" -> (MultimodalOps.multimodalDecode _),

@@ -32,6 +32,25 @@ object GraphOps {
     *    SQL statement); GraphOpsSpec proves equality with union-find.
     */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val comp = minLabelComponents(chunkStarEdges(spark, sfDir))
+    val sizes = comp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, Seq("comp"))
+      .select(col("doc").as("doc_id"), col("comp").as("component"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Connected components over an arbitrary (src, dst) edge list with
+    * src < dst per edge — the min-label propagation loop extracted from
+    * [[dedupClusters]] so every pair-emitting dedup detector (chunk
+    * stars, MinHash LSH pairs, SimHash collisions) shares one
+    * fixpoint engine. Returns (doc, comp). Works for any a<b pair
+    * graph, not only star forests: the direct init is still exact
+    * round-1 propagation (comp(v) = min(v, min incoming src) — every
+    * src self-labels via the first union leg, and an edge's dst always
+    * has src < dst so a missing dst self-label can never change the
+    * min), and pointer jumping bounds rounds by O(log diameter). */
+  private[graft] def minLabelComponents(rawEdges: DataFrame): DataFrame = {
     // localCheckpoint (eager) — not persist — between rounds: persist
     // short-circuits EXECUTION but Catalyst still re-analyzes the
     // whole accumulated lineage on every action, so per-round planning
@@ -40,7 +59,7 @@ object GraphOps {
     // round O(1) planning — the same reason GraphX checkpoints
     // periodically. (Cluster form: `checkpoint` to reliable storage
     // for executor-loss safety; local mode keeps blocks in-JVM.)
-    val edges = chunkStarEdges(spark, sfDir).localCheckpoint()
+    val edges = rawEdges.localCheckpoint()
     val und = edges.union(
       edges.select(col("dst").as("src"), col("src").as("dst")))
     // DIRECT star initialization (round-3 perf fix): the edge list is a
@@ -97,13 +116,9 @@ object GraphOps {
     // Star topology keeps diameters tiny, so hitting the cap means the
     // input is shaped unlike anything this cap was sized for.
     require(converged,
-      s"dedupClusters: min-label propagation did not converge in $iters rounds; " +
+      s"minLabelComponents: min-label propagation did not converge in $iters rounds; " +
         "raise the round cap for this graph's diameter")
-    val sizes = comp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
-    comp.join(sizes, Seq("comp"))
-      .select(col("doc").as("doc_id"), col("comp").as("component"),
-        col("cluster_size"))
-      .orderBy("doc_id")
+    comp
   }
 
   /** The dedup pipeline's FINAL verdict — what actually gets dropped:
@@ -125,6 +140,39 @@ object GraphOps {
       .agg(max_by(col("doc_id"),
         struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("canon_id"))
     docs.join(clusters, Seq("doc_id"), "left")
+      .join(canon, Seq("component"), "left")
+      .select(col("doc_id"), col("component"),
+        (col("component").isNull || col("doc_id") === col("canon_id"))
+          .as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** End-to-end FUZZY dedup — the whole near-dup pipeline as one
+    * hash-checked query: poly-MinHash banded LSH pairs (est Jaccard ≥
+    * 0.5) → connected components over the pair graph (shared
+    * [[minLabelComponents]] engine) → keep-the-longest survivor per
+    * cluster. The exact-dedup twin is [[dedupCanonical]]; this one's
+    * edges come from similarity estimation, not identical chunks, so
+    * it is the pipeline an LLM-corpus curation job actually runs.
+    * Fully oracle-checkable end to end because the pair stage is the
+    * polynomial-hash form (reference: near-dup removal in
+    * /root/reference/readme.txt data-cleaning notes) — the recursive-
+    * CTE component oracle composes with the poly-MinHash CTE chain.
+    * Scale: pairs are LSH-bucketed (never all-pairs), the component
+    * frame is pairs-sized (≪ corpus), and the final verdict join is
+    * a left join on doc_id — corpus-partitioned, no window. */
+  def fuzzyDedupCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = SimilarityOps.minhashPolyPairs(spark, sfDir)
+      .filter(col("est_jaccard_milli") >= 500)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val comp = minLabelComponents(edges)
+      .select(col("doc").as("doc_id"), col("comp").as("component"))
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+    val canon = comp.join(docs, Seq("doc_id"))
+      .groupBy("component")
+      .agg(max_by(col("doc_id"),
+        struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("canon_id"))
+    docs.join(comp, Seq("doc_id"), "left")
       .join(canon, Seq("component"), "left")
       .select(col("doc_id"), col("component"),
         (col("component").isNull || col("doc_id") === col("canon_id"))

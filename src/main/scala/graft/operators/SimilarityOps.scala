@@ -635,7 +635,14 @@ object SimilarityOps {
     * Shingle hash combines the 3 word hashes with Horner steps mod p
     * (operands stay < 3.2e10, far from ANSI overflow); permutation i
     * is h ↦ ((2i+1)·h + 7919·i) mod p. Docs need ≥ 3 words. */
-  def minhashDedupPoly(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashDedupPoly(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPolyPairs(spark, sfDir).orderBy("a_id", "b_id")
+
+  /** The pair stream behind [[minhashDedupPoly]], unsorted — the
+    * composition form: downstream consumers (fuzzy_dedup_canonical's
+    * component build) join or aggregate these pairs, so a sort here
+    * would be dead work the optimizer may not always remove. */
+  private[graft] def minhashPolyPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), polyWordHashes(spark, col("text")).as("wh"))
       .filter(size(col("wh")) >= 3)
@@ -670,7 +677,6 @@ object SimilarityOps {
       .withColumn("est_jaccard_milli",
         round(lit(1000.0) * matches / PolyPerms).cast("long"))
       .select("a_id", "b_id", "est_jaccard_milli")
-      .orderBy("a_id", "b_id")
   }
 
   /** 30-bit SimHash near-dup pairs over the polynomial word hash — the

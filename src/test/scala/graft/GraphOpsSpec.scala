@@ -34,6 +34,43 @@ class GraphOpsSpec extends SparkSuite {
     }
   }
 
+  test("fuzzy_dedup_canonical equals union-find over the poly-MinHash pairs") {
+    // Edge source: the already-spec-pinned poly pair stream (PolyDedupSpec
+    // proves it equals a plain-Scala MinHash reference), thresholded the
+    // same way the operator thresholds.
+    val edges = operators.SimilarityOps.minhashDedupPoly(spark, sf).collect()
+      .filter(_.getAs[Long]("est_jaccard_milli") >= 500)
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    assert(edges.nonEmpty, "fixture produced no near-dup pairs")
+
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comp = parent.keys.map(v => v -> find(v)).toMap
+    val nChars = sources.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val survivors = comp.groupBy(_._2).map { case (c, members) =>
+      c -> members.keys.maxBy(id => (nChars(id), -id))
+    }
+
+    val rows = operators.GraphOps.fuzzyDedupCanonical(spark, sf).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        r.getBoolean(2)))
+    assert(rows.length == nChars.size, "every document gets a verdict")
+    rows.foreach { case (id, c, kept) =>
+      assert(c == comp.get(id), s"doc $id component: got $c, want ${comp.get(id)}")
+      val wantKept = c.forall(survivors(_) == id)
+      assert(kept == wantKept, s"doc $id kept: got $kept, want $wantKept")
+    }
+  }
+
   test("dedup_canonical keeps exactly the longest member per cluster") {
     val nChars = sources.Tables.documents(spark, sf)
       .select("doc_id", "n_chars").collect()
