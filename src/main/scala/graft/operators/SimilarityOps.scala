@@ -617,7 +617,7 @@ object SimilarityOps {
   // ---------------------------------------------------------------
 
   private val PolyPrime = 1000000007L
-  private val PolyPerms = 16
+  private[graft] val PolyPerms = 16
   private val PolyBands = 4 // 4 bands × 4 rows
   private val PolyRows = PolyPerms / PolyBands
 
@@ -642,10 +642,14 @@ object SimilarityOps {
     * composition form: downstream consumers (fuzzy_dedup_canonical's
     * component build) join or aggregate these pairs, so a sort here
     * would be dead work the optimizer may not always remove. */
-  private[graft] def minhashPolyPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), polyWordHashes(spark, col("text")).as("wh"))
-      .filter(size(col("wh")) >= 3)
+  /** Appends the 16-permutation poly-MinHash signature as `sig` to any
+    * frame carrying a text column, dropping docs with < 3 words. Pure
+    * stateless Column expressions — legal on BATCH and STREAMING
+    * frames alike, which is how the ingestion-time near-dup stage
+    * ([[graft.streaming.NearDupStream]]) is guaranteed to compute
+    * bit-identical signatures to this batch pipeline. */
+  private[graft] def withPolySignature(spark: SparkSession, docs: DataFrame,
+      text: Column): DataFrame = {
     val shingleHashes = transform(sequence(lit(0), size(col("wh")) - 3), i =>
       ((element_at(col("wh"), (i + 1).cast("int")) * 31 +
         element_at(col("wh"), (i + 2).cast("int"))) % PolyPrime * 31 +
@@ -653,14 +657,28 @@ object SimilarityOps {
     val sigCol = transform(sequence(lit(0), lit(PolyPerms - 1)), i =>
       array_min(transform(col("sh"),
         h => (h * (i * 2 + 1) + lit(7919L) * i) % PolyPrime)))
-    val sigs = docs.select(col("doc_id"), shingleHashes.as("sh"))
-      .select(col("doc_id"), sigCol.as("sig"))
+    docs.withColumn("wh", polyWordHashes(spark, text))
+      .filter(size(col("wh")) >= 3)
+      .withColumn("sh", shingleHashes)
+      .withColumn("sig", sigCol)
+      .drop("wh", "sh")
+  }
+
+  /** The 4 LSH band slices of `sig` — the bucket identity shared by the
+    * batch self-join and the streaming per-bucket state key. */
+  private[graft] def polyBandSlices: Column =
+    transform(sequence(lit(0), lit(PolyBands - 1)), b =>
+      slice(col("sig"), b * PolyRows + 1, lit(PolyRows)))
+
+  private[graft] def minhashPolyPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = withPolySignature(spark,
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      col("text")).select(col("doc_id"), col("sig"))
     // band bucket = the band's signature slice itself (array equality
     // in the join; Murmur3 hashes arrays fine) — no re-hash, so the
     // oracle's slice-equality is literally the same predicate.
     val banded = sigs.select(col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(PolyBands - 1)), b =>
-        slice(col("sig"), b * PolyRows + 1, lit(PolyRows)))))
+      posexplode(polyBandSlices))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val a = banded.alias("a")
     val b = banded.alias("b")

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.SimilarityOps
+
+/** Ingestion-time NEAR-dup detection — the streaming form of the
+  * poly-MinHash LSH pipeline ([[SimilarityOps.minhashPolyPairs]]):
+  * every arriving document is checked against all previously ingested
+  * documents and a near-dup pair is emitted the moment the second
+  * member arrives. What a 100 TB pipeline actually wants from fuzzy
+  * dedup: duplicates caught AT ingestion, not in a nightly all-corpus
+  * rewrite. (Exact-dup ingestion is [[CurationStream]]; this is its
+  * similarity twin. Reference analog: the data-cleaning near-dup notes
+  * in /root/reference/readme.txt.)
+  *
+  * Streaming-legal re-expression of the batch self-join:
+  *  - signature: the SAME stateless Column pipeline as batch
+  *    ([[SimilarityOps.withPolySignature]] — shared object, can't
+  *    fork), so stream and batch signatures are bit-identical;
+  *  - banding: explode into the SAME 4 band slices; the state key is
+  *    (band, slice) — exactly the batch join predicate — rendered as a
+  *    string for the group key;
+  *  - the self-join becomes per-bucket keyed state: each (band,
+  *    bucket) group holds the (doc_id, sig) of every prior member, an
+  *    arriving doc emits a pair per existing member and appends
+  *    itself. Within one micro-batch, arrivals are processed in
+  *    doc_id order so output is deterministic under replay.
+  *
+  * Scale design: state is partitioned by bucket key (narrow hub
+  *  groups: a bucket's membership is the LSH collision set, small by
+  *  construction for honest bands); per-pair work is the signature
+  *  compare — identical to the batch verify. Pair emission across
+  *  bands double-fires exactly like the batch join before its
+  *  `.distinct()`; callers who need distinct pairs add
+  *  `dropDuplicates("a_id","b_id")` (bounded by pair cardinality, or
+  *  use dropDuplicatesWithinWatermark for a horizon-bounded form).
+  *  This exact-history form answers "is this a near-dup of ANYTHING
+  *  seen"; bounding it is the same watermark trade documented on
+  *  [[CurationStream.curateWithinWatermark]].
+  */
+object NearDupStream {
+
+  case class DocSig(docId: Long, sig: Seq[Long])
+  case class NearDupPair(a_id: Long, b_id: Long, est_jaccard_milli: Long)
+
+  private def estMilli(sa: Seq[Long], sb: Seq[Long]): Long =
+    math.round(1000.0 *
+      sa.iterator.zip(sb.iterator).count { case (x, y) => x == y } /
+      SimilarityOps.PolyPerms)
+
+  /** Per-bucket state update: emit a pair for every (prior member,
+    * arrival); process arrivals in doc_id order; append arrivals to
+    * state. Pure function of (sorted arrivals, prior state) — replay
+    * of a micro-batch reproduces the same output, which is what makes
+    * the append sink exactly-once under checkpoint recovery. */
+  private[graft] def bucketStep(arrivals: Iterator[DocSig],
+      state: GroupState[List[DocSig]]): Iterator[NearDupPair] = {
+    var members = state.getOption.getOrElse(Nil)
+    val out = List.newBuilder[NearDupPair]
+    arrivals.toSeq.sortBy(_.docId).foreach { d =>
+      members.foreach { m =>
+        if (m.docId != d.docId) {
+          val (a, b) = if (m.docId < d.docId) (m, d) else (d, m)
+          out += NearDupPair(a.docId, b.docId, estMilli(a.sig, b.sig))
+        }
+      }
+      members ::= d
+    }
+    state.update(members)
+    out.result().iterator
+  }
+
+  /** The streaming transform. `docs` is a streaming frame with
+    * (doc_id, text); output is the append-mode stream of
+    * (a_id, b_id, est_jaccard_milli) candidate pairs — the union over
+    * bands of the batch pipeline's pre-distinct join output, with
+    * pairs surfacing as soon as their second member arrives. */
+  def nearDupPairs(spark: SparkSession, docs: DataFrame): Dataset[NearDupPair] = {
+    import spark.implicits._
+    val banded = SimilarityOps
+      .withPolySignature(spark, docs.select(col("doc_id"), col("text")),
+        col("text"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(SimilarityOps.polyBandSlices))
+      // group key = the batch join predicate (band, slice), rendered
+      // as a string: "," is injective over longs so key equality ⟺
+      // slice equality
+      .select(
+        concat_ws(",", col("pos").cast("string"),
+          concat_ws(",", col("col"))).as("bucket_key"),
+        col("doc_id").as("docId"), col("sig"))
+      .as[(String, Long, Seq[Long])]
+      .map { case (k, id, sig) => (k, DocSig(id, sig)) }
+    banded
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, DocSig)],
+         state: GroupState[List[DocSig]]) =>
+          bucketStep(rows.map(_._2), state)
+      }
+  }
+}
