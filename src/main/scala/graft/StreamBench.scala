@@ -17,7 +17,46 @@ import graft.streaming.TaskEngine.TaskEvent
 object StreamBench {
   def main(args: Array[String]): Unit =
     if (args.headOption.contains("curation")) curationBench(args.drop(1))
+    else if (args.headOption.contains("neardup")) nearDupBench(args.drop(1))
     else engineBench(args)
+
+  /** Ingestion-time near-dup throughput: replay the fixture corpus N×
+    * (fresh ids, duplicate content — every replayed doc collides with
+    * its original in all 4 LSH buckets, so the keyed state and pair
+    * emission do maximal work) through NearDupStream as a file-source
+    * stream and report input docs/s plus pairs found. */
+  private def nearDupBench(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val copies = args.headOption.map(_.toInt).getOrElse(4)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = GraftSession.builder(32).master("local[32]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val root = Files.createTempDirectory("graft-neardupbench").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val base = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+    val nBase = base.count()
+    (0 until copies).map(c => base.withColumn("doc_id",
+        col("doc_id") + lit(c.toLong * 1000000000L)))
+      .reduce(_ unionByName _)
+      .repartition(24).write.parquet(in)
+    val docs = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "4").parquet(in)
+    val t0 = System.nanoTime()
+    val q = graft.streaming.NearDupStream.nearDupPairs(spark, docs)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val nIn = nBase * copies
+    val nPairs = spark.read.parquet(out)
+      .select("a_id", "b_id").distinct().count()
+    println(f"""{"metric":"neardup_docs_per_sec","value":${nIn / sec}%.0f,"docs_in":$nIn,"pairs":$nPairs,"sec":$sec%.2f}""")
+    spark.stop()
+  }
 
   /** Streaming-curation throughput: replay the fixture corpus N× (fresh
     * ids, duplicate CONTENT — so the dedup state does real work) through
