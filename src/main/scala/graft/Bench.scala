@@ -36,8 +36,10 @@ object Bench {
     // retrieval + split assignment + late round-4 curation surface
     "bm25_search", "tfidf_terms", "split_assign",
     "compression_ratio", "embedding_coverage",
-    // round-5 surface: Q17/Q21 decorrelation, hash-checkable bucketed ANN
-    "parts_below_avg", "suppliers_waiting", "ann_q8_lsh_topk")
+    // round-5 surface: Q17/Q21 decorrelation, hash-checkable bucketed ANN,
+    // end-to-end fuzzy dedup (pairs → components → survivor) + its reports
+    "parts_below_avg", "suppliers_waiting", "ann_q8_lsh_topk",
+    "minhash_dedup_poly", "fuzzy_dedup_canonical", "cross_source_dups")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

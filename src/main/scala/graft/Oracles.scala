@@ -1350,6 +1350,44 @@ object Oracles {
           |LEFT JOIN fcomp c ON d.doc_id = c.doc_id
           |LEFT JOIN fcanon ON c.component = fcanon.component
           |ORDER BY d.doc_id""".stripMargin),
+      "fuzzy_dedup_stats" -> qrx(PolyMinhashPairsCte +
+        """, fund AS (
+          |  SELECT a_id AS a, b_id AS b FROM pest WHERE est_jaccard_milli >= 500
+          |  UNION SELECT b_id, a_id FROM pest WHERE est_jaccard_milli >= 500
+          |), fnodes AS (
+          |  SELECT DISTINCT a AS node FROM fund
+          |), freach(node, label) AS (
+          |  SELECT node, node FROM fnodes
+          |  UNION
+          |  SELECT u.b, r.label FROM freach r JOIN fund u ON u.a = r.node
+          |), fcomp AS (
+          |  SELECT node AS doc_id, MIN(label) AS component FROM freach GROUP BY node
+          |), fcanon AS (
+          |  SELECT c.component,
+          |         arg_max(c.doc_id, d.n_chars * 1000000000 - c.doc_id) AS canon_id
+          |  FROM fcomp c JOIN documents d USING (doc_id)
+          |  GROUP BY c.component
+          |), verdict AS (
+          |  SELECT d.doc_id, d.source, d.n_chars,
+          |         (c.component IS NULL OR d.doc_id = fcanon.canon_id) AS kept
+          |  FROM documents d
+          |  LEFT JOIN fcomp c ON d.doc_id = c.doc_id
+          |  LEFT JOIN fcanon ON c.component = fcanon.component
+          |)""".stripMargin,
+        """SELECT source, COUNT(*) AS n_docs,
+          |       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |       CAST(SUM(CASE WHEN kept THEN 0 ELSE n_chars END) AS BIGINT)
+          |         AS chars_dropped
+          |FROM verdict GROUP BY source ORDER BY source""".stripMargin),
+      "cross_source_dups" -> qx(PolyMinhashPairsCte,
+        """SELECT least(sa.source, sb.source) AS source_lo,
+          |       greatest(sa.source, sb.source) AS source_hi,
+          |       COUNT(*) AS n_pairs
+          |FROM pest
+          |JOIN documents sa ON pest.a_id = sa.doc_id
+          |JOIN documents sb ON pest.b_id = sb.doc_id
+          |WHERE est_jaccard_milli >= 500
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       "simhash_dedup_poly" -> qx(
         """, wh AS (
           |  SELECT doc_id, source,

@@ -139,6 +139,8 @@ object SparkEntry {
     "minhash_dedup_poly" -> (SimilarityOps.minhashDedupPoly _),
     "simhash_dedup_poly" -> (SimilarityOps.simhashDedupPoly _),
     "fuzzy_dedup_canonical" -> (GraphOps.fuzzyDedupCanonical _),
+    "fuzzy_dedup_stats" -> (GraphOps.fuzzyDedupStats _),
+    "cross_source_dups" -> (SimilarityOps.crossSourceDups _),
     // LLM-pipeline: multimodal plumbing
     "multimodal_meta" -> (MultimodalOps.multimodalMeta _),
     "multimodal_decode" -> (MultimodalOps.multimodalDecode _),

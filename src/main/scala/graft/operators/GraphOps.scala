@@ -180,6 +180,26 @@ object GraphOps {
       .orderBy("doc_id")
   }
 
+  /** Per-source impact report of the fuzzy dedup verdict — the number
+    * a curation run actually publishes: how many docs each source
+    * loses to near-dup removal and the chars saved. Composes
+    * [[fuzzyDedupCanonical]] with the documents scan; the verdict
+    * frame is corpus-sized but the join is doc_id-equi (no skew: ids
+    * are unique) and the output is |sources| rows. */
+  def fuzzyDedupStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val verdicts = fuzzyDedupCanonical(spark, sfDir)
+      .select(col("doc_id"), col("kept"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(verdicts, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("kept"), col("n_chars")).otherwise(0L))
+          .as("chars_dropped"))
+      .orderBy("source")
+  }
+
   /** Edge list: doc → min-doc-of-group for every chunk duplicated
     * across docs. Distinct per (doc, chunk) so within-doc repetition
     * adds no edges; group roots come from the same md5-keyed

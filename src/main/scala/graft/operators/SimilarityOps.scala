@@ -704,6 +704,27 @@ object SimilarityOps {
     * pair at Hamming ≤ 2 shares ≥ 1 intact chunk (recall 1 by
     * construction); the exact bit_count verify runs on collisions
     * only, within source. */
+  /** Cross-source duplication matrix: for every unordered source pair,
+    * how many near-dup pairs (poly-MinHash, est Jaccard ≥ 0.5) span
+    * them — the report that tells a corpus owner which sources
+    * scrape/mirror each other. Scale: the pair frame is LSH-bucketed
+    * and tiny relative to the corpus, so both source lookups broadcast
+    * the PAIR side into a column-pruned (doc_id, source) scan — two
+    * narrow corpus passes, |sources|² output. */
+  def crossSourceDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashPolyPairs(spark, sfDir)
+      .filter(col("est_jaccard_milli") >= 500)
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.as("sa"), pairs("a_id") === col("sa.doc_id"))
+      .join(src.as("sb"), pairs("b_id") === col("sb.doc_id"))
+      .select(least(col("sa.source"), col("sb.source")).as("source_lo"),
+        greatest(col("sa.source"), col("sb.source")).as("source_hi"))
+      .groupBy("source_lo", "source_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_lo", "source_hi")
+  }
+
   def simhashDedupPoly(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
