@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -80,21 +80,7 @@ object NearDupStream {
     * pairs surfacing as soon as their second member arrives. */
   def nearDupPairs(spark: SparkSession, docs: DataFrame): Dataset[NearDupPair] = {
     import spark.implicits._
-    val banded = SimilarityOps
-      .withPolySignature(spark, docs.select(col("doc_id"), col("text")),
-        col("text"))
-      .select(col("doc_id"), col("sig"),
-        posexplode(SimilarityOps.polyBandSlices))
-      // group key = the batch join predicate (band, slice), rendered
-      // as a string: "," is injective over longs so key equality ⟺
-      // slice equality
-      .select(
-        concat_ws(",", col("pos").cast("string"),
-          concat_ws(",", col("col"))).as("bucket_key"),
-        col("doc_id").as("docId"), col("sig"))
-      .as[(String, Long, Seq[Long])]
-      .map { case (k, id, sig) => (k, DocSig(id, sig)) }
-    banded
+    banded(spark, docs)
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout) {
@@ -103,4 +89,103 @@ object NearDupStream {
           bucketStep(rows.map(_._2), state)
       }
   }
+
+  case class TimedDocSig(docId: Long, sig: Seq[Long], tsMillis: Long)
+
+  /** Bounded bucket step: members older than the watermark are
+    * evicted before matching, and an idle bucket's state is removed
+    * by event-time timeout once the watermark passes its newest
+    * member. Pure function of (arrivals, state, watermark). */
+  private[graft] def bucketStepBounded(horizonMs: Long,
+      arrivals: Iterator[TimedDocSig],
+      state: GroupState[List[TimedDocSig]]): Iterator[NearDupPair] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val wm = state.getCurrentWatermarkMs()
+    var members = state.getOption.getOrElse(Nil).filter(_.tsMillis >= wm)
+    val out = List.newBuilder[NearDupPair]
+    arrivals.toSeq.sortBy(_.docId).foreach { d =>
+      members.foreach { m =>
+        if (m.docId != d.docId) {
+          val (a, b) = if (m.docId < d.docId) (m, d) else (d, m)
+          out += NearDupPair(a.docId, b.docId, estMilli(a.sig, b.sig))
+        }
+      }
+      members ::= d
+    }
+    if (members.isEmpty) state.remove()
+    else {
+      state.update(members)
+      // wake once every member is past-horizon so the bucket frees
+      // itself even if nothing ever arrives again; clamp above the
+      // watermark because a fully-late arrival batch could otherwise
+      // compute a wake time Spark rejects as already passed
+      state.setTimeoutTimestamp(
+        math.max(members.map(_.tsMillis).max + horizonMs, wm + 1))
+    }
+    out.result().iterator
+  }
+
+  /** The state-BOUNDED production form of [[nearDupPairs]]: identical
+    * signature/banding/matching, but bucket members are kept only
+    * within `horizon` of the watermark, so state is bounded by the
+    * duplicate horizon instead of growing with corpus cardinality
+    * forever. `docs` must carry an `ingest_ts` timestamp. The trade
+    * (same as [[CurationStream.curateWithinWatermark]]): a near-dup
+    * arriving later than `horizon` after its counterpart is NOT
+    * paired — spec-pinned in both directions. */
+  def nearDupPairsWithinWatermark(spark: SparkSession, docs: DataFrame,
+      horizon: String = "1 hour"): Dataset[NearDupPair] = {
+    import spark.implicits._
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String
+        .fromString(horizon))
+    val horizonMs = iv.months * 2592000000L + iv.days * 86400000L +
+      iv.microseconds / 1000L
+    // The watermarked ingest_ts attribute must reach the grouped state
+    // operator UNTRANSFORMED: event-time timeout validation looks for
+    // the watermark metadata on a child column, and that metadata
+    // survives plain projections but not typed maps or expressions —
+    // so millis conversion happens inside the state wrapper instead.
+    SimilarityOps
+      .withPolySignature(spark,
+        docs.withWatermark("ingest_ts", horizon)
+          .select(col("doc_id"), col("text"), col("ingest_ts")),
+        col("text"))
+      .select(col("doc_id"), col("sig"), col("ingest_ts"),
+        posexplode(SimilarityOps.polyBandSlices))
+      .select(
+        concat_ws(",", col("pos").cast("string"),
+          concat_ws(",", col("col"))).as("bucket_key"),
+        col("doc_id"), col("sig"), col("ingest_ts"))
+      .as[(String, Long, Seq[Long], java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[(String, Long, Seq[Long], java.sql.Timestamp)],
+         state: GroupState[List[TimedDocSig]]) =>
+          bucketStepBounded(horizonMs,
+            rows.map(r => TimedDocSig(r._2, r._3, r._4.getTime)), state)
+      }
+  }
+
+  /** Shared signature+banding stage: (bucket_key, DocSig[, extras]).
+    * The group key renders the batch join predicate (band, slice) as a
+    * string — "," is injective over longs so key equality ⟺ slice
+    * equality. */
+  private def banded(spark: SparkSession, docs: DataFrame):
+      Dataset[(String, DocSig)] = {
+    import spark.implicits._
+    SimilarityOps
+      .withPolySignature(spark, docs.select(col("doc_id"), col("text")),
+        col("text"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(SimilarityOps.polyBandSlices))
+      .select(
+        concat_ws(",", col("pos").cast("string"),
+          concat_ws(",", col("col"))).as("bucket_key"),
+        col("doc_id").as("docId"), col("sig"))
+      .as[(String, Long, Seq[Long])]
+      .map { case (k, id, sig) => (k, DocSig(id, sig)) }
+  }
+
 }

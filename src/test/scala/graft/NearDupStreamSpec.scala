@@ -49,6 +49,50 @@ class NearDupStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("watermarked variant: in-horizon near-dup paired, past-horizon member evicted") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // identical content (Jaccard 1 → collides in every band; the
+    // estimate math itself is pinned by the batch-equality test), plus
+    // an unrelated text to advance the watermark
+    val text = ("tok " * 30).trim
+    val near = text
+    val other = Seq.tabulate(30)(i => s"w$i").mkString(" ")
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = NearDupStream.nearDupPairsWithinWatermark(spark,
+        input.toDF().toDF("doc_id", "ingest_ts", "text"),
+        horizon = "10 minutes")
+      .writeStream.format("memory").queryName("neardup_wm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def pairs() = spark.table("neardup_wm").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      input.addData((1L, ts("2024-01-01 10:00:00"), text))
+      q.processAllAvailable()
+      // in-horizon near-dup: paired
+      input.addData((2L, ts("2024-01-01 10:05:00"), near))
+      q.processAllAvailable()
+      assert(pairs().contains((1L, 2L)), s"in-horizon pair missing: ${pairs()}")
+      // advance the watermark past 10:05 + 10 min → docs 1,2 evicted
+      input.addData((3L, ts("2024-01-01 11:00:00"), other))
+      q.processAllAvailable()
+      // the same near-dup content arriving after the horizon is NOT
+      // paired with the evicted members — the documented state bound
+      input.addData((4L, ts("2024-01-01 11:01:00"), text))
+      q.processAllAvailable()
+      assert(!pairs().exists(p => p._2 == 4L),
+        s"past-horizon member was not evicted: ${pairs()}")
+      // but the fresh arrival seeds new state: an in-horizon follower pairs
+      input.addData((5L, ts("2024-01-01 11:02:00"), near))
+      q.processAllAvailable()
+      assert(pairs().contains((4L, 5L)), s"re-seeded pair missing: ${pairs()}")
+    } finally q.stop()
+  }
+
   test("bucketStep emits each cross-member pair once, in deterministic order") {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     // pure-function check through the test harness-free path: prior
