@@ -286,6 +286,18 @@ object Oracles {
         |GROUP BY s.s_name
         |ORDER BY numwait DESC, s.s_name
         |LIMIT 20""".stripMargin),
+    "idle_rich_customers" -> q(
+      """SELECT c.c_nationkey, COUNT(*) AS numcust,
+        |       CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |         AS totbal_cents
+        |FROM customer c
+        |WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+        |                     WHERE c2.c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c.c_nationkey
+        |ORDER BY c.c_nationkey""".stripMargin),
     "list_all_tasks" -> q(
       "SELECT id, status, priority FROM tasks ORDER BY priority DESC, id LIMIT 100"),
     "priority_queue" -> q(
@@ -908,6 +920,27 @@ object Oracles {
         |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
         |            ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin),
+    "split_leakage" -> qx(
+      """, lt AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |), lsh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+        |           i -> array_to_string(tk[i:i+2], ' ')))) AS tok
+        |  FROM lt
+        |), lsp AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+        |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents
+        |), ltr AS (
+        |  SELECT DISTINCT tok FROM lsh JOIN lsp USING (doc_id) WHERE split = 'train'
+        |)""".stripMargin,
+      """SELECT s.doc_id, p.source, CAST(COUNT(*) AS BIGINT) AS n_leaked
+        |FROM lsh s JOIN lsp p USING (doc_id) JOIN ltr USING (tok)
+        |WHERE p.split = 'test'
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin),
     "pii_redact" -> q(
       """SELECT event_id,
         |       substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS user_pseud,

@@ -64,6 +64,7 @@ object SparkEntry {
     "customers_with_urgent" -> (JoinOps.customersWithUrgent _),
     "parts_below_avg" -> (JoinOps.partsBelowAvg _),
     "suppliers_waiting" -> (JoinOps.suppliersWaiting _),
+    "idle_rich_customers" -> (JoinOps.idleRichCustomers _),
     "source_caps" -> (TextOps.sourceCaps _),
     "embedding_quantize" -> (SimilarityOps.embeddingQuantize _),
     "ann_q8_topk" -> (SimilarityOps.annQ8Topk _),
@@ -102,6 +103,7 @@ object SparkEntry {
     "chunk_dedup" -> (TextOps.chunkDedup _),
     "stratified_sample" -> (TextOps.stratifiedSample _),
     "split_assign" -> (TextOps.splitAssign _),
+    "split_leakage" -> (TextOps.splitLeakage _),
     "compression_ratio" -> (TextOps.compressionRatio _),
     "pii_redact" -> (TextOps.piiRedact _),
     "chars_histogram" -> (TextOps.charsHistogram _),

@@ -145,6 +145,37 @@ object JoinOps {
         |LIMIT 20""".stripMargin)
   }
 
+  /** Uncorrelated scalar subquery + NOT EXISTS in ONE query (TPC-H
+    * Q22 shape): per-nation count and balance of customers holding an
+    * above-average (among positive-balance customers) balance who have
+    * never placed an URGENT order (the fixture assigns every customer
+    * some order, so the classic no-orders-at-all predicate is vacuous
+    * here). Catalyst evaluates the AVG once as a
+    * one-row subquery broadcast into the filter and rewrites the
+    * NOT EXISTS into a left-anti join on o_custkey (asserted by
+    * OperatorPlanSpec) — at 100 TB: one 1-row scalar plus one
+    * shuffle anti-join, zero per-row probes. Balance totals are
+    * emitted as exact integer cents like pricing_summary, keeping
+    * the cross-engine hash compare float-free. (Adapted to this
+    * schema: no phone country code, so the grouping key is
+    * c_nationkey.) */
+  def idleRichCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT c.c_nationkey, COUNT(*) AS numcust,
+        |       CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |         AS totbal_cents
+        |FROM graft_customer c
+        |WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM graft_customer c2
+        |                     WHERE c2.c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c.c_nationkey
+        |ORDER BY c.c_nationkey""".stripMargin)
+  }
+
   /** Set op: BUILDING-segment customers ∩ urgent-order customers. */
   def setIntersect(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir)

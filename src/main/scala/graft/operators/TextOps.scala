@@ -631,12 +631,50 @@ object TextOps {
     * adding documents never reshuffles existing ones — the property
     * that keeps eval sets stable as a 100 TB corpus grows. Pure narrow
     * projection: zero shuffles at any scale. */
+  /** The split verdict as a pure function of doc_id — ONE definition
+    * shared by [[splitAssign]] and [[splitLeakage]] so the assignment
+    * and its leakage audit can never disagree. */
+  private[operators] def splitOf(docId: Column): Column = {
+    val u = substring(md5(docId.cast("string")), 1, 2)
+    when(u < "e6", lit("train")).when(u < "f3", lit("val"))
+      .otherwise(lit("test"))
+  }
+
   def splitAssign(spark: SparkSession, sfDir: String): DataFrame = {
     val u = substring(md5(col("doc_id").cast("string")), 1, 2)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), u.as("u"),
-        when(u < "e6", lit("train")).when(u < "f3", lit("val"))
-          .otherwise(lit("test")).as("split"))
+        splitOf(col("doc_id")).as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Train→test LEAKAGE audit over the content-keyed split: for every
+    * test-split document, how many of its distinct 3-token shingles
+    * also occur in ANY train-split document — the check a training
+    * pipeline runs before an eval is believable (same shape as
+    * [[docContamination]], but the "benchmark" is the train split
+    * itself). Emits leaked test docs only, so output is bounded by
+    * the test split.
+    *
+    * Scale: two column-pruned passes over the exploded shingle frame
+    * (train side collapses to a distinct set with map-side partials;
+    * test side joins on the shingle — partitioned by shingle, hub
+    * shingles fan out to at most |test docs containing them| rows,
+    * bounded by the test corpus). Shingle STRINGS are the join
+    * currency here for the exact cross-engine compare; the 100 TB
+    * form hashes them to 8-byte xxhash64 first, same plan shape. */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        splitOf(col("doc_id")).as("split"),
+        explode(shingles3Native(spark, col("text"))).as("tok"))
+    val train = sh.filter(col("split") === "train").select("tok").distinct()
+    sh.filter(col("split") === "test")
+      .join(train, Seq("tok"))
+      // graft_shingles emits distinct shingles per doc and `train` is
+      // distinct, so plain count = distinct leaked-shingle count
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_leaked"))
       .orderBy("doc_id")
   }
 

@@ -146,6 +146,17 @@ class OperatorPlanSpec extends SparkSuite {
     assert(!optimized.contains("exists#"), s"correlated exists survived optimization:\n$optimized")
   }
 
+  test("idle_rich_customers: scalar AVG gate + NOT EXISTS decorrelate to one-shot subquery + anti join") {
+    val df = graft.operators.JoinOps.idleRichCustomers(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("LeftAnti"), s"NOT EXISTS not rewritten to anti join:\n$optimized")
+    assert(!optimized.contains("exists#"), s"correlated exists survived optimization:\n$optimized")
+    // the uncorrelated AVG stays a scalar subquery — evaluated once,
+    // never per customer row
+    assert(optimized.contains("scalar-subquery"),
+      s"one-shot scalar AVG subquery missing:\n$optimized")
+  }
+
   test("pending_gate: scalar count subqueries execute once, not per row") {
     val df = graft.operators.JoinOps.pendingGate(spark, sf)
     val plan = executedPlanString(df)
