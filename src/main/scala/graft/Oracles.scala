@@ -88,7 +88,8 @@ object Oracles {
       |  SELECT doc_id,
       |         list_transform(range(16),
       |           i -> list_min(list_transform(sh,
-      |                  h -> ((2*i+1) * h + 7919*i) % 1000000007))) AS sig
+      |                  h -> (h * ((2*i+1) * 2654435761 % 1000000007)
+      |                        + 7919*i) % 1000000007))) AS sig
       |  FROM shp
       |), banded AS (
       |  SELECT doc_id, sig, unnest(range(4)) AS band FROM sig

@@ -311,15 +311,21 @@ object SimilarityOps {
 
   /** MinHash+LSH near-dup pairs: docs sharing any band bucket, with
     * estimated Jaccard = fraction of matching permutation minima. */
-  def minhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigs = minhashSignatures(spark, sfDir)
+  /** The xxhash pipeline's banded frame (doc_id, signature, band,
+    * bucket) — shared with BucketProbe's skew measurement. */
+  private[graft] def xxhashBandedBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     val rowsPerBand = MinhashPerms / Bands
-    val banded = sigs.select(col("doc_id"), col("signature"),
-      posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-        b => xxhash64(concat_ws(",",
-          slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+    minhashSignatures(spark, sfDir)
+      .select(col("doc_id"), col("signature"),
+        posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+          b => xxhash64(concat_ws(",",
+            slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
       .select(col("doc_id"), col("signature"),
         col("pos").as("band"), col("col").as("bucket"))
+  }
+
+  def minhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val banded = xxhashBandedBuckets(spark, sfDir)
     val a = banded.alias("a")
     val b = banded.alias("b")
     val est = aggregate(
@@ -633,8 +639,10 @@ object SimilarityOps {
     * oracle-checkable twin of [[minhashDedup]] (same band/bucket join
     * shape, same est-Jaccard emit; only the hash family differs).
     * Shingle hash combines the 3 word hashes with Horner steps mod p
-    * (operands stay < 3.2e10, far from ANSI overflow); permutation i
-    * is h ↦ ((2i+1)·h + 7919·i) mod p. Docs need ≥ 3 words. */
+    * (operands stay < 1.1e18, inside exact 64-bit range in both
+    * engines); permutation i is h ↦ (a_i·h + 7919·i) mod p with
+    * large multipliers a_i = (2i+1)·2654435761 mod p (see the
+    * order-correlation note at the definition). Docs need ≥ 3 words. */
   def minhashDedupPoly(spark: SparkSession, sfDir: String): DataFrame =
     minhashPolyPairs(spark, sfDir).orderBy("a_id", "b_id")
 
@@ -654,9 +662,20 @@ object SimilarityOps {
       ((element_at(col("wh"), (i + 1).cast("int")) * 31 +
         element_at(col("wh"), (i + 2).cast("int"))) % PolyPrime * 31 +
         element_at(col("wh"), (i + 3).cast("int"))) % PolyPrime)
+    // Permutation multipliers must be LARGE mod p: the earlier family
+    // a_i = 2i+1 (3..31) preserved hash ORDER for every h < p/31 —
+    // i.e. for ~99% of documents the 16 "permutations" shared one
+    // argmin shingle, the signature collapsed to a function of that
+    // single hash, and LSH buckets degenerated corpus-wide (measured
+    // at 10×-sf0.1: max bucket 12,191 docs, 365M band-join rows vs
+    // 15M for the xxhash pipeline). a_i = (2i+1)·2654435761 mod p
+    // wraps every stretch of the hash line, making the argmins
+    // genuinely independent; products stay < 1.1e18, exact in both
+    // engines' 64-bit integers.
     val sigCol = transform(sequence(lit(0), lit(PolyPerms - 1)), i =>
       array_min(transform(col("sh"),
-        h => (h * (i * 2 + 1) + lit(7919L) * i) % PolyPrime)))
+        h => (h * (((i * 2 + 1) * lit(2654435761L)) % PolyPrime)
+          + lit(7919L) * i) % PolyPrime)))
     docs.withColumn("wh", polyWordHashes(spark, text))
       .filter(size(col("wh")) >= 3)
       .withColumn("sh", shingleHashes)
@@ -670,16 +689,20 @@ object SimilarityOps {
     transform(sequence(lit(0), lit(PolyBands - 1)), b =>
       slice(col("sig"), b * PolyRows + 1, lit(PolyRows)))
 
-  private[graft] def minhashPolyPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigs = withPolySignature(spark,
+  /** The poly pipeline's banded frame (doc_id, sig, band, bucket) —
+    * bucket = the band's signature slice itself (array equality in the
+    * join; Murmur3 hashes arrays fine), no re-hash, so the oracle's
+    * slice-equality is literally the same predicate. Shared with
+    * BucketProbe's skew measurement. */
+  private[graft] def polyBandedBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    withPolySignature(spark,
       Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
       col("text")).select(col("doc_id"), col("sig"))
-    // band bucket = the band's signature slice itself (array equality
-    // in the join; Murmur3 hashes arrays fine) — no re-hash, so the
-    // oracle's slice-equality is literally the same predicate.
-    val banded = sigs.select(col("doc_id"), col("sig"),
-      posexplode(polyBandSlices))
+      .select(col("doc_id"), col("sig"), posexplode(polyBandSlices))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+  private[graft] def minhashPolyPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val banded = polyBandedBuckets(spark, sfDir)
     val a = banded.alias("a")
     val b = banded.alias("b")
     val matches = aggregate(

@@ -35,7 +35,8 @@ class PolyDedupSpec extends SparkSuite {
       val sh = (0 to wh.length - 3).map(i =>
         ((wh(i) * 31 + wh(i + 1)) % P * 31 + wh(i + 2)) % P)
       val sig = (0 until 16).map(i =>
-        sh.map(h => ((2 * i + 1) * h + 7919L * i) % P).min).toVector
+        sh.map(h => (h * ((2 * i + 1) * 2654435761L % P) + 7919L * i) % P)
+          .min).toVector
       id -> sig
     }
     val expected = (for {
