@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CompressionRatio, CosineSimilarity, MinHashSig, RollingFp, SimHash64, TokenChunksGen, TokenShingles}
+import graft.functions.{CompressionRatio, CosineSimilarity, MinHashSig, PolyMinHashSig, RollingFp, SimHash64, TokenChunksGen, TokenShingles}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for the SQL surface. Use either at session build time
@@ -79,6 +79,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (children: Seq[Expression]) =>
         MinHashSig(children(0), litInt("graft_minhash", children(1)))),
+    (FunctionIdentifier("graft_polyminhash"),
+      new ExpressionInfo(classOf[PolyMinHashSig].getName, "graft_polyminhash"),
+      (children: Seq[Expression]) =>
+        PolyMinHashSig(children(0), litInt("graft_polyminhash", children(1)))),
     (FunctionIdentifier("graft_rollfp"),
       new ExpressionInfo(classOf[RollingFp].getName, "graft_rollfp"),
       (children: Seq[Expression]) => RollingFp(children(0))),

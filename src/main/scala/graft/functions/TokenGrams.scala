@@ -373,6 +373,94 @@ case class MinHashSig(child: Expression, perms: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native poly-MinHash signature: `graft_polyminhash(text, perms)` →
+  * array of `perms` permutation minima over the doc's word-3-shingle
+  * POLYNOMIAL hashes — the DuckDB-reproducible twin of
+  * [[MinHashSig]], and the codegen replacement for the nested-HOF
+  * Column pipeline (kept as
+  * [[graft.operators.SimilarityOps.withPolySignatureHof]], the
+  * spec-pinned bit-identity comparison pair — PolyDedupSpec).
+  *
+  * Arithmetic is EXACTLY the HOF/oracle form: word hash = rollfp
+  * codepoint fold mod 1e9+7; shingle j = Horner combine of words
+  * j..j+2; permutation i = (h·a_i + 7919·i) mod p with
+  * a_i = (2i+1)·2654435761 mod p (large multipliers — see the
+  * order-correlation note in SimilarityOps; every product stays
+  * < 1.1e18, exact in 64-bit). Docs with < 3 words return NULL
+  * (the HOF form filtered them; callers filter nulls).
+  *
+  * Why native: the HOF form ran 16 interpreted lambda evaluations per
+  * shingle (measured ~3.5 s of the 4 s sf0.1 fuzzy-family queries);
+  * this is one flat loop inside the scan projection.
+  */
+case class PolyMinHashSig(child: Expression, perms: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  private val Prime = 1000000007L
+  @transient private lazy val mults: Array[Long] =
+    Array.tabulate(perms)(i => (2L * i + 1) * 2654435761L % Prime)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && perms > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_polyminhash expects (string, positive int literal), got " +
+        s"${child.dataType.simpleString}, perms=$perms")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(t: Any): Any =
+    compute(t.asInstanceOf[UTF8String])
+
+  def compute(text: UTF8String): ArrayData = {
+    // limit -1 keeps empty tokens exactly like the Column split(" ")
+    // the HOF form maps over (rollfp("") = 0 participates in shingles)
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    if (n < 3) return null
+    val wh = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = toks(i)
+      var h = 0L
+      var k = 0
+      while (k < s.length) { // codepoint fold, same as RollingFp
+        val cp = s.codePointAt(k)
+        h = ((h * 31 + cp) % Prime + Prime) % Prime
+        k += Character.charCount(cp)
+      }
+      wh(i) = h
+      i += 1
+    }
+    val mins = Array.fill(perms)(Long.MaxValue)
+    var j = 0
+    while (j <= n - 3) {
+      val sh = ((wh(j) * 31 + wh(j + 1)) % Prime * 31 + wh(j + 2)) % Prime
+      var p = 0
+      while (p < perms) {
+        val v = (sh * mults(p) + 7919L * p) % Prime
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins.map(Long.box(_): AnyRef))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val self = ctx.addReferenceObj("polyminhash", this, classOf[PolyMinHashSig].getName)
+      s"""
+         |${ev.value} = $self.compute($t);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Scalar array form: `graft_shingles(text, n)` → distinct n-token
   * shingles. Stays inside whole-stage codegen (single call per row into
   * the flat Scala pass — no per-element interpreted lambda).

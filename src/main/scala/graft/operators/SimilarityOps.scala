@@ -651,12 +651,28 @@ object SimilarityOps {
     * component build) join or aggregate these pairs, so a sort here
     * would be dead work the optimizer may not always remove. */
   /** Appends the 16-permutation poly-MinHash signature as `sig` to any
-    * frame carrying a text column, dropping docs with < 3 words. Pure
-    * stateless Column expressions — legal on BATCH and STREAMING
-    * frames alike, which is how the ingestion-time near-dup stage
-    * ([[graft.streaming.NearDupStream]]) is guaranteed to compute
-    * bit-identical signatures to this batch pipeline. */
+    * frame carrying a text column, dropping docs with < 3 words. One
+    * native codegen'd expression inside the scan projection
+    * ([[graft.functions.TokenGrams]] PolyMinHashSig) — stateless, so
+    * legal on BATCH and STREAMING frames alike, which is how the
+    * ingestion-time near-dup stage ([[graft.streaming.NearDupStream]])
+    * is guaranteed to compute bit-identical signatures to this batch
+    * pipeline. The nested-HOF Column form it replaced lives on as
+    * [[withPolySignatureHof]], the spec-pinned bit-identity comparison
+    * pair (16 interpreted lambda evals per shingle — measured ~3.5 s
+    * of each sf0.1 fuzzy-family query). */
   private[graft] def withPolySignature(spark: SparkSession, docs: DataFrame,
+      text: Column): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    docs.withColumn("sig",
+        call_function("graft_polyminhash", text, lit(PolyPerms)))
+      .filter(col("sig").isNotNull)
+  }
+
+  /** The composed-builtin HOF form of [[withPolySignature]] — kept as
+    * the bit-identity comparison pair (PolyDedupSpec), mirroring the
+    * DuckDB oracle step for step. */
+  private[graft] def withPolySignatureHof(spark: SparkSession, docs: DataFrame,
       text: Column): DataFrame = {
     val shingleHashes = transform(sequence(lit(0), size(col("wh")) - 3), i =>
       ((element_at(col("wh"), (i + 1).cast("int")) * 31 +

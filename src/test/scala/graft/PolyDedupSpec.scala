@@ -12,6 +12,23 @@ class PolyDedupSpec extends SparkSuite {
 
   private val P = 1000000007L
 
+  test("native graft_polyminhash ≡ the composed-HOF signature pipeline, bit for bit") {
+    import org.apache.spark.sql.functions.col
+    val base = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val native = SimilarityOps.withPolySignature(spark, base, col("text"))
+      .select("doc_id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = SimilarityOps.withPolySignatureHof(spark, base, col("text"))
+      .select("doc_id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.keySet == hof.keySet, "forms disagree on which docs have sigs")
+    assert(native.nonEmpty)
+    native.foreach { case (id, s) =>
+      assert(s == hof(id), s"sig mismatch for doc $id: $s vs ${hof(id)}")
+    }
+  }
+
   private def polyHash(w: String): Long = {
     var h = 0L
     var i = 0
