@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CompressionRatio, CosineSimilarity, MinHashSig, PolyMinHashSig, RollingFp, SimHash64, TokenChunksGen, TokenShingles}
+import graft.functions.{CompressionRatio, CosineSimilarity, MinHashSig, PolyMinHashSig, PolySimHash, RollingFp, SimHash64, TokenChunksGen, TokenShingles}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for the SQL surface. Use either at session build time
@@ -83,6 +83,9 @@ object GraftExtensions {
       new ExpressionInfo(classOf[PolyMinHashSig].getName, "graft_polyminhash"),
       (children: Seq[Expression]) =>
         PolyMinHashSig(children(0), litInt("graft_polyminhash", children(1)))),
+    (FunctionIdentifier("graft_polysimhash"),
+      new ExpressionInfo(classOf[PolySimHash].getName, "graft_polysimhash"),
+      (children: Seq[Expression]) => PolySimHash(children(0))),
     (FunctionIdentifier("graft_rollfp"),
       new ExpressionInfo(classOf[RollingFp].getName, "graft_rollfp"),
       (children: Seq[Expression]) => RollingFp(children(0))),

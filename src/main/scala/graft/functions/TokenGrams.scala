@@ -461,6 +461,71 @@ case class PolyMinHashSig(child: Expression, perms: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Native 30-bit poly SimHash: `graft_polysimhash(text)` — bit b is
+  * set iff a MAJORITY of the doc's word poly-hashes (rollfp codepoint
+  * fold mod 1e9+7, one per whitespace token including empties) have
+  * bit b set. The DuckDB-reproducible twin of [[SimHash64]] and the
+  * codegen replacement for the nested-aggregate HOF Column form (kept
+  * as [[graft.operators.SimilarityOps.simhashPolyHof]], the
+  * bit-identity comparison pair — that form ran 30 interpreted lambda
+  * folds over the word array per document).
+  */
+case class PolySimHash(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  private val Prime = 1000000007L
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_polysimhash expects string input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_polysimhash"
+
+  override def nullSafeEval(t: Any): Any =
+    compute(t.asInstanceOf[UTF8String])
+
+  def compute(text: UTF8String): Long = {
+    val toks = text.toString.split(" ", -1)
+    val counts = new Array[Int](30)
+    var i = 0
+    while (i < toks.length) {
+      val s = toks(i)
+      var h = 0L
+      var k = 0
+      while (k < s.length) { // codepoint fold, same as RollingFp
+        val cp = s.codePointAt(k)
+        h = ((h * 31 + cp) % Prime + Prime) % Prime
+        k += Character.charCount(cp)
+      }
+      var b = 0
+      while (b < 30) {
+        counts(b) += ((h >> b) & 1L).toInt
+        b += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 30) {
+      if (2L * counts(b) > toks.length) sim |= 1L << b
+      b += 1
+    }
+    sim
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val self = ctx.addReferenceObj("polysimhash", this, classOf[PolySimHash].getName)
+      s"${ev.value} = $self.compute($t);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Scalar array form: `graft_shingles(text, n)` → distinct n-token
   * shingles. Stays inside whole-stage codegen (single call per row into
   * the flat Scala pass — no per-element interpreted lambda).

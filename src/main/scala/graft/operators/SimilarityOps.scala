@@ -765,17 +765,13 @@ object SimilarityOps {
   }
 
   def simhashDedupPoly(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    graft.GraftExtensions.register(spark)
+    // native codegen'd signature (the HOF form it replaced lives on as
+    // simhashPolyHof, bit-identity spec-pinned); split(" ") never
+    // yields an empty array, so the old size(wh) > 0 filter is vacuous
+    val sh = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
-        polyWordHashes(spark, col("text")).as("wh"))
-      .filter(size(col("wh")) > 0)
-    val simhash = aggregate(sequence(lit(0), lit(29)), lit(0L), (acc, bit) =>
-      acc + when(
-        lit(2) * aggregate(col("wh"), lit(0L), (a, h) =>
-          a + call_function("shiftright", h, bit).bitwiseAND(lit(1L)))
-          > size(col("wh")).cast("long"),
-        call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L)))
-    val sh = docs.select(col("doc_id"), col("source"), simhash.as("simhash"))
+        call_function("graft_polysimhash", col("text")).as("simhash"))
     val chunks = (0 until 3).map(i =>
       shiftright(col("simhash"), i * 10).bitwiseAND(lit(1023L)))
     val banded = sh
@@ -796,6 +792,24 @@ object SimilarityOps {
       .filter(col("hamming") <= 2)
       .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
       .orderBy("a_id", "b_id")
+  }
+
+  /** The composed nested-aggregate HOF form of the poly simhash —
+    * kept as the bit-identity comparison pair (PolyDedupSpec),
+    * mirroring the DuckDB oracle step for step. Returns (doc_id,
+    * source, simhash). */
+  private[graft] def simhashPolyHof(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        polyWordHashes(spark, col("text")).as("wh"))
+      .filter(size(col("wh")) > 0)
+    val simhash = aggregate(sequence(lit(0), lit(29)), lit(0L), (acc, bit) =>
+      acc + when(
+        lit(2) * aggregate(col("wh"), lit(0L), (a, h) =>
+          a + call_function("shiftright", h, bit).bitwiseAND(lit(1L)))
+          > size(col("wh")).cast("long"),
+        call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L)))
+    docs.select(col("doc_id"), col("source"), simhash.as("simhash"))
   }
 
   // Shingling now uses the native TokenShingles expression via

@@ -12,6 +12,23 @@ class PolyDedupSpec extends SparkSuite {
 
   private val P = 1000000007L
 
+  test("native graft_polysimhash ≡ the nested-aggregate HOF pipeline, bit for bit") {
+    import org.apache.spark.sql.functions.{call_function, col}
+    graft.GraftExtensions.register(spark)
+    val native = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        call_function("graft_polysimhash", col("text")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = SimilarityOps.simhashPolyHof(spark, sf)
+      .select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native.keySet == hof.keySet)
+    assert(native.nonEmpty)
+    native.foreach { case (id, s) =>
+      assert(s == hof(id), s"simhash mismatch for doc $id: $s vs ${hof(id)}")
+    }
+  }
+
   test("native graft_polyminhash ≡ the composed-HOF signature pipeline, bit for bit") {
     import org.apache.spark.sql.functions.col
     val base = sources.Tables.documents(spark, sf)
