@@ -73,10 +73,10 @@ object Oracles {
     """, wh AS (
       |  SELECT doc_id,
       |         list_transform(string_split(text, ' '),
-      |           w -> list_reduce(
+      |           w -> CASE WHEN length(w) = 0 THEN 0 ELSE list_reduce(
       |                  list_transform(range(1, length(w)+1),
       |                    i -> CAST(unicode(substr(w, CAST(i AS INT), 1)) AS BIGINT)),
-      |                  (a, b) -> (a * 31 + b) % 1000000007)) AS wh
+      |                  (a, b) -> (a * 31 + b) % 1000000007) END) AS wh
       |  FROM documents
       |), shp AS (
       |  SELECT doc_id,
@@ -106,6 +106,29 @@ object Oracles {
       |                i -> CASE WHEN sa[CAST(i+1 AS INT)] = sb[CAST(i+1 AS INT)]
       |                          THEN 1 ELSE 0 END)) / 16) AS BIGINT) AS est_jaccard_milli
       |  FROM pairs
+      |)""".stripMargin
+
+  /** Recursive connected components + longest-text survivor over the
+    * poly-MinHash pairs at est-Jaccard ≥ 0.5 — shared by the
+    * fuzzy_dedup_canonical and fuzzy_dedup_stats oracles (appended
+    * after [[PolyMinhashPairsCte]]). */
+  private val FuzzyComponentsCte: String =
+    """, fund AS (
+      |  SELECT a_id AS a, b_id AS b FROM pest WHERE est_jaccard_milli >= 500
+      |  UNION SELECT b_id, a_id FROM pest WHERE est_jaccard_milli >= 500
+      |), fnodes AS (
+      |  SELECT DISTINCT a AS node FROM fund
+      |), freach(node, label) AS (
+      |  SELECT node, node FROM fnodes
+      |  UNION
+      |  SELECT u.b, r.label FROM freach r JOIN fund u ON u.a = r.node
+      |), fcomp AS (
+      |  SELECT node AS doc_id, MIN(label) AS component FROM freach GROUP BY node
+      |), fcanon AS (
+      |  SELECT c.component,
+      |         arg_max(c.doc_id, d.n_chars * 1000000000 - c.doc_id) AS canon_id
+      |  FROM fcomp c JOIN documents d USING (doc_id)
+      |  GROUP BY c.component
       |)""".stripMargin
 
   /** Star edges from duplicated 10-token chunks + min-label components
@@ -1360,48 +1383,15 @@ object Oracles {
       // → recursive-CTE connected components (label = min reachable
       // doc_id, the same fixpoint minLabelComponents converges to) →
       // longest-text survivor per component.
-      "fuzzy_dedup_canonical" -> qrx(PolyMinhashPairsCte +
-        """, fund AS (
-          |  SELECT a_id AS a, b_id AS b FROM pest WHERE est_jaccard_milli >= 500
-          |  UNION SELECT b_id, a_id FROM pest WHERE est_jaccard_milli >= 500
-          |), fnodes AS (
-          |  SELECT DISTINCT a AS node FROM fund
-          |), freach(node, label) AS (
-          |  SELECT node, node FROM fnodes
-          |  UNION
-          |  SELECT u.b, r.label FROM freach r JOIN fund u ON u.a = r.node
-          |), fcomp AS (
-          |  SELECT node AS doc_id, MIN(label) AS component FROM freach GROUP BY node
-          |), fcanon AS (
-          |  SELECT c.component,
-          |         arg_max(c.doc_id, d.n_chars * 1000000000 - c.doc_id) AS canon_id
-          |  FROM fcomp c JOIN documents d USING (doc_id)
-          |  GROUP BY c.component
-          |)""".stripMargin,
+      "fuzzy_dedup_canonical" -> qrx(PolyMinhashPairsCte + FuzzyComponentsCte,
         """SELECT d.doc_id, c.component,
           |       (c.component IS NULL OR d.doc_id = fcanon.canon_id) AS kept
           |FROM documents d
           |LEFT JOIN fcomp c ON d.doc_id = c.doc_id
           |LEFT JOIN fcanon ON c.component = fcanon.component
           |ORDER BY d.doc_id""".stripMargin),
-      "fuzzy_dedup_stats" -> qrx(PolyMinhashPairsCte +
-        """, fund AS (
-          |  SELECT a_id AS a, b_id AS b FROM pest WHERE est_jaccard_milli >= 500
-          |  UNION SELECT b_id, a_id FROM pest WHERE est_jaccard_milli >= 500
-          |), fnodes AS (
-          |  SELECT DISTINCT a AS node FROM fund
-          |), freach(node, label) AS (
-          |  SELECT node, node FROM fnodes
-          |  UNION
-          |  SELECT u.b, r.label FROM freach r JOIN fund u ON u.a = r.node
-          |), fcomp AS (
-          |  SELECT node AS doc_id, MIN(label) AS component FROM freach GROUP BY node
-          |), fcanon AS (
-          |  SELECT c.component,
-          |         arg_max(c.doc_id, d.n_chars * 1000000000 - c.doc_id) AS canon_id
-          |  FROM fcomp c JOIN documents d USING (doc_id)
-          |  GROUP BY c.component
-          |), verdict AS (
+      "fuzzy_dedup_stats" -> qrx(PolyMinhashPairsCte + FuzzyComponentsCte +
+        """, verdict AS (
           |  SELECT d.doc_id, d.source, d.n_chars,
           |         (c.component IS NULL OR d.doc_id = fcanon.canon_id) AS kept
           |  FROM documents d
@@ -1426,10 +1416,10 @@ object Oracles {
         """, wh AS (
           |  SELECT doc_id, source,
           |         list_transform(string_split(text, ' '),
-          |           w -> list_reduce(
+          |           w -> CASE WHEN length(w) = 0 THEN 0 ELSE list_reduce(
           |                  list_transform(range(1, length(w)+1),
           |                    i -> CAST(unicode(substr(w, CAST(i AS INT), 1)) AS BIGINT)),
-          |                  (a, b) -> (a * 31 + b) % 1000000007)) AS wh
+          |                  (a, b) -> (a * 31 + b) % 1000000007) END) AS wh
           |  FROM documents
           |), shh AS (
           |  SELECT doc_id, source,

@@ -28,6 +28,7 @@ object StreamBench {
   private def nearDupBench(args: Array[String]): Unit = {
     import org.apache.spark.sql.functions._
     val copies = args.headOption.map(_.toInt).getOrElse(4)
+    require(copies > 0, s"neardup bench needs copies > 0, got $copies")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = GraftSession.builder(32).master("local[32]").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -64,6 +65,7 @@ object StreamBench {
   private def curationBench(args: Array[String]): Unit = {
     import org.apache.spark.sql.functions._
     val copies = args.headOption.map(_.toInt).getOrElse(4)
+    require(copies > 0, s"curation bench needs copies > 0, got $copies")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = GraftSession.builder(32).master("local[32]").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -135,8 +135,19 @@ object GraphOps {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
     val clusters = dedupClusters(spark, sfDir)
       .select(col("doc_id"), col("component"))
-    val members = clusters.join(docs, Seq("doc_id"))
-    val canon = members.groupBy("component")
+    canonicalVerdict(docs, clusters).orderBy("doc_id")
+  }
+
+  /** Survivor pick + per-doc verdict, the ONE definition both the
+    * exact ([[dedupCanonical]]) and fuzzy ([[fuzzyDedupCanonical]])
+    * pipelines share so the keep-the-longest rule can never fork:
+    * per-cluster argmax via max_by over (n_chars, −doc_id), verdict =
+    * unclustered OR canonical. Unsorted — callers order their public
+    * output. `docs` must carry (doc_id, n_chars); `clusters`
+    * (doc_id, component). */
+  private def canonicalVerdict(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val canon = clusters.join(docs, Seq("doc_id"))
+      .groupBy("component")
       .agg(max_by(col("doc_id"),
         struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("canon_id"))
     docs.join(clusters, Seq("doc_id"), "left")
@@ -144,7 +155,6 @@ object GraphOps {
       .select(col("doc_id"), col("component"),
         (col("component").isNull || col("doc_id") === col("canon_id"))
           .as("kept"))
-      .orderBy("doc_id")
   }
 
   /** End-to-end FUZZY dedup — the whole near-dup pipeline as one
@@ -161,23 +171,20 @@ object GraphOps {
     * Scale: pairs are LSH-bucketed (never all-pairs), the component
     * frame is pairs-sized (≪ corpus), and the final verdict join is
     * a left join on doc_id — corpus-partitioned, no window. */
-  def fuzzyDedupCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+  def fuzzyDedupCanonical(spark: SparkSession, sfDir: String): DataFrame =
+    fuzzyVerdict(spark, sfDir).orderBy("doc_id")
+
+  /** The unsorted verdict frame behind [[fuzzyDedupCanonical]] — the
+    * composition form ([[fuzzyDedupStats]] aggregates it; a sort here
+    * would be dead work under the groupBy). */
+  private[graft] def fuzzyVerdict(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = SimilarityOps.minhashPolyPairs(spark, sfDir)
       .filter(col("est_jaccard_milli") >= 500)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
     val comp = minLabelComponents(edges)
       .select(col("doc").as("doc_id"), col("comp").as("component"))
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
-    val canon = comp.join(docs, Seq("doc_id"))
-      .groupBy("component")
-      .agg(max_by(col("doc_id"),
-        struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("canon_id"))
-    docs.join(comp, Seq("doc_id"), "left")
-      .join(canon, Seq("component"), "left")
-      .select(col("doc_id"), col("component"),
-        (col("component").isNull || col("doc_id") === col("canon_id"))
-          .as("kept"))
-      .orderBy("doc_id")
+    canonicalVerdict(docs, comp)
   }
 
   /** Per-source impact report of the fuzzy dedup verdict — the number
@@ -187,7 +194,7 @@ object GraphOps {
     * frame is corpus-sized but the join is doc_id-equi (no skew: ids
     * are unique) and the output is |sources| rows. */
   def fuzzyDedupStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val verdicts = fuzzyDedupCanonical(spark, sfDir)
+    val verdicts = fuzzyVerdict(spark, sfDir)
       .select(col("doc_id"), col("kept"))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("n_chars"))

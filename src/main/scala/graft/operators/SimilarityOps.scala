@@ -646,10 +646,6 @@ object SimilarityOps {
   def minhashDedupPoly(spark: SparkSession, sfDir: String): DataFrame =
     minhashPolyPairs(spark, sfDir).orderBy("a_id", "b_id")
 
-  /** The pair stream behind [[minhashDedupPoly]], unsorted — the
-    * composition form: downstream consumers (fuzzy_dedup_canonical's
-    * component build) join or aggregate these pairs, so a sort here
-    * would be dead work the optimizer may not always remove. */
   /** Appends the 16-permutation poly-MinHash signature as `sig` to any
     * frame carrying a text column, dropping docs with < 3 words. One
     * native codegen'd expression inside the scan projection
@@ -717,6 +713,10 @@ object SimilarityOps {
       .select(col("doc_id"), col("sig"), posexplode(polyBandSlices))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
+  /** The pair stream behind [[minhashDedupPoly]], unsorted — the
+    * composition form: downstream consumers (fuzzy_dedup_canonical's
+    * component build) join or aggregate these pairs, so a sort here
+    * would be dead work the optimizer may not always remove. */
   private[graft] def minhashPolyPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val banded = polyBandedBuckets(spark, sfDir)
     val a = banded.alias("a")
@@ -736,13 +736,6 @@ object SimilarityOps {
       .select("a_id", "b_id", "est_jaccard_milli")
   }
 
-  /** 30-bit SimHash near-dup pairs over the polynomial word hash — the
-    * oracle-checkable twin of [[simhashDedup]]. Bit b is set iff a
-    * majority of the doc's word hashes have bit b set; pigeonhole
-    * banding splits the 30 bits into 3 disjoint 10-bit chunks, so any
-    * pair at Hamming ≤ 2 shares ≥ 1 intact chunk (recall 1 by
-    * construction); the exact bit_count verify runs on collisions
-    * only, within source. */
   /** Cross-source duplication matrix: for every unordered source pair,
     * how many near-dup pairs (poly-MinHash, est Jaccard ≥ 0.5) span
     * them — the report that tells a corpus owner which sources
@@ -764,6 +757,13 @@ object SimilarityOps {
       .orderBy("source_lo", "source_hi")
   }
 
+  /** 30-bit SimHash near-dup pairs over the polynomial word hash — the
+    * oracle-checkable twin of [[simhashDedup]]. Bit b is set iff a
+    * majority of the doc's word hashes have bit b set; pigeonhole
+    * banding splits the 30 bits into 3 disjoint 10-bit chunks, so any
+    * pair at Hamming ≤ 2 shares ≥ 1 intact chunk (recall 1 by
+    * construction); the exact bit_count verify runs on collisions
+    * only, within source. */
   def simhashDedupPoly(spark: SparkSession, sfDir: String): DataFrame = {
     graft.GraftExtensions.register(spark)
     // native codegen'd signature (the HOF form it replaced lives on as

@@ -631,22 +631,24 @@ object TextOps {
     * adding documents never reshuffles existing ones — the property
     * that keeps eval sets stable as a 100 TB corpus grows. Pure narrow
     * projection: zero shuffles at any scale. */
-  /** The split verdict as a pure function of doc_id — ONE definition
-    * shared by [[splitAssign]] and [[splitLeakage]] so the assignment
-    * and its leakage audit can never disagree. */
+  /** The split key and verdict as pure functions of doc_id — ONE
+    * definition shared by [[splitAssign]] and [[splitLeakage]] so the
+    * assignment and its leakage audit can never disagree. */
+  private[operators] def splitKeyOf(docId: Column): Column =
+    substring(md5(docId.cast("string")), 1, 2)
+
   private[operators] def splitOf(docId: Column): Column = {
-    val u = substring(md5(docId.cast("string")), 1, 2)
+    val u = splitKeyOf(docId)
     when(u < "e6", lit("train")).when(u < "f3", lit("val"))
       .otherwise(lit("test"))
   }
 
-  def splitAssign(spark: SparkSession, sfDir: String): DataFrame = {
-    val u = substring(md5(col("doc_id").cast("string")), 1, 2)
+  def splitAssign(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"), u.as("u"),
+      .select(col("doc_id"), col("source"),
+        splitKeyOf(col("doc_id")).as("u"),
         splitOf(col("doc_id")).as("split"))
       .orderBy("doc_id")
-  }
 
   /** Train→test LEAKAGE audit over the content-keyed split: for every
     * test-split document, how many of its distinct 3-token shingles

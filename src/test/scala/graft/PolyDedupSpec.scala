@@ -12,6 +12,32 @@ class PolyDedupSpec extends SparkSuite {
 
   private val P = 1000000007L
 
+  test("empty tokens (consecutive spaces) hash identically in native and HOF forms") {
+    import org.apache.spark.sql.functions.{call_function, col}
+    val s = spark
+    import s.implicits._
+    graft.GraftExtensions.register(spark)
+    // "a  b c d" has an empty token (rollfp("") = 0 participates);
+    // "  " is three empty tokens — the oracle's CASE WHEN length=0
+    // branch mirrors both (checked by the DuckDB gate at all SFs)
+    val df = Seq((1L, "a  b c d"), (2L, "  "), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val native = SimilarityOps.withPolySignature(spark, df, col("text"))
+      .select("doc_id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = SimilarityOps.withPolySignatureHof(spark, df, col("text"))
+      .select("doc_id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.keySet == Set(1L, 2L, 3L), s"docs dropped: ${native.keySet}")
+    assert(native == hof)
+    // simhash: the all-empty doc hashes every word to 0 → simhash 0
+    val sim = df.select(col("doc_id"),
+        call_function("graft_polysimhash", col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sim(2L) == 0L)
+    assert(sim(1L) != 0L)
+  }
+
   test("native graft_polysimhash ≡ the nested-aggregate HOF pipeline, bit for bit") {
     import org.apache.spark.sql.functions.{call_function, col}
     graft.GraftExtensions.register(spark)
