@@ -39,7 +39,8 @@ object Bench {
     // round-5 surface: Q17/Q21 decorrelation, hash-checkable bucketed ANN,
     // end-to-end fuzzy dedup (pairs → components → survivor) + its reports
     "parts_below_avg", "suppliers_waiting", "ann_q8_lsh_topk",
-    "minhash_dedup_poly", "fuzzy_dedup_canonical", "cross_source_dups")
+    "minhash_dedup_poly", "fuzzy_dedup_canonical", "cross_source_dups",
+    "dedup_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

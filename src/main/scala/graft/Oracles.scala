@@ -64,12 +64,11 @@ object Oracles {
   private def qrx(extraCte: String, sql: String): String =
     "WITH RECURSIVE" + CTE.stripPrefix("WITH") + extraCte + "\n" + sql
 
-  /** Poly-hash MinHash pipeline (per-word rolling hash → 3-shingle
-    * Horner combine → 16 affine permutations → 4-band LSH buckets →
-    * candidate pairs with estimated Jaccard) — shared by the
-    * minhash_dedup_poly and fuzzy_dedup_canonical oracles; mirrors
-    * SimilarityOps.minhashPolyPairs step for step. */
-  private val PolyMinhashPairsCte: String =
+  /** Poly-MinHash signature build (per-word rolling hash → 3-shingle
+    * Horner combine → 16 affine permutations) — the shared prefix of
+    * every poly-family oracle; mirrors
+    * SimilarityOps.withPolySignature step for step. */
+  private val PolySigCte: String =
     """, wh AS (
       |  SELECT doc_id,
       |         list_transform(string_split(text, ' '),
@@ -91,7 +90,14 @@ object Oracles {
       |                  h -> (h * ((2*i+1) * 2654435761 % 1000000007)
       |                        + 7919*i) % 1000000007))) AS sig
       |  FROM shp
-      |), banded AS (
+      |)""".stripMargin
+
+  /** 4-band LSH bucketing → candidate pairs → estimated Jaccard over
+    * [[PolySigCte]] — shared by the minhash_dedup_poly and
+    * fuzzy_dedup_canonical oracles; mirrors
+    * SimilarityOps.minhashPolyPairs step for step. */
+  private val PolyMinhashPairsCte: String = PolySigCte +
+    """, banded AS (
       |  SELECT doc_id, sig, unnest(range(4)) AS band FROM sig
       |), pairs AS (
       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.sig AS sa, b.sig AS sb
@@ -106,6 +112,45 @@ object Oracles {
       |                i -> CASE WHEN sa[CAST(i+1 AS INT)] = sb[CAST(i+1 AS INT)]
       |                          THEN 1 ELSE 0 END)) / 16) AS BIGINT) AS est_jaccard_milli
       |  FROM pairs
+      |)""".stripMargin
+
+  /** Incremental dedup over [[PolySigCte]]: the new batch
+    * (doc_id % 5 = 0) LSH-probes the existing corpus and its own
+    * earlier arrivals; est-Jaccard ≥ 0.5 verified matches, smallest
+    * partner wins — mirrors SimilarityOps.dedupIncremental step for
+    * step. */
+  private val IncrementalDedupCte: String = PolySigCte +
+    """, nband AS (
+      |  SELECT doc_id, sig, unnest(range(4)) AS band FROM sig WHERE doc_id % 5 = 0
+      |), eband AS (
+      |  SELECT doc_id, sig, unnest(range(4)) AS band FROM sig WHERE doc_id % 5 <> 0
+      |), ecand AS (
+      |  SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS partner_id,
+      |         n.sig AS sn, e.sig AS sp
+      |  FROM nband n JOIN eband e
+      |    ON n.band = e.band
+      |   AND n.sig[CAST(n.band*4+1 AS INT):CAST(n.band*4+4 AS INT)]
+      |     = e.sig[CAST(e.band*4+1 AS INT):CAST(e.band*4+4 AS INT)]
+      |), ematch AS (
+      |  SELECT new_id, min(partner_id) AS exist_match FROM ecand
+      |  WHERE round(1000.0 * list_sum(list_transform(range(16),
+      |          i -> CASE WHEN sn[CAST(i+1 AS INT)] = sp[CAST(i+1 AS INT)]
+      |                    THEN 1 ELSE 0 END)) / 16) >= 500
+      |  GROUP BY new_id
+      |), ncand AS (
+      |  SELECT DISTINCT n.doc_id AS new_id, p.doc_id AS partner_id,
+      |         n.sig AS sn, p.sig AS sp
+      |  FROM nband n JOIN nband p
+      |    ON n.band = p.band
+      |   AND p.doc_id < n.doc_id
+      |   AND n.sig[CAST(n.band*4+1 AS INT):CAST(n.band*4+4 AS INT)]
+      |     = p.sig[CAST(p.band*4+1 AS INT):CAST(p.band*4+4 AS INT)]
+      |), nmatch AS (
+      |  SELECT new_id, min(partner_id) AS new_match FROM ncand
+      |  WHERE round(1000.0 * list_sum(list_transform(range(16),
+      |          i -> CASE WHEN sn[CAST(i+1 AS INT)] = sp[CAST(i+1 AS INT)]
+      |                    THEN 1 ELSE 0 END)) / 16) >= 500
+      |  GROUP BY new_id
       |)""".stripMargin
 
   /** Recursive connected components + longest-text survivor over the
@@ -1379,6 +1424,22 @@ object Oracles {
       "minhash_dedup_poly" -> qx(PolyMinhashPairsCte,
         """SELECT a_id, b_id, est_jaccard_milli
           |FROM pest ORDER BY a_id, b_id""".stripMargin),
+      // Incremental dedup: every doc of the new batch (doc_id % 5 = 0)
+      // gets a verdict — dup of the existing corpus, dup of an earlier
+      // new arrival, or unique. Short docs (< 3 words, no signature)
+      // fall through both left joins to 'unique'.
+      "dedup_incremental" -> qx(IncrementalDedupCte,
+        """SELECT d.doc_id,
+          |       CASE WHEN em.exist_match IS NOT NULL THEN 'dup_existing'
+          |            WHEN nm.new_match IS NOT NULL THEN 'dup_new'
+          |            ELSE 'unique' END AS verdict,
+          |       coalesce(em.exist_match, nm.new_match) AS matched_id,
+          |       (em.exist_match IS NULL AND nm.new_match IS NULL) AS kept
+          |FROM documents d
+          |LEFT JOIN ematch em ON d.doc_id = em.new_id
+          |LEFT JOIN nmatch nm ON d.doc_id = nm.new_id
+          |WHERE d.doc_id % 5 = 0
+          |ORDER BY d.doc_id""".stripMargin),
       // End-to-end fuzzy dedup: poly-MinHash pairs at est-Jaccard ≥ 0.5
       // → recursive-CTE connected components (label = min reachable
       // doc_id, the same fixpoint minLabelComponents converges to) →

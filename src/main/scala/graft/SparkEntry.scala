@@ -143,6 +143,7 @@ object SparkEntry {
     "fuzzy_dedup_canonical" -> (GraphOps.fuzzyDedupCanonical _),
     "fuzzy_dedup_stats" -> (GraphOps.fuzzyDedupStats _),
     "cross_source_dups" -> (SimilarityOps.crossSourceDups _),
+    "dedup_incremental" -> (SimilarityOps.dedupIncremental _),
     // LLM-pipeline: multimodal plumbing
     "multimodal_meta" -> (MultimodalOps.multimodalMeta _),
     "multimodal_decode" -> (MultimodalOps.multimodalDecode _),

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.SimilarityOps
+
+/** The IVF index LIFECYCLE: [[SimilarityOps.buildIvfIndex]] persists
+  * centroids + cid-partitioned cell assignments once (the offline
+  * half); [[SimilarityOps.annIvfProbe]] answers searches from the
+  * stored index (the online half) — bit-identical to the fused
+  * train+search query, with zero training work in the plan.
+  */
+class IvfIndexSpec extends SparkSuite {
+
+  test("probe over a persisted index ≡ annIvfTopk, with no training in the plan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    SimilarityOps.buildIvfIndex(spark, sf, dir)
+
+    // layout: cells is written partitioned by cid — one directory per
+    // populated cell, so an nprobe cell filter is partition pruning at
+    // the scan (files of unprobed cells are never opened)
+    val cellDirs = new java.io.File(s"$dir/cells").listFiles().toSeq
+      .filter(_.getName.startsWith("cid="))
+    info(s"${cellDirs.size} populated cell partitions")
+    assert(cellDirs.nonEmpty && cellDirs.size <= 16,
+      s"expected 1..16 cid= partitions, got ${cellDirs.size}")
+
+    // the fused query trains in-plan (Lloyd rounds leave their
+    // localCheckpoint RDD scans = LogicalRDD nodes); the probe's plan
+    // must contain NONE — its index arrives from parquet
+    val probe = SimilarityOps.annIvfProbe(spark, sf, dir)
+    val fused = SimilarityOps.annIvfTopk(spark, sf, 2)
+    assert(!probe.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
+      "training leaked into the probe plan")
+    assert(fused.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
+      "fused form no longer trains in-plan — update this spec")
+
+    val got = probe.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    val want = fused.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(got == want, "stored-index probe diverged from the fused query")
+    assert(got.nonEmpty)
+  }
+}

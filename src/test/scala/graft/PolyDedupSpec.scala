@@ -131,4 +131,71 @@ class PolyDedupSpec extends SparkSuite {
     assert(got == expected)
     assert(expected.nonEmpty, "fixture should contain near-dup pairs")
   }
+
+  test("dedup_incremental: all three verdict paths on an engineered corpus") {
+    val s = spark
+    import s.implicits._
+    // ids ≡ 0 (mod 5) are the new batch. 10 dups existing 3; 15 and 20
+    // are mutual dups → 15 survives (first-wins by arrival order) and
+    // 20 is dup_new; 25 is unique; 30 is too short to sign (< 3 words)
+    // → unique by fall-through.
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      3L  -> base,
+      4L  -> "completely different existing text with many original words here",
+      10L -> base,
+      15L -> (base + " extra"),
+      20L -> (base + " extra"),
+      25L -> "an entirely unrelated new document about something else altogether",
+      30L -> "too short"
+    ).toDF("doc_id", "text")
+    val got = SimilarityOps.dedupIncrementalOf(spark, df).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      (10L, "dup_existing", Some(3L), false),
+      (15L, "dup_existing", Some(3L), false),
+      (20L, "dup_existing", Some(3L), false),
+      (25L, "unique", None, true),
+      (30L, "unique", None, true)))
+    // drop the existing near-dup so the new×new path decides 15 vs 20
+    val noBase = df.filter($"doc_id" =!= 3L)
+    val got2 = SimilarityOps.dedupIncrementalOf(spark, noBase).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3)))
+    assert(got2.toSeq == Seq(
+      (10L, "unique", None, true),
+      (15L, "dup_new", Some(10L), false),
+      (20L, "dup_new", Some(10L), false),
+      (25L, "unique", None, true),
+      (30L, "unique", None, true)))
+  }
+
+  test("dedup_incremental equals a re-derivation from the full pair frame at sf0.001") {
+    // Independent semantics check: a new doc's verdict must follow
+    // from minhashDedupPoly's est≥0.5 pair frame — dup_existing if any
+    // partner is existing, else dup_new if any NEW partner arrived
+    // earlier, else unique. Candidate generation (bucket collision) is
+    // identical in both, so this pins the verdict logic, the min-
+    // partner choice, and the batch split.
+    val pairs = SimilarityOps.minhashDedupPoly(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._3 >= 500)
+    val partners = pairs.flatMap { case (a, b, _) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val allIds = sources.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val expected = allIds.filter(_ % 5 == 0).map { n =>
+      val ps = partners.getOrElse(n, Set.empty)
+      val exist = ps.filter(_ % 5 != 0)
+      val earlier = ps.filter(p => p % 5 == 0 && p < n)
+      if (exist.nonEmpty) (n, "dup_existing", Some(exist.min), false)
+      else if (earlier.nonEmpty) (n, "dup_new", Some(earlier.min), false)
+      else (n, "unique", None, true)
+    }.toSeq
+    val got = SimilarityOps.dedupIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3))).toSeq
+    assert(got == expected)
+  }
 }
