@@ -897,16 +897,52 @@ object SimilarityOps {
     dedupIncrementalOf(spark,
       Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
 
+  /** Persist the poly-MinHash signature index of the EXISTING corpus:
+    * (doc_id, sig, band, bucket) parquet, bucketed the same way the
+    * probes join. This is the stored form [[dedupIncremental]]'s
+    * scaladoc promises: signatures are computed once at ingestion by
+    * the shared native expression; the nightly job signs only the new
+    * batch. At 100 TB the index is ~200 B/doc of longs — four narrow
+    * rows per document, appended as docs are admitted. */
+  def buildSigIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Unit =
+    bandedSigs(spark, docs).write.mode("overwrite").parquet(indexDir)
+
+  /** (doc_id, sig, band, bucket) — one row per (doc, band): the
+    * signature from the shared native expression, exploded into the 4
+    * LSH band slices the probes join on. */
+  private def bandedSigs(spark: SparkSession, docs: DataFrame): DataFrame =
+    withPolySignature(spark, docs.select(col("doc_id"), col("text")), col("text"))
+      .select(col("doc_id"), col("sig"), posexplode(polyBandSlices))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+  /** [[dedupIncremental]] against a [[buildSigIndex]]-persisted
+    * existing-corpus index: signs ONLY `newDocs`, probes the stored
+    * band frame — the form whose per-run cost is O(batch), not
+    * O(corpus). Bit-identical verdicts to the in-plan derivation
+    * (IncrementalIndexSpec pins it). */
+  def dedupIncrementalProbe(spark: SparkSession, newDocs: DataFrame,
+      indexDir: String): DataFrame = {
+    val eband = spark.read.parquet(indexDir)
+      .select(col("doc_id"), col("sig"), col("band"), col("bucket"))
+    dedupIncrementalBanded(spark,
+      newDocs.select(col("doc_id"), col("text")), eband)
+  }
+
   /** [[dedupIncremental]] over any (doc_id, text) frame — the spec
     * injects synthetic corpora here to pin all three verdict paths. */
   private[graft] def dedupIncrementalOf(spark: SparkSession,
       docs: DataFrame): DataFrame = {
     val isNew = pmod(col("doc_id"), lit(5)) === 0
-    val banded = withPolySignature(spark, docs, col("text"))
-      .select(col("doc_id"), col("sig"), posexplode(polyBandSlices))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val nband = banded.filter(isNew)
-    val eband = banded.filter(!isNew)
+    dedupIncrementalBanded(spark, docs.filter(isNew),
+      bandedSigs(spark, docs.filter(!isNew)))
+  }
+
+  /** Verdict computation over a pre-banded existing index — the shared
+    * core of [[dedupIncrementalOf]] (index derived in-plan, for the
+    * oracle) and [[dedupIncrementalProbe]] (index read from parquet). */
+  private def dedupIncrementalBanded(spark: SparkSession, newDocs: DataFrame,
+      eband: DataFrame): DataFrame = {
+    val nband = bandedSigs(spark, newDocs)
     val est = round(lit(1000.0) * aggregate(
       zip_with(col("sn"), col("sp"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x) / PolyPerms).cast("long")
@@ -926,7 +962,7 @@ object SimilarityOps {
       .withColumnRenamed("new_id", "eid")
     val nm = minMatch(nband, col("p.doc_id") < col("n.doc_id"), "new_match")
       .withColumnRenamed("new_id", "nid")
-    docs.filter(isNew).select(col("doc_id"))
+    newDocs.select(col("doc_id"))
       .join(em, col("doc_id") === col("eid"), "left")
       .join(nm, col("doc_id") === col("nid"), "left")
       .select(col("doc_id"),

@@ -40,4 +40,23 @@ class IvfIndexSpec extends SparkSuite {
     assert(got == want, "stored-index probe diverged from the fused query")
     assert(got.nonEmpty)
   }
+
+  test("incremental dedup against a persisted signature index ≡ the in-plan form") {
+    import org.apache.spark.sql.functions._
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val isNew = pmod(col("doc_id"), lit(5)) === 0
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigidx").toString
+    // ingestion-side: the existing corpus's signatures persisted once
+    SimilarityOps.buildSigIndex(spark, docs.filter(!isNew), dir)
+    // nightly-side: sign only the batch, probe the stored index
+    val probe = SimilarityOps.dedupIncrementalProbe(spark, docs.filter(isNew), dir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3))).toSeq
+    val inPlan = SimilarityOps.dedupIncremental(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3))).toSeq
+    assert(probe == inPlan, "stored-index verdicts diverged from the in-plan form")
+    assert(probe.nonEmpty)
+  }
 }
