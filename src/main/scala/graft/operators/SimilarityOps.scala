@@ -144,13 +144,13 @@ object SimilarityOps {
     ivfProbeOf(spark, e, centroids, cells)
   }
 
-  private def ivfEmbeddings(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def ivfEmbeddings(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
 
   /** IVF training: deterministic seeds + `lloydRounds` Lloyd steps →
     * (centroids (cid, cv), cells (vec_id, cid)). */
-  private def ivfTrain(spark: SparkSession, e: DataFrame,
+  private[graft] def ivfTrain(spark: SparkSession, e: DataFrame,
       lloydRounds: Int): (DataFrame, DataFrame) = {
     graft.GraftExtensions.register(spark)
     require(lloydRounds >= 0, s"lloydRounds must be >= 0, got $lloydRounds")
@@ -237,10 +237,36 @@ object SimilarityOps {
     * cid and searches prune to the nprobe cells at the FILE level;
     * centroids stays dim-table sized. */
   def buildIvfIndex(spark: SparkSession, sfDir: String, indexDir: String,
-      lloydRounds: Int = 2): Unit = {
-    val (centroids, cells) = ivfTrain(spark, ivfEmbeddings(spark, sfDir), lloydRounds)
+      lloydRounds: Int = 2): Unit =
+    buildIvfIndexVecs(spark, ivfEmbeddings(spark, sfDir), indexDir, lloydRounds)
+
+  /** [[buildIvfIndex]] over any (vec_id, v) frame — the spec builds
+    * partial-corpus indexes here to pin [[ivfIndexInsert]]. */
+  private[graft] def buildIvfIndexVecs(spark: SparkSession, e: DataFrame,
+      indexDir: String, lloydRounds: Int = 2): Unit = {
+    val (centroids, cells) = ivfTrain(spark, e, lloydRounds)
     centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
     cells.write.mode("overwrite").partitionBy("cid").parquet(s"$indexDir/cells")
+  }
+
+  /** Append new vectors to a [[buildIvfIndex]]-persisted index WITHOUT
+    * retraining: assign each to its nearest stored centroid and append
+    * the (vec_id, cid) rows to the cells table — the maintenance op a
+    * live vector store runs per ingestion batch (classic IVF add;
+    * centroids drift only at the next scheduled rebuild). The append
+    * is dynamic-partition-wise: only the cid partitions the batch
+    * lands in are touched. */
+  def ivfIndexInsert(spark: SparkSession, newVecs: DataFrame,
+      indexDir: String): Unit = {
+    graft.GraftExtensions.register(spark)
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val v = newVecs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val d2 = -call_function("cosine_sim", col("v"), col("cv"))
+    v.crossJoin(broadcast(centroids))
+      .withColumn("d2", d2)
+      .groupBy("vec_id")
+      .agg(min_by(col("cid"), col("d2")).as("cid"))
+      .write.mode("append").partitionBy("cid").parquet(s"$indexDir/cells")
   }
 
   /** The ONLINE search over a [[buildIvfIndex]]-persisted index —
@@ -253,8 +279,10 @@ object SimilarityOps {
     * partition pruning at the scan. */
   def annIvfProbe(spark: SparkSession, sfDir: String, indexDir: String): DataFrame = {
     val centroids = spark.read.parquet(s"$indexDir/centroids")
+    // cid round-trips through the partition directory name, which the
+    // reader infers as int — cast back to the centroid table's long
     val cells = spark.read.parquet(s"$indexDir/cells")
-      .select(col("vec_id"), col("cid"))
+      .select(col("vec_id"), col("cid").cast("long").as("cid"))
     ivfProbeOf(spark, ivfEmbeddings(spark, sfDir), centroids, cells)
   }
 

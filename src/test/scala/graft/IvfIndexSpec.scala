@@ -59,4 +59,43 @@ class IvfIndexSpec extends SparkSuite {
     assert(probe == inPlan, "stored-index verdicts diverged from the in-plan form")
     assert(probe.nonEmpty)
   }
+
+  test("ivfIndexInsert appends a batch without retraining; assignments verified independently") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-ins").toString
+    val e = SimilarityOps.ivfEmbeddings(spark, sf)
+    val isBatch = pmod(col("vec_id"), lit(7)) === 0
+    // build on the standing corpus, then insert the day's batch
+    SimilarityOps.buildIvfIndexVecs(spark, e.filter(!isBatch), dir)
+    val rawBatch = sources.Tables.embeddings(spark, sf).filter(isBatch)
+      .select(col("vec_id"), col("embedding"))
+    SimilarityOps.ivfIndexInsert(spark, rawBatch, dir)
+
+    // the cells table now covers every vector exactly once
+    val cells = spark.read.parquet(s"$dir/cells")
+      .select(col("vec_id"), col("cid").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val total = e.count()
+    assert(cells.length == total, s"cells has ${cells.length} rows, corpus $total")
+    assert(cells.map(_._1).distinct.length == total, "duplicate vec_id in cells")
+
+    // independent plain-Scala argmax-cosine against the STORED
+    // centroids must reproduce every stored assignment (same
+    // sequential fold order as the native expression → same doubles)
+    val cent = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    cells.foreach { case (vid, cid) =>
+      val best = cent.minBy { case (ccid, cv) => (-cos(vecs(vid), cv), ccid) }._1
+      assert(best == cid, s"vec $vid stored in cell $cid but nearest centroid is $best")
+    }
+
+    // search still answers over the post-insert index
+    assert(SimilarityOps.annIvfProbe(spark, sf, dir).collect().nonEmpty)
+  }
 }
