@@ -897,7 +897,10 @@ object SimilarityOps {
     * already-ingested corpus without re-clustering anything
     * (re-running [[minhashDedupPoly]] over all of history is a
     * full-corpus rewrite; at 100 TB the nightly job must touch only
-    * the arrivals). The new batch here is the deterministic slice
+    * the arrivals). Reference analog: the data-cleaning/dedup notes in
+    * /root/reference/readme.txt — the reference leaves dedup to an
+    * offline pass; this is that pass made incremental.
+    * The new batch here is the deterministic slice
     * `doc_id % 5 = 0` (in production: the day's partition); the rest
     * of the corpus plays the existing signature index.
     *
@@ -944,10 +947,13 @@ object SimilarityOps {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
   /** [[dedupIncremental]] against a [[buildSigIndex]]-persisted
-    * existing-corpus index: signs ONLY `newDocs`, probes the stored
-    * band frame — the form whose per-run cost is O(batch), not
-    * O(corpus). Bit-identical verdicts to the in-plan derivation
-    * (IncrementalIndexSpec pins it). */
+    * existing-corpus index: signs ONLY `newDocs` — per-run signature
+    * compute is O(batch) — and bucket-joins the stored band frame.
+    * The join still scans the index once, but it is the ~200 B/doc
+    * long-array table, not the multi-KB text corpus (and bucketing
+    * the index table by `bucket` would make even that scan prunable).
+    * Bit-identical verdicts to the in-plan derivation (IvfIndexSpec
+    * pins it). */
   def dedupIncrementalProbe(spark: SparkSession, newDocs: DataFrame,
       indexDir: String): DataFrame = {
     val eband = spark.read.parquet(indexDir)
