@@ -168,6 +168,44 @@ object NearDupStream {
       }
   }
 
+  /** Ingestion-time check of every arriving document against the
+    * PERSISTED historical signature index
+    * ([[graft.operators.SimilarityOps.buildSigIndex]]): a
+    * stream-static bucket equi-join + est-Jaccard verify. STATELESS —
+    * no stream state at all; the static side is the narrow stored
+    * band frame — so it runs in append mode forever with zero state
+    * growth, and composes with [[nearDupPairs]] (intra-stream dups)
+    * to give [[graft.operators.SimilarityOps.dedupIncremental]]'s
+    * full semantics at ingestion: this op is the `dup_existing` arm,
+    * nearDupPairs the `dup_new` arm.
+    *
+    * Emits (doc_id, matched_id, est_jaccard_milli) per verified
+    * match at est ≥ 0.5; multi-band collisions double-fire exactly
+    * like the batch join pre-distinct (same contract as
+    * [[nearDupPairs]] — callers needing distinct matches add
+    * `dropDuplicates`, or take the stream as an is-dup signal where
+    * the first emission already decides). */
+  def nearDupAgainstIndex(spark: SparkSession, docs: DataFrame,
+      indexDir: String): DataFrame = {
+    val eband = spark.read.parquet(indexDir)
+    val nband = SimilarityOps
+      .withPolySignature(spark, docs.select(col("doc_id"), col("text")),
+        col("text"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(SimilarityOps.polyBandSlices))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val est = round(lit(1000.0) * aggregate(
+      zip_with(col("sn"), col("sp"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x) / SimilarityOps.PolyPerms).cast("long")
+    nband.alias("n").join(eband.alias("e"),
+        col("n.band") === col("e.band") && col("n.bucket") === col("e.bucket"))
+      .select(col("n.doc_id").as("doc_id"), col("e.doc_id").as("matched_id"),
+        col("n.sig").as("sn"), col("e.sig").as("sp"))
+      .withColumn("est_jaccard_milli", est)
+      .filter(col("est_jaccard_milli") >= 500)
+      .select("doc_id", "matched_id", "est_jaccard_milli")
+  }
+
   /** Shared signature+banding stage: (bucket_key, DocSig[, extras]).
     * The group key renders the batch join predicate (band, slice) as a
     * string — "," is injective over longs so key equality ⟺ slice

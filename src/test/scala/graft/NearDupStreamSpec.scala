@@ -116,6 +116,41 @@ class NearDupStreamSpec extends SparkSuite {
     assert(out.head.est_jaccard_milli == math.round(1000.0 * 3 / 16))
     assert(state.updated.exists(_.map(_.docId).toSet == Set(1L, 2L, 3L)))
   }
+
+  test("stream-static index check ≡ batch dedup_incremental's dup_existing arm") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = sources.Tables.documents(spark, sf).select("doc_id", "text")
+    val isNew = pmod(col("doc_id"), lit(5)) === 0
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-stream").toString
+    operators.SimilarityOps.buildSigIndex(spark, docs.filter(!isNew), dir)
+
+    val arrivals = docs.filter(isNew).orderBy("doc_id")
+      .as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = NearDupStream
+      .nearDupAgainstIndex(spark, input.toDF().toDF("doc_id", "text"), dir)
+      .writeStream.format("memory").queryName("idxdup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      arrivals.grouped((arrivals.length / 2).max(1))
+        .foreach { c => input.addData(c: _*); q.processAllAvailable() }
+      // min verified match per arriving doc, collapsing multi-band fires
+      val got = spark.table("idxdup").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+      val batch = operators.SimilarityOps.dedupIncremental(spark, sf).collect()
+        .filter(_.getString(1) == "dup_existing")
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(batch.nonEmpty, "fixture has no dup_existing docs")
+      assert(got == batch,
+        s"stream-only: ${(got.toSet -- batch.toSet).take(5)}; " +
+          s"batch-only: ${(batch.toSet -- got.toSet).take(5)}")
+    } finally q.stop()
+  }
 }
 
 /** Minimal GroupState stub for exercising bucketStep as a pure function. */
