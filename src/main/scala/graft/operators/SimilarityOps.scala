@@ -938,6 +938,29 @@ object SimilarityOps {
   def buildSigIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Unit =
     bandedSigs(spark, docs).write.mode("overwrite").parquet(indexDir)
 
+  /** The catalog form of [[buildSigIndex]]: the band frame saved as a
+    * managed table bucketed BY THE PROBE'S JOIN KEY (band, bucket), so
+    * the nightly probe's sort-merge join consumes the index
+    * pre-partitioned — the corpus-sized side joins with NO exchange
+    * and only the batch side shuffles (IvfIndexSpec counts the
+    * exchanges). At 100 TB this is the difference between re-shuffling
+    * the whole signature table every night and shuffling one day's
+    * batch. */
+  def buildSigIndexBucketed(spark: SparkSession, docs: DataFrame,
+      table: String = "graft.sig_index"): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${table.split('.').head}")
+    bandedSigs(spark, docs).write.mode("overwrite").format("parquet")
+      .bucketBy(32, "band", "bucket").sortBy("band", "bucket")
+      .saveAsTable(table)
+  }
+
+  /** [[dedupIncrementalProbe]] against a [[buildSigIndexBucketed]]
+    * table — identical verdicts, exchange-free index side. */
+  def dedupIncrementalProbeBucketed(spark: SparkSession, newDocs: DataFrame,
+      table: String = "graft.sig_index"): DataFrame =
+    dedupIncrementalBanded(spark, newDocs.select(col("doc_id"), col("text")),
+      spark.table(table).select(col("doc_id"), col("sig"), col("band"), col("bucket")))
+
   /** (doc_id, sig, band, bucket) — one row per (doc, band): the
     * signature from the shared native expression, exploded into the 4
     * LSH band slices the probes join on. */

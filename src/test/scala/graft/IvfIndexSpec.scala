@@ -60,6 +60,50 @@ class IvfIndexSpec extends SparkSuite {
     assert(probe.nonEmpty)
   }
 
+  test("bucketed signature index: identical verdicts, index side joins with no exchange") {
+    import org.apache.spark.sql.functions._
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val isNew = pmod(col("doc_id"), lit(5)) === 0
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigidx-b").toString
+    SimilarityOps.buildSigIndex(spark, docs.filter(!isNew), dir)
+    SimilarityOps.buildSigIndexBucketed(spark, docs.filter(!isNew), "graft.sig_index_spec")
+
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3))).toSeq
+    val bucketed = SimilarityOps
+      .dedupIncrementalProbeBucketed(spark, docs.filter(isNew), "graft.sig_index_spec")
+    assert(verdicts(bucketed) ==
+      verdicts(SimilarityOps.dedupIncrementalProbe(spark, docs.filter(isNew), dir)),
+      "bucketed-index verdicts diverged from the plain-index probe")
+
+    // With broadcast + AQE pinned off, the existing-match join is a
+    // sort-merge join on (band, bucket): the plain parquet index
+    // shuffles BOTH sides; the bucketed table's scan satisfies the
+    // join's partitioning, so exactly one exchange disappears.
+    val conf = spark.conf
+    val (bcast, aqe) = (conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      conf.get("spark.sql.adaptive.enabled"))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange hashpartitioning".r.findAllIn(
+          df.queryExecution.executedPlan.toString).length
+      val nPlain = shuffles(SimilarityOps
+        .dedupIncrementalProbe(spark, docs.filter(isNew), dir))
+      val nBucketed = shuffles(SimilarityOps
+        .dedupIncrementalProbeBucketed(spark, docs.filter(isNew), "graft.sig_index_spec"))
+      info(s"shuffle exchanges: plain-index probe $nPlain, bucketed $nBucketed")
+      assert(nBucketed == nPlain - 1,
+        s"expected exactly one fewer exchange, got $nPlain -> $nBucketed")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+  }
+
   test("ivfIndexInsert appends a batch without retraining; assignments verified independently") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-ins").toString
