@@ -18,7 +18,48 @@ object StreamBench {
   def main(args: Array[String]): Unit =
     if (args.headOption.contains("curation")) curationBench(args.drop(1))
     else if (args.headOption.contains("neardup")) nearDupBench(args.drop(1))
+    else if (args.headOption.contains("idxdup")) idxDupBench(args.drop(1))
     else engineBench(args)
+
+  /** History-aware streaming dedup throughput: arrivals are replayed
+    * fixture docs (fresh ids, duplicate content — every arrival hits
+    * the index in all 4 bands, maximal verify work) stream-static
+    * joined against the persisted signature index of the ORIGINAL
+    * corpus. Stateless, so this is the sustained-ingestion form. */
+  private def idxDupBench(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val copies = args.headOption.map(_.toInt).getOrElse(4)
+    require(copies > 0, s"idxdup bench needs copies > 0, got $copies")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = GraftSession.builder(32).master("local[32]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val root = Files.createTempDirectory("graft-idxdupbench").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val idx = s"$root/sigindex"
+    val base = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+    val nBase = base.count()
+    graft.operators.SimilarityOps.buildSigIndex(spark, base, idx)
+    (0 until copies).map(c => base.withColumn("doc_id",
+        col("doc_id") + lit((c + 1).toLong * 1000000000L)))
+      .reduce(_ unionByName _)
+      .repartition(24).write.parquet(in)
+    val docs = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "4").parquet(in)
+    val t0 = System.nanoTime()
+    val q = graft.streaming.NearDupStream.nearDupAgainstIndex(spark, docs, idx)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val nIn = nBase * copies
+    val nMatched = spark.read.parquet(out).select("doc_id").distinct().count()
+    println(f"""{"metric":"idxdup_docs_per_sec","value":${nIn / sec}%.0f,"docs_in":$nIn,"docs_matched":$nMatched,"sec":$sec%.2f}""")
+    spark.stop()
+  }
 
   /** Ingestion-time near-dup throughput: replay the fixture corpus N×
     * (fresh ids, duplicate content — every replayed doc collides with
