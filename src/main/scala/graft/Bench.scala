@@ -51,9 +51,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warm-up: JVM/codegen/parquet-footer costs land here, not on
-    // whichever query happens to run first.
-    SparkEntry.queries.get("task_stats").foreach(fn => fn(spark, sfDir).count())
-    SparkEntry.queries.get("events_tumbling").foreach(fn => fn(spark, sfDir).count())
+    // whichever query happens to run first. Guarded: a broken warm-up query
+    // must degrade to a cold first pass, never kill the whole bench (the
+    // round-5 events-schema break turned this line into rc=1 / no data).
+    Seq("task_stats", "events_tumbling").foreach { n =>
+      SparkEntry.queries.get(n).foreach { fn =>
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warm-up $n failed: ${e.getMessage}")
+        }
+      }
+    }
     val selected =
       if (all) SparkEntry.queries.toSeq.sortBy(_._1)
       else {

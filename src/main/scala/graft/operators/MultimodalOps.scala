@@ -404,7 +404,15 @@ object MultimodalOps {
 
   /** Distributed frame sampling: mapPartitions flatMap — one input row
     * fans out to its sampled frames (iterator-in/iterator-out, so a
-    * long video never materializes all frames at once). */
+    * long video never materializes all frames at once).
+    *
+    * Supported video surface = container METADATA via the real
+    * ISO-BMFF box walk ([[probeVideo]]); per-frame pixel decode is the
+    * one marked stub in this engine ([[fakeFrames]] — no codecs ship
+    * in this environment, and the reference pipeline is text-only:
+    * /root/reference/tasks/spider.go). The Spark-side shape around the
+    * stub (schema, fan-out, iterator discipline, partitioning) is the
+    * production plumbing and is what the spec pins. */
   def frameSample(spark: SparkSession, sfDir: String): Dataset[MediaFrame] = {
     import spark.implicits._
     mediaTable(spark, sfDir).mapPartitions { rows =>

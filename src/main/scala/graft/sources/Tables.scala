@@ -84,17 +84,36 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects
-    * outright; the session must be built with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (Verify/Bench/SparkSuite
-    * all set it — a session conf is a build-time choice, not a hidden
-    * per-read side effect). The ns long becomes a µs-truncated
-    * TimestampType `ts` (integer DIV — a double division would lose
-    * precision at 1.7e18 ns). `ts_ns` keeps full precision. */
+  /** Schema-adaptive events reader. Fixture generations have carried two
+    * physical types for `ts`:
+    *  - TIMESTAMP(NANOS): Spark 4 rejects it unless
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (GraftSession sets it),
+    *    under which it scans as a ns BIGINT → keep full precision in
+    *    `ts_ns`, derive a µs-truncated TimestampType `ts` (integer DIV —
+    *    a double division would lose precision at 1.7e18 ns).
+    *  - timestamp[us] (current): scans as TIMESTAMP_NTZ → cast to
+    *    TimestampType (session tz is UTC so the wall-clock micros are
+    *    preserved exactly) and derive `ts_ns = unix_micros * 1000`.
+    * Either way every consumer sees the same contract: `ts` TIMESTAMP at
+    * µs precision plus `ts_ns` BIGINT. Branching on the SCANNED dtype (a
+    * footer read, no data job) keeps the engine working across fixture
+    * regenerations instead of failing analysis. */
   def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", expr("timestamp_micros(ts_ns DIV 1000)"))
+    adaptEvents(table(s, d, "events"))
+
+  /** The dtype branch, factored so streaming readers of the same fixture
+    * (e.g. a readStream over the events directory) apply the identical
+    * contract. Works on any plan whose `ts` column carries one of the
+    * known physical types — including an unresolved streaming source. */
+  def adaptEvents(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", expr("timestamp_micros(ts_ns DIV 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+    }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

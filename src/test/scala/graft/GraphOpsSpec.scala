@@ -92,4 +92,23 @@ class GraphOpsSpec extends SparkSuite {
           s"component $comp kept ${kept.head._1}, expected $best")
     }
   }
+
+  test("reliable-checkpoint mode is bit-identical to localCheckpoint mode") {
+    // cluster form: spark.graft.checkpointDir routes the fixpoint's
+    // inter-round truncation through reliable df.checkpoint() files so an
+    // executor loss recomputes instead of failing. Same labels either way.
+    val local = operators.GraphOps.dedupClusters(spark, sf).collect()
+      .map(_.toSeq).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val reliable = operators.GraphOps.dedupClusters(spark, sf).collect()
+        .map(_.toSeq).toSeq
+      assert(reliable == local)
+      // the reliable path actually wrote checkpoint files
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliable mode produced no checkpoint files")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
 }

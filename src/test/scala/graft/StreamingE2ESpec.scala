@@ -153,11 +153,8 @@ class StreamingE2ESpec extends SparkSuite {
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
       Paths.get(dir, "events.parquet"))
     val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val streamed = spark.readStream.schema(batchSchema)
-      .parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts_ns DIV 1000)"))
+    val streamed = graft.sources.Tables.adaptEvents(
+      spark.readStream.schema(batchSchema).parquet(dir))
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour").as("w"),
         col("event_type"))
       .agg(org.apache.spark.sql.functions.count(
