@@ -40,7 +40,9 @@ object Bench {
     // end-to-end fuzzy dedup (pairs → components → survivor) + its reports
     "parts_below_avg", "suppliers_waiting", "ann_q8_lsh_topk",
     "minhash_dedup_poly", "fuzzy_dedup_canonical", "cross_source_dups",
-    "dedup_incremental")
+    "dedup_incremental",
+    // round-6 surface: embedding-space (SemDeDup-style) dedup
+    "semantic_dedup", "semantic_dedup_canonical")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CompressionRatio, CosineSimilarity, MinHashSig, PolyMinHashSig, PolySimHash, RollingFp, SimHash64, TokenChunksGen, TokenShingles}
+import graft.functions.{CompressionRatio, CosineSimilarity, MinHashSig, PolyMinHashSig, PolySimHash, Q8CellSig, Q8Dot, RollingFp, SimHash64, TokenChunksGen, TokenShingles}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for the SQL surface. Use either at session build time
@@ -92,6 +92,12 @@ object GraftExtensions {
     (FunctionIdentifier("graft_zratio"),
       new ExpressionInfo(classOf[CompressionRatio].getName, "graft_zratio"),
       (children: Seq[Expression]) => CompressionRatio(children(0))),
+    (FunctionIdentifier("graft_q8cell"),
+      new ExpressionInfo(classOf[Q8CellSig].getName, "graft_q8cell"),
+      (children: Seq[Expression]) => Q8CellSig(children(0))),
+    (FunctionIdentifier("graft_q8dot"),
+      new ExpressionInfo(classOf[Q8Dot].getName, "graft_q8dot"),
+      (children: Seq[Expression]) => Q8Dot(children(0), children(1))),
     templateFn("graft_status_name", 1,
       """CASE WHEN arg0 = 0 THEN 'pending' WHEN arg0 = 1 THEN 'processing'
         |     WHEN arg0 = 2 THEN 'completed' WHEN arg0 = 3 THEN 'failed'

@@ -176,6 +176,56 @@ object Oracles {
       |  GROUP BY c.component
       |)""".stripMargin
 
+  /** q8 store + 8-bit integer-plane cell + within-cell integer-exact
+    * semantic pairs — shared by the semantic_dedup and
+    * semantic_dedup_canonical oracles; mirrors
+    * SimilarityOps.semanticPairs step for step (τ_e2 = 30). */
+  private val SemanticPairsCte: String =
+    """, sq8 AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x ->
+      |           CASE WHEN mx = 0 THEN 0
+      |                ELSE CAST(floor(CAST(x AS DOUBLE) * 127 / mx + 0.5) AS BIGINT)
+      |           END) AS q8
+      |  FROM (SELECT vec_id, embedding,
+      |               list_max(list_transform(embedding,
+      |                 x -> abs(CAST(x AS DOUBLE)))) AS mx
+      |        FROM embeddings)
+      |), sdims AS (
+      |  SELECT unnest(range(0, (SELECT MAX(len(embedding)) FROM embeddings))) AS pos
+      |), scellbit AS (
+      |  SELECT vec_id, p,
+      |         CASE WHEN SUM(q8[CAST(pos AS INT) + 1] *
+      |                ((p*2654435761 + pos*40503) % 1001 - 500)) >= 0
+      |              THEN 1 ELSE 0 END AS bit
+      |  FROM sq8 CROSS JOIN sdims
+      |  CROSS JOIN (SELECT unnest(range(0, 8)) AS p)
+      |  GROUP BY vec_id, p
+      |), scell AS (
+      |  SELECT b.vec_id, s.q8, s.na2,
+      |         CAST(SUM(b.bit * CASE CAST(b.p AS INT)
+      |           WHEN 0 THEN 128 WHEN 1 THEN 64 WHEN 2 THEN 32 WHEN 3 THEN 16
+      |           WHEN 4 THEN 8 WHEN 5 THEN 4 WHEN 6 THEN 2 ELSE 1 END) AS BIGINT)
+      |           AS cell
+      |  FROM scellbit b JOIN (
+      |    SELECT vec_id, q8,
+      |           CAST(list_sum(list_transform(q8, x -> x*x)) AS BIGINT) AS na2
+      |    FROM sq8) s USING (vec_id)
+      |  GROUP BY b.vec_id, s.q8, s.na2
+      |), spairs AS (
+      |  SELECT a_id, b_id, cell, dot, dot*dot*1000000 // (na2a*na2b) AS cos2_e6
+      |  FROM (
+      |    SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cell AS cell,
+      |           a.na2 AS na2a, b.na2 AS na2b,
+      |           CAST(SUM(a.q8[CAST(pos AS INT) + 1]
+      |                     * b.q8[CAST(pos AS INT) + 1]) AS BIGINT) AS dot
+      |    FROM scell a JOIN scell b
+      |      ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |    CROSS JOIN sdims
+      |    GROUP BY 1, 2, 3, 4, 5)
+      |  WHERE dot > 0 AND dot*dot*10000 >= 900*na2a*na2b
+      |)""".stripMargin
+
   /** Star edges from duplicated 10-token chunks + min-label components
     * — shared by the dedup_clusters and dedup_canonical oracles. */
   private val DedupClustersCte: String =
@@ -1327,6 +1377,42 @@ object Oracles {
         """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
           |       CAST(COUNT(*) AS BIGINT) AS n
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      // SemDeDup-style semantic dedup: q8 store + 8-bit Weyl-lattice
+      // cell + within-cell integer dot; threshold is the exact integer
+      // predicate dot²·10⁴ ≥ τ_e2²·‖a‖²·‖b‖² (all int64), reported
+      // cos² = floor(dot²·10⁶ / (‖a‖²‖b‖²)) — `//` is floor division
+      // on BIGINT, matching Spark's DIV.
+      "semantic_dedup" -> qx(SemanticPairsCte,
+        """SELECT a_id, b_id, cell, dot, cos2_e6 FROM spairs
+          |ORDER BY a_id, b_id""".stripMargin),
+      // pairs → recursive components (min reachable id — the
+      // minLabelComponents fixpoint) → longest-text survivor (shared
+      // arg_max rule), universe = vectors with a document row
+      "semantic_dedup_canonical" -> qrx(SemanticPairsCte +
+        """, sund AS (
+          |  SELECT a_id AS a, b_id AS b FROM spairs
+          |  UNION SELECT b_id, a_id FROM spairs
+          |), snodes AS (
+          |  SELECT DISTINCT a AS node FROM sund
+          |), sreach(node, label) AS (
+          |  SELECT node, node FROM snodes
+          |  UNION
+          |  SELECT u.b, r.label FROM sreach r JOIN sund u ON u.a = r.node
+          |), scomp AS (
+          |  SELECT node AS doc_id, MIN(label) AS component FROM sreach GROUP BY node
+          |), scanon AS (
+          |  SELECT c.component,
+          |         arg_max(c.doc_id, d.n_chars * 1000000000 - c.doc_id) AS canon_id
+          |  FROM scomp c JOIN documents d USING (doc_id)
+          |  GROUP BY c.component
+          |)""".stripMargin,
+        """SELECT d.doc_id, c.component,
+          |       (c.component IS NULL OR d.doc_id = scanon.canon_id) AS kept
+          |FROM embeddings e
+          |JOIN documents d ON d.doc_id = e.vec_id
+          |LEFT JOIN scomp c ON d.doc_id = c.doc_id
+          |LEFT JOIN scanon ON c.component = scanon.component
+          |ORDER BY d.doc_id""".stripMargin),
       "embedding_dedup" -> qx(
         """, pairs AS (
           |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,

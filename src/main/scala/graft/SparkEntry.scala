@@ -144,6 +144,9 @@ object SparkEntry {
     "fuzzy_dedup_stats" -> (GraphOps.fuzzyDedupStats _),
     "cross_source_dups" -> (SimilarityOps.crossSourceDups _),
     "dedup_incremental" -> (SimilarityOps.dedupIncremental _),
+    // embedding-space (SemDeDup-style) dedup, integer-exact end to end
+    "semantic_dedup" -> (SimilarityOps.semanticDedup _),
+    "semantic_dedup_canonical" -> (GraphOps.semanticDedupCanonical _),
     // LLM-pipeline: multimodal plumbing
     "multimodal_meta" -> (MultimodalOps.multimodalMeta _),
     "multimodal_decode" -> (MultimodalOps.multimodalDecode _),

@@ -203,6 +203,29 @@ object GraphOps {
     canonicalVerdict(docs, comp)
   }
 
+  /** End-to-end SEMANTIC dedup verdict — embedding-space near-dups
+    * ([[SimilarityOps.semanticPairs]]: within-cell integer-exact
+    * cos² ≥ τ²) → connected components (shared [[minLabelComponents]]
+    * fixpoint) → keep-the-longest survivor (shared
+    * [[canonicalVerdict]], so the survivor rule can never fork from
+    * the text pipelines). Universe = vectors that have a document row
+    * (vec_id = doc_id; the keep-longest rule needs n_chars — a
+    * store-only vector has no text to rank by and is out of scope for
+    * corpus curation). Fully oracle-checked end to end: integer pair
+    * stage + recursive-CTE components + arg_max survivor. */
+  def semanticDedupCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = SimilarityOps.semanticPairs(spark, sfDir)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val comp = minLabelComponents(edges)
+      .select(col("doc").as("doc_id"), col("comp").as("component"))
+    val docs = Tables.embeddings(spark, sfDir).select(col("vec_id"))
+      .join(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("n_chars")),
+        col("vec_id") === col("doc_id"))
+      .select(col("doc_id"), col("n_chars"))
+    canonicalVerdict(docs, comp).orderBy("doc_id")
+  }
+
   /** Per-source impact report of the fuzzy dedup verdict — the number
     * a curation run actually publishes: how many docs each source
     * loses to near-dup removal and the chars saved. Composes

@@ -690,6 +690,87 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** SEMANTIC dedup, SemDeDup-style (Abbas et al. 2023: cluster the
+    * embedding space, then drop near-identical neighbors WITHIN each
+    * cluster — never across, so the pair stage is bounded by cell
+    * population, not corpus²). This is the embedding-space sibling of
+    * the text fuzzy-dedup family: it catches paraphrases and
+    * re-encodings that share no shingles.
+    *
+    * Oracle-exact design — every stage is int64 arithmetic:
+    *  - store: the symmetric int8 quantization ([[q8Elem]], shared
+    *    with the whole q8 family);
+    *  - cells: an 8-bit integer-plane signature (the [[annQ8LshTopk]]
+    *    Weyl lattice, P=8) = 256 deterministic coarse cells. The
+    *    production analog is the trained IVF assignment
+    *    ([[buildIvfIndex]]); the lattice is the hash-checkable twin
+    *    with the same locality intent (sign pattern ≈ direction);
+    *  - threshold: cos(a,b) ≥ τ without ever computing a float
+    *    cosine: dot > 0 ∧ dot²·10⁴ ≥ τ_e2²·‖a‖²·‖b‖² (all ≤ 9.6e14 —
+    *    inside int64; dot²·10⁶ for the reported cos² ≤ 1.07e18, also
+    *    inside). τ_e2 = 30 at the fixture's operating point (the
+    *    synthetic vectors carry no >0.5-cos pairs; real SemDeDup runs
+    *    at ~0.95 — one constant).
+    *
+    * Scale: q8 + ‖v‖² + cell are one fused scan projection (zero
+    * pre-join shuffle); the within-cell all-pairs reuses
+    * [[embeddingDedup]]'s bounded-tile scheme — every pair meets in
+    * exactly one (cell, ti, tj) tile, a reducer task compares at most
+    * (|cell|/B)², so B caps task size independently of how hot a cell
+    * gets (at 100 TB: raise B and/or P; cells shard by signature
+    * prefix exactly like an IVF index shards by centroid). */
+  private val SemCellBits = 8
+  private val SemTauE2 = 30L
+  private val SemTiles = 8
+
+  /** (vec_id, q8, na2, cell) — ONE native codegen'd expression in the
+    * scan projection ([[graft.functions.Q8CellSig]]). The Column-HOF
+    * form it replaced was collapse-inlined by Catalyst into the scan
+    * filter, both tile projections, AND the pair-join condition —
+    * re-running the nested interpreted lambdas per consumer (37 s at
+    * sf0.1; ~0.5 s native). Same arithmetic, bit-identical output
+    * (the oracle CTE and SemanticDedupSpec's driver-Scala reference
+    * pin it). */
+  private def q8CellFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        call_function("graft_q8cell", col("embedding")).as("s"))
+      .select(col("vec_id"), col("s.q8").as("q8"),
+        col("s.na2").as("na2"), col("s.cell").as("cell"))
+  }
+
+  /** Within-cell semantic near-dup pairs (unsorted composition form —
+    * [[graft.operators.GraphOps.semanticDedupCanonical]] consumes it). */
+  private[graft] def semanticPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = q8CellFrame(spark, sfDir)
+      .withColumn("g", pmod(xxhash64(col("vec_id")), lit(SemTiles)).cast("int"))
+    val left = e.select(col("vec_id"), col("q8"), col("na2"), col("cell"),
+      col("g").as("ti"), explode(sequence(col("g"), lit(SemTiles - 1))).as("tj"))
+    val right = e.select(col("vec_id"), col("q8"), col("na2"), col("cell"),
+      explode(sequence(lit(0), col("g"))).as("ti"), col("g").as("tj"))
+    val dot = call_function("graft_q8dot", col("a.q8"), col("b.q8"))
+    // tile routing is by id hash (not id order), so normalize with
+    // least/greatest; same-tile pairs carry both orderings → id order
+    left.alias("a").join(right.alias("b"),
+        col("a.cell") === col("b.cell") &&
+        col("a.ti") === col("b.ti") && col("a.tj") === col("b.tj") &&
+        (col("a.ti") =!= col("a.tj") || col("a.vec_id") < col("b.vec_id")))
+      .withColumn("dot", dot)
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * 10000L >=
+          lit(SemTauE2 * SemTauE2) * col("a.na2") * col("b.na2"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("a_id"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("b_id"),
+        col("a.cell").as("cell"), col("dot"),
+        expr("dot * dot * 1000000 DIV (a.na2 * b.na2)").as("cos2_e6"))
+  }
+
+  /** The pairs as a public query: semantic near-dups with the exact
+    * integer evidence (dot, floor'd cos²·10⁶). */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame =
+    semanticPairs(spark, sfDir).orderBy("a_id", "b_id")
+
   // ---------------------------------------------------------------
   // Oracle-checkable fuzzy dedup: the xxhash64-based minhash_dedup /
   // simhash_dedup above are the production forms but can't be
