@@ -42,7 +42,7 @@ object Bench {
     "minhash_dedup_poly", "fuzzy_dedup_canonical", "cross_source_dups",
     "dedup_incremental",
     // round-6 surface: embedding-space (SemDeDup-style) dedup
-    "semantic_dedup", "semantic_dedup_canonical")
+    "semantic_dedup", "semantic_dedup_canonical", "semantic_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -176,11 +176,10 @@ object Oracles {
       |  GROUP BY c.component
       |)""".stripMargin
 
-  /** q8 store + 8-bit integer-plane cell + within-cell integer-exact
-    * semantic pairs — shared by the semantic_dedup and
-    * semantic_dedup_canonical oracles; mirrors
-    * SimilarityOps.semanticPairs step for step (τ_e2 = 30). */
-  private val SemanticPairsCte: String =
+  /** q8 store + 8-bit integer-plane cell frame (vec_id, q8, na2,
+    * cell) — the shared prefix of every semantic-dedup oracle; mirrors
+    * SimilarityOps.q8CellFrame (native Q8CellSig) step for step. */
+  private val SemanticCellCte: String =
     """, sq8 AS (
       |  SELECT vec_id,
       |         list_transform(embedding, x ->
@@ -212,7 +211,13 @@ object Oracles {
       |           CAST(list_sum(list_transform(q8, x -> x*x)) AS BIGINT) AS na2
       |    FROM sq8) s USING (vec_id)
       |  GROUP BY b.vec_id, s.q8, s.na2
-      |), spairs AS (
+      |)""".stripMargin
+
+  /** Within-cell integer-exact semantic pairs over [[SemanticCellCte]]
+    * — shared by the semantic_dedup and semantic_dedup_canonical
+    * oracles; mirrors SimilarityOps.semanticPairs (τ_e2 = 30). */
+  private val SemanticPairsCte: String = SemanticCellCte +
+    """, spairs AS (
       |  SELECT a_id, b_id, cell, dot, dot*dot*1000000 // (na2a*na2b) AS cos2_e6
       |  FROM (
       |    SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cell AS cell,
@@ -1377,6 +1382,46 @@ object Oracles {
         """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
           |       CAST(COUNT(*) AS BIGINT) AS n
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      // incremental semantic dedup: new batch (vec_id % 5 = 0) probes
+      // the existing store per cell; same integer predicate; smallest
+      // qualifying partner wins, existing before earlier-new
+      "semantic_incremental" -> qx(SemanticCellCte +
+        """, sncell AS (
+          |  SELECT * FROM scell WHERE vec_id % 5 = 0
+          |), secell AS (
+          |  SELECT * FROM scell WHERE vec_id % 5 <> 0
+          |), sematch AS (
+          |  SELECT new_id, MIN(pid) AS exist_match FROM (
+          |    SELECT n.vec_id AS new_id, e.vec_id AS pid,
+          |           n.na2 AS n2, e.na2 AS p2,
+          |           CAST(SUM(n.q8[CAST(pos AS INT) + 1]
+          |                     * e.q8[CAST(pos AS INT) + 1]) AS BIGINT) AS dot
+          |    FROM sncell n JOIN secell e ON n.cell = e.cell
+          |    CROSS JOIN sdims GROUP BY 1, 2, 3, 4)
+          |  WHERE dot > 0 AND dot*dot*10000 >= 900*n2*p2
+          |  GROUP BY new_id
+          |), snmatch AS (
+          |  SELECT new_id, MIN(pid) AS new_match FROM (
+          |    SELECT n.vec_id AS new_id, p.vec_id AS pid,
+          |           n.na2 AS n2, p.na2 AS p2,
+          |           CAST(SUM(n.q8[CAST(pos AS INT) + 1]
+          |                     * p.q8[CAST(pos AS INT) + 1]) AS BIGINT) AS dot
+          |    FROM sncell n JOIN sncell p
+          |      ON n.cell = p.cell AND p.vec_id < n.vec_id
+          |    CROSS JOIN sdims GROUP BY 1, 2, 3, 4)
+          |  WHERE dot > 0 AND dot*dot*10000 >= 900*n2*p2
+          |  GROUP BY new_id
+          |)""".stripMargin,
+        """SELECT v.vec_id,
+          |       CASE WHEN em.exist_match IS NOT NULL THEN 'dup_existing'
+          |            WHEN nm.new_match IS NOT NULL THEN 'dup_new'
+          |            ELSE 'unique' END AS verdict,
+          |       COALESCE(em.exist_match, nm.new_match) AS matched_id,
+          |       (em.exist_match IS NULL AND nm.new_match IS NULL) AS kept
+          |FROM embeddings v
+          |LEFT JOIN sematch em ON v.vec_id = em.new_id
+          |LEFT JOIN snmatch nm ON v.vec_id = nm.new_id
+          |WHERE v.vec_id % 5 = 0 ORDER BY v.vec_id""".stripMargin),
       // SemDeDup-style semantic dedup: q8 store + 8-bit Weyl-lattice
       // cell + within-cell integer dot; threshold is the exact integer
       // predicate dot²·10⁴ ≥ τ_e2²·‖a‖²·‖b‖² (all int64), reported

@@ -147,6 +147,7 @@ object SparkEntry {
     // embedding-space (SemDeDup-style) dedup, integer-exact end to end
     "semantic_dedup" -> (SimilarityOps.semanticDedup _),
     "semantic_dedup_canonical" -> (GraphOps.semanticDedupCanonical _),
+    "semantic_incremental" -> (SimilarityOps.semanticIncremental _),
     // LLM-pipeline: multimodal plumbing
     "multimodal_meta" -> (MultimodalOps.multimodalMeta _),
     "multimodal_decode" -> (MultimodalOps.multimodalDecode _),

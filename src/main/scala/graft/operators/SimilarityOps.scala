@@ -731,14 +731,8 @@ object SimilarityOps {
     * sf0.1; ~0.5 s native). Same arithmetic, bit-identical output
     * (the oracle CTE and SemanticDedupSpec's driver-Scala reference
     * pin it). */
-  private def q8CellFrame(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.GraftExtensions.register(spark)
-    Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"),
-        call_function("graft_q8cell", col("embedding")).as("s"))
-      .select(col("vec_id"), col("s.q8").as("q8"),
-        col("s.na2").as("na2"), col("s.cell").as("cell"))
-  }
+  private def q8CellFrame(spark: SparkSession, sfDir: String): DataFrame =
+    q8CellOf(spark, Tables.embeddings(spark, sfDir))
 
   /** Within-cell semantic near-dup pairs (unsorted composition form —
     * [[graft.operators.GraphOps.semanticDedupCanonical]] consumes it). */
@@ -770,6 +764,89 @@ object SimilarityOps {
     * integer evidence (dot, floor'd cos²·10⁶). */
   def semanticDedup(spark: SparkSession, sfDir: String): DataFrame =
     semanticPairs(spark, sfDir).orderBy("a_id", "b_id")
+
+  /** Incremental SEMANTIC dedup — the nightly shape for the embedding
+    * store, mirroring [[dedupIncremental]] for text: a NEW batch of
+    * vectors (here the deterministic slice vec_id % 5 = 0; in
+    * production the day's partition) is deduped against the
+    * already-ingested store WITHOUT re-running the all-corpus pair
+    * stage. Verdict per new vector — first clause wins:
+    *  - `dup_existing`: same-cell existing vector passes the integer
+    *    cos² ≥ τ² verify; matched_id = smallest such id;
+    *  - `dup_new`: ditto against EARLIER arrivals within the batch
+    *    (id order = arrival order, first-wins);
+    *  - `unique`: kept.
+    * Scale: the batch side signs O(batch) rows with the native
+    * [[graft.functions.Q8CellSig]]; the existing side is a stored
+    * index in production ([[buildVecIndex]] — written once at
+    * ingestion by the same expression, bit-identical by construction),
+    * so both probes are cell-equi joins whose LEFT side is
+    * batch-sized: batch×index and batch×batch — never index×index. */
+  def semanticIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = q8CellFrame(spark, sfDir)
+    val isNew = pmod(col("vec_id"), lit(5)) === 0
+    semanticIncrementalCells(cells.filter(isNew), cells.filter(!isNew))
+  }
+
+  /** Persist the q8-cell vector index of the existing store — the
+    * stored form [[semanticIncremental]]'s scaladoc promises
+    * (~600 B/vector of longs vs the float embedding's 256 B + text).
+    * The catalog variant bucketBy(cell) makes the nightly probe's
+    * index side exchange-free, exactly like [[buildSigIndexBucketed]]
+    * does for the text signature index. */
+  def buildVecIndex(spark: SparkSession, vecs: DataFrame, indexDir: String): Unit =
+    q8CellOf(spark, vecs).write.mode("overwrite").parquet(indexDir)
+
+  /** [[semanticIncremental]] against a [[buildVecIndex]]-persisted
+    * index: signs ONLY `newVecs` — per-run signature compute is
+    * O(batch). Bit-identical verdicts to the in-plan derivation
+    * (SemanticDedupSpec pins it). */
+  def semanticIncrementalProbe(spark: SparkSession, newVecs: DataFrame,
+      indexDir: String): DataFrame =
+    semanticIncrementalCells(q8CellOf(spark, newVecs),
+      spark.read.parquet(indexDir)
+        .select(col("vec_id"), col("q8"), col("na2"), col("cell")))
+
+  /** The shared verdict core: both sides are (vec_id, q8, na2, cell)
+    * frames; candidates = same cell; verify = the exact integer cos²
+    * predicate; smallest qualifying partner per new vector. */
+  private def semanticIncrementalCells(newCells: DataFrame,
+      existCells: DataFrame): DataFrame = {
+    val dotNP = call_function("graft_q8dot", col("n.q8"), col("p.q8"))
+    def minMatch(partner: DataFrame, cond: Column, out: String): DataFrame =
+      newCells.alias("n").join(partner.alias("p"),
+          col("n.cell") === col("p.cell") && cond)
+        .withColumn("dot", dotNP)
+        .filter(col("dot") > 0 &&
+          col("dot") * col("dot") * 10000L >=
+            lit(SemTauE2 * SemTauE2) * col("n.na2") * col("p.na2"))
+        .groupBy(col("n.vec_id").as("new_id"))
+        .agg(min(col("p.vec_id")).as(out))
+    val em = minMatch(existCells, lit(true), "exist_match")
+      .withColumnRenamed("new_id", "eid")
+    val nm = minMatch(newCells, col("p.vec_id") < col("n.vec_id"), "new_match")
+      .withColumnRenamed("new_id", "nid")
+    newCells.select(col("vec_id"))
+      .join(em, col("vec_id") === col("eid"), "left")
+      .join(nm, col("vec_id") === col("nid"), "left")
+      .select(col("vec_id"),
+        when(col("exist_match").isNotNull, lit("dup_existing"))
+          .when(col("new_match").isNotNull, lit("dup_new"))
+          .otherwise(lit("unique")).as("verdict"),
+        coalesce(col("exist_match"), col("new_match")).as("matched_id"),
+        (col("exist_match").isNull && col("new_match").isNull).as("kept"))
+      .orderBy("vec_id")
+  }
+
+  /** [[q8CellFrame]] over any (vec_id, embedding) frame — index build
+    * and probe share the one signature definition. */
+  private def q8CellOf(spark: SparkSession, vecs: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    vecs.select(col("vec_id"),
+        call_function("graft_q8cell", col("embedding")).as("s"))
+      .select(col("vec_id"), col("s.q8").as("q8"),
+        col("s.na2").as("na2"), col("s.cell").as("cell"))
+  }
 
   // ---------------------------------------------------------------
   // Oracle-checkable fuzzy dedup: the xxhash64-based minhash_dedup /

@@ -103,6 +103,47 @@ class SemanticDedupSpec extends SparkSuite {
     }
   }
 
+  test("semantic_incremental verdicts are first-wins consistent with the pairs") {
+    // cross-check against the pair stage: a new vec (id%5==0) is a dup
+    // iff some pair connects it to a smaller-id partner; the partner
+    // recorded must be the smallest, existing before earlier-new
+    val ps = pairs().map(p => (p._1, p._2))
+    val verdicts = SimilarityOps.semanticIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3)))
+    assert(verdicts.nonEmpty && verdicts.forall(_._1 % 5 == 0))
+    val partnersOf: Map[Long, Seq[Long]] = {
+      val m = scala.collection.mutable.Map[Long, List[Long]]()
+      ps.foreach { case (a, b) =>
+        m(a) = b :: m.getOrElse(a, Nil); m(b) = a :: m.getOrElse(b, Nil)
+      }
+      m.view.mapValues(_.sorted.toSeq).toMap
+    }
+    verdicts.foreach { case (id, verdict, matched, kept) =>
+      val exist = partnersOf.getOrElse(id, Nil).filter(_ % 5 != 0)
+      val earlierNew = partnersOf.getOrElse(id, Nil).filter(p => p % 5 == 0 && p < id)
+      val expected =
+        if (exist.nonEmpty) ("dup_existing", Some(exist.min), false)
+        else if (earlierNew.nonEmpty) ("dup_new", Some(earlierNew.min), false)
+        else ("unique", None, true)
+      assert((verdict, matched, kept) == expected, s"vec $id")
+    }
+  }
+
+  test("stored vector index probe is bit-identical to the in-plan derivation") {
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft-vecidx").toString
+    val all = Tables.embeddings(spark, sf)
+    SimilarityOps.buildVecIndex(spark,
+      all.filter(pmod(col("vec_id"), lit(5)) =!= 0), s"$dir/idx")
+    val probed = SimilarityOps.semanticIncrementalProbe(spark,
+      all.filter(pmod(col("vec_id"), lit(5)) === 0), s"$dir/idx")
+      .collect().map(_.toSeq).toSeq
+    val inPlan = SimilarityOps.semanticIncremental(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(probed == inPlan)
+  }
+
   test("pair plan joins on cell+tile keys, never a cartesian") {
     val plan = SimilarityOps.semanticDedup(spark, sf)
       .queryExecution.optimizedPlan.toString
