@@ -720,7 +720,7 @@ object SimilarityOps {
     * gets (at 100 TB: raise B and/or P; cells shard by signature
     * prefix exactly like an IVF index shards by centroid). */
   private val SemCellBits = 8
-  private val SemTauE2 = 30L
+  private[graft] val SemTauE2 = 30L
   private val SemTiles = 8
 
   /** (vec_id, q8, na2, cell) — ONE native codegen'd expression in the
