@@ -19,7 +19,49 @@ object StreamBench {
     if (args.headOption.contains("curation")) curationBench(args.drop(1))
     else if (args.headOption.contains("neardup")) nearDupBench(args.drop(1))
     else if (args.headOption.contains("idxdup")) idxDupBench(args.drop(1))
+    else if (args.headOption.contains("semdup")) semDupBench(args.drop(1))
     else engineBench(args)
+
+  /** History-aware streaming SEMANTIC dedup throughput: replayed
+    * fixture vectors (fresh ids, identical embeddings — every arrival
+    * lands in its original's cell and passes the verify at cos 1,
+    * maximal match work) stream-static probed against the persisted
+    * q8-cell vector index. Stateless sustained-ingestion form, the
+    * embedding twin of [[idxDupBench]]. */
+  private def semDupBench(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val copies = args.headOption.map(_.toInt).getOrElse(4)
+    require(copies > 0, s"semdup bench needs copies > 0, got $copies")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = GraftSession.builder(32).master("local[32]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val root = Files.createTempDirectory("graft-semdupbench").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val idx = s"$root/vecindex"
+    val base = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+    val nBase = base.count()
+    graft.operators.SimilarityOps.buildVecIndex(spark, base, idx)
+    (0 until copies).map(c => base.withColumn("vec_id",
+        col("vec_id") + lit((c + 1).toLong * 1000000000L)))
+      .reduce(_ unionByName _)
+      .repartition(24).write.parquet(in)
+    val vecs = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "4").parquet(in)
+    val t0 = System.nanoTime()
+    val q = graft.streaming.SemanticStream.semanticAgainstIndex(spark, vecs, idx)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val nIn = nBase * copies
+    val nMatched = spark.read.parquet(out).select("vec_id").distinct().count()
+    println(f"""{"metric":"semdup_vecs_per_sec","value":${nIn / sec}%.0f,"vecs_in":$nIn,"vecs_matched":$nMatched,"sec":$sec%.2f}""")
+    spark.stop()
+  }
 
   /** History-aware streaming dedup throughput: arrivals are replayed
     * fixture docs (fresh ids, duplicate content — every arrival hits

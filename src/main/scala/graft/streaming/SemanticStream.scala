@@ -71,6 +71,38 @@ object SemanticStream {
     out.result().iterator
   }
 
+  /** History-aware sustained-ingestion form: arriving vectors probe
+    * the PERSISTED q8-cell index
+    * ([[graft.operators.SimilarityOps.buildVecIndex]]) via a
+    * stream-static cell-equi join — stateless, so ingestion throughput
+    * is bounded by the join, not by state growth; the index side is
+    * the ~600 B/vector long table, bucketable by cell for an
+    * exchange-free static side. Text twin:
+    * [[NearDupStream.nearDupAgainstIndex]]. Emits (vec_id,
+    * matched_id, dot, cos2_e6) for every index hit passing the shared
+    * integer predicate. */
+  def semanticAgainstIndex(spark: SparkSession, vecs: DataFrame,
+      indexDir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    import graft.operators.SimilarityOps.{SemTauE2 => Tau}
+    val idx = spark.read.parquet(indexDir)
+      .select(col("vec_id"), col("q8"), col("na2"), col("cell"))
+    val probe = vecs
+      .select(col("vec_id"),
+        call_function("graft_q8cell", col("embedding")).as("s"))
+      .select(col("vec_id"), col("s.q8").as("q8"),
+        col("s.na2").as("na2"), col("s.cell").as("cell"))
+    val dot = call_function("graft_q8dot", col("n.q8"), col("e.q8"))
+    probe.alias("n").join(idx.alias("e"), col("n.cell") === col("e.cell"))
+      .withColumn("dot", dot)
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * 10000L >=
+          lit(Tau * Tau) * col("n.na2") * col("e.na2"))
+      .select(col("n.vec_id").as("vec_id"), col("e.vec_id").as("matched_id"),
+        col("dot"),
+        expr("dot * dot * 1000000 DIV (n.na2 * e.na2)").as("cos2_e6"))
+  }
+
   /** The streaming transform. `vecs` is a streaming frame with
     * (vec_id, embedding); output is the append-mode stream of
     * (a_id, b_id, dot, cos2_e6) — the batch pair stage's rows, each

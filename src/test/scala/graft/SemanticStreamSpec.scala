@@ -42,4 +42,35 @@ class SemanticStreamSpec extends SparkSuite {
           s"batch-only: ${(batch -- streamed).take(5)}")
     } finally q.stop()
   }
+
+  test("stream-static index probe matches every replayed vector to its original") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-semidx").toString
+    val base = sources.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    operators.SimilarityOps.buildVecIndex(spark, base, s"$dir/idx")
+    // replay with fresh ids and IDENTICAL embeddings: every probe must
+    // hit its original at cos 1 (cos2_e6 within floor error of 1e6)
+    val replayDir = s"$dir/in"
+    base.withColumn("vec_id", col("vec_id") + 1000000000L)
+      .write.parquet(replayDir)
+    val streamed = streaming.SemanticStream.semanticAgainstIndex(spark,
+      spark.readStream.schema(base.schema).parquet(replayDir), s"$dir/idx")
+    val q = streamed.writeStream.format("memory").queryName("semidx")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      val rows = spark.table("semidx").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      val selfHits = rows.filter { case (v, m, _) => v - 1000000000L == m }
+      val nBase = base.count()
+      assert(selfHits.length == nBase,
+        s"${selfHits.length} of $nBase replayed vectors matched their original")
+      // identical vectors: cos² = 1 exactly up to the integer floor
+      selfHits.foreach { case (v, _, cos2) =>
+        assert(cos2 >= 999999L && cos2 <= 1000000L, s"vec $v cos2_e6=$cos2")
+      }
+    } finally q.stop()
+  }
 }
