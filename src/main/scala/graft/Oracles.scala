@@ -231,6 +231,36 @@ object Oracles {
       |  WHERE dot > 0 AND dot*dot*10000 >= 900*na2a*na2b
       |)""".stripMargin
 
+  /** Recursive components + longest-text survivor + per-doc verdict
+    * over [[SemanticPairsCte]] — shared by the semantic_dedup_canonical
+    * and semantic_dedup_stats oracles. Universe = vectors with a
+    * document row. */
+  private val SemanticComponentsCte: String =
+    """, sund AS (
+      |  SELECT a_id AS a, b_id AS b FROM spairs
+      |  UNION SELECT b_id, a_id FROM spairs
+      |), snodes AS (
+      |  SELECT DISTINCT a AS node FROM sund
+      |), sreach(node, label) AS (
+      |  SELECT node, node FROM snodes
+      |  UNION
+      |  SELECT u.b, r.label FROM sreach r JOIN sund u ON u.a = r.node
+      |), scomp AS (
+      |  SELECT node AS doc_id, MIN(label) AS component FROM sreach GROUP BY node
+      |), scanon AS (
+      |  SELECT c.component,
+      |         arg_max(c.doc_id, d.n_chars * 1000000000 - c.doc_id) AS canon_id
+      |  FROM scomp c JOIN documents d USING (doc_id)
+      |  GROUP BY c.component
+      |), sverdict AS (
+      |  SELECT d.doc_id, c.component,
+      |         (c.component IS NULL OR d.doc_id = scanon.canon_id) AS kept
+      |  FROM embeddings e
+      |  JOIN documents d ON d.doc_id = e.vec_id
+      |  LEFT JOIN scomp c ON d.doc_id = c.doc_id
+      |  LEFT JOIN scanon ON c.component = scanon.component
+      |)""".stripMargin
+
   /** Star edges from duplicated 10-token chunks + min-label components
     * — shared by the dedup_clusters and dedup_canonical oracles. */
   private val DedupClustersCte: String =
@@ -1433,31 +1463,19 @@ object Oracles {
       // pairs → recursive components (min reachable id — the
       // minLabelComponents fixpoint) → longest-text survivor (shared
       // arg_max rule), universe = vectors with a document row
-      "semantic_dedup_canonical" -> qrx(SemanticPairsCte +
-        """, sund AS (
-          |  SELECT a_id AS a, b_id AS b FROM spairs
-          |  UNION SELECT b_id, a_id FROM spairs
-          |), snodes AS (
-          |  SELECT DISTINCT a AS node FROM sund
-          |), sreach(node, label) AS (
-          |  SELECT node, node FROM snodes
-          |  UNION
-          |  SELECT u.b, r.label FROM sreach r JOIN sund u ON u.a = r.node
-          |), scomp AS (
-          |  SELECT node AS doc_id, MIN(label) AS component FROM sreach GROUP BY node
-          |), scanon AS (
-          |  SELECT c.component,
-          |         arg_max(c.doc_id, d.n_chars * 1000000000 - c.doc_id) AS canon_id
-          |  FROM scomp c JOIN documents d USING (doc_id)
-          |  GROUP BY c.component
-          |)""".stripMargin,
-        """SELECT d.doc_id, c.component,
-          |       (c.component IS NULL OR d.doc_id = scanon.canon_id) AS kept
-          |FROM embeddings e
-          |JOIN documents d ON d.doc_id = e.vec_id
-          |LEFT JOIN scomp c ON d.doc_id = c.doc_id
-          |LEFT JOIN scanon ON c.component = scanon.component
-          |ORDER BY d.doc_id""".stripMargin),
+      "semantic_dedup_canonical" -> qrx(
+        SemanticPairsCte + SemanticComponentsCte,
+        """SELECT doc_id, component, kept FROM sverdict
+          |ORDER BY doc_id""".stripMargin),
+      "semantic_dedup_stats" -> qrx(
+        SemanticPairsCte + SemanticComponentsCte,
+        """SELECT d.source, COUNT(*) AS n_docs,
+          |       CAST(SUM(CASE WHEN v.kept THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_kept,
+          |       CAST(SUM(CASE WHEN v.kept THEN 0 ELSE d.n_chars END) AS BIGINT)
+          |         AS chars_dropped
+          |FROM sverdict v JOIN documents d USING (doc_id)
+          |GROUP BY d.source ORDER BY d.source""".stripMargin),
       "embedding_dedup" -> qx(
         """, pairs AS (
           |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,

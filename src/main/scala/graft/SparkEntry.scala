@@ -148,6 +148,7 @@ object SparkEntry {
     "semantic_dedup" -> (SimilarityOps.semanticDedup _),
     "semantic_dedup_canonical" -> (GraphOps.semanticDedupCanonical _),
     "semantic_incremental" -> (SimilarityOps.semanticIncremental _),
+    "semantic_dedup_stats" -> (GraphOps.semanticDedupStats _),
     // LLM-pipeline: multimodal plumbing
     "multimodal_meta" -> (MultimodalOps.multimodalMeta _),
     "multimodal_decode" -> (MultimodalOps.multimodalDecode _),

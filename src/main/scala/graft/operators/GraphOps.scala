@@ -213,7 +213,12 @@ object GraphOps {
     * store-only vector has no text to rank by and is out of scope for
     * corpus curation). Fully oracle-checked end to end: integer pair
     * stage + recursive-CTE components + arg_max survivor. */
-  def semanticDedupCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+  def semanticDedupCanonical(spark: SparkSession, sfDir: String): DataFrame =
+    semanticVerdict(spark, sfDir).orderBy("doc_id")
+
+  /** The unsorted semantic verdict frame — the composition form
+    * ([[semanticDedupStats]] aggregates it). */
+  private def semanticVerdict(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = SimilarityOps.semanticPairs(spark, sfDir)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
     val comp = minLabelComponents(edges)
@@ -223,7 +228,26 @@ object GraphOps {
         .select(col("doc_id"), col("n_chars")),
         col("vec_id") === col("doc_id"))
       .select(col("doc_id"), col("n_chars"))
-    canonicalVerdict(docs, comp).orderBy("doc_id")
+    canonicalVerdict(docs, comp)
+  }
+
+  /** Per-source impact of the SEMANTIC dedup verdict — the embedding
+    * twin of [[fuzzyDedupStats]], same report shape so a corpus owner
+    * can read text-level and semantic-level duplication side by side.
+    * Scale notes identical to the fuzzy form (doc_id-equi join, no
+    * skew; |sources| output rows). */
+  def semanticDedupStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val verdicts = semanticVerdict(spark, sfDir)
+      .select(col("doc_id"), col("kept"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(verdicts, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("kept"), col("n_chars")).otherwise(0L))
+          .as("chars_dropped"))
+      .orderBy("source")
   }
 
   /** Per-source impact report of the fuzzy dedup verdict — the number
