@@ -94,19 +94,30 @@ object GraphOps {
       .union(edges.select(col("dst").as("doc"), col("src").as("comp")))
       .groupBy("doc").agg(min("comp").as("comp"))
     comp = ckpt(comp)
-    // convergence certificate: sum of labels — min-label propagation
-    // only ever DECREASES labels, so an unchanged sum ⟺ a fixpoint.
-    // One scalar aggregation per round — cheap: it scans the freshly
-    // checkpointed in-JVM blocks, no recompute.
-    def labelSum(): Long = {
-      val r = comp.agg(sum("comp")).first()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }
-    var prevSum = labelSum()
+    // DELTA iteration (round 6, the static-graph Pregel optimization):
+    // only nodes whose label CHANGED last round send this round — an
+    // unchanged node's label already reached all its neighbors (the
+    // graph is static) and min() makes re-delivery a no-op. Round 1's
+    // frontier is everyone (the direct init is not a delivery).
+    // Measured frontier decay on the 10× semantic pair graph (201k
+    // edges, 18k nodes, edge diameter ≈ 15): 14.7k → 12k → 1.6k → 466
+    // → … → 0 over 15 rounds — so from round 3 on, the old full
+    // und ⋈ comp join re-scanned 402k edge rows to deliver <500
+    // labels. Locally the tail rounds are fixed-overhead-bound either
+    // way (~1.2 s each; wall time is a wash at this size); on a real
+    // cluster the frontier join is the difference between O(Σ frontier
+    // ·deg) and O(rounds·E) total message traffic. (Multi-jump per
+    // round was measured and does NOT cut rounds: the tail is the
+    // EDGE-graph diameter — a new min can only cross one edge per
+    // round; pointer jumping shortcuts only the label-pointer graph.)
+    // Convergence certificate: empty frontier ⟺ no label decreased ⟺
+    // fixpoint (labels only ever decrease).
+    var frontier = comp
     var converged = edges.isEmpty
     var iters = 0
     while (!converged && iters < 20) {
-      val msgs = und.join(comp, und("src") === comp("doc"))
+      val msgs = und.join(frontier.withColumnRenamed("doc", "fdoc"),
+          und("src") === col("fdoc"))
         .select(col("dst").as("doc"), col("comp"))
       var next = comp.union(msgs).groupBy("doc")
         .agg(min("comp").as("comp"))
@@ -120,10 +131,20 @@ object GraphOps {
         next = next.join(jump, next("comp") === col("cdoc"), "left")
           .select(next("doc"), coalesce(col("ccomp"), next("comp")).as("comp"))
       }
-      comp = ckpt(next)
-      val s = labelSum()
-      converged = s == prevSum
-      prevSum = s
+      val nextC = ckpt(next)
+      // changed-label set: both sides hash-partitioned on doc by their
+      // groupBy, so this join adds no exchange; computed AFTER pointer
+      // jumping so jump-shortcut changes also re-send next round. NOT
+      // checkpointed: both parents are freshly checkpointed, so its
+      // lineage is one join deep — recomputing it for the isEmpty probe
+      // plus next round's messages is cheaper than another
+      // materialization action per round.
+      frontier = nextC.alias("n")
+        .join(comp.alias("o"), col("n.doc") === col("o.doc"))
+        .filter(col("n.comp") < col("o.comp"))
+        .select(col("n.doc").as("doc"), col("n.comp").as("comp"))
+      comp = nextC
+      converged = frontier.isEmpty
       iters += 1
     }
     // Non-convergence must fail loudly: a component whose hub-chain
