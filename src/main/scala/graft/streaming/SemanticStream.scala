@@ -71,6 +71,80 @@ object SemanticStream {
     out.result().iterator
   }
 
+  case class TimedVecSig(vecId: Long, q8: Seq[Long], na2: Long, tsMillis: Long)
+
+  /** Bounded cell step: members older than the watermark are evicted
+    * before matching; an idle cell's state is removed by event-time
+    * timeout once the watermark passes its newest member. Same
+    * structure as [[NearDupStream.bucketStepBounded]]. */
+  private[graft] def cellStepBounded(horizonMs: Long,
+      arrivals: Iterator[TimedVecSig],
+      state: GroupState[List[TimedVecSig]]): Iterator[SemPair] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val wm = state.getCurrentWatermarkMs()
+    var members = state.getOption.getOrElse(Nil).filter(_.tsMillis >= wm)
+    val out = List.newBuilder[SemPair]
+    arrivals.toSeq.sortBy(_.vecId).foreach { v =>
+      members.foreach { m =>
+        if (m.vecId != v.vecId) {
+          val d = dotOf(m.q8, v.q8)
+          if (d > 0 && d * d * 10000L >= TauE2 * TauE2 * m.na2 * v.na2) {
+            val (a, b) =
+              if (m.vecId < v.vecId) (m.vecId, v.vecId) else (v.vecId, m.vecId)
+            out += SemPair(a, b, d, d * d * 1000000L / (m.na2 * v.na2))
+          }
+        }
+      }
+      members ::= v
+    }
+    if (members.isEmpty) state.remove()
+    else {
+      state.update(members)
+      state.setTimeoutTimestamp(
+        math.max(members.map(_.tsMillis).max + horizonMs, wm + 1))
+    }
+    out.result().iterator
+  }
+
+  /** The state-BOUNDED production form of [[semanticPairsStream]]:
+    * identical signature/cell/verify, but cell members are kept only
+    * within `horizon` of the watermark, so state is bounded by the
+    * duplicate horizon instead of growing with store cardinality.
+    * `vecs` must carry an `ingest_ts` timestamp. The trade (same as
+    * [[NearDupStream.nearDupPairsWithinWatermark]]): a semantic dup
+    * arriving later than `horizon` after its counterpart is NOT
+    * paired — spec-pinned in both directions. Compose with
+    * [[semanticAgainstIndex]] for the full history (the index arm is
+    * stateless, so the horizon only bounds intra-stream memory). */
+  def semanticPairsWithinWatermark(spark: SparkSession, vecs: DataFrame,
+      horizon: String = "1 hour"): Dataset[SemPair] = {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String
+        .fromString(horizon))
+    val horizonMs = iv.months * 2592000000L + iv.days * 86400000L +
+      iv.microseconds / 1000L
+    // the watermarked ingest_ts must reach the state operator as a
+    // plain projected column (see the note in NearDupStream)
+    vecs.withWatermark("ingest_ts", horizon)
+      .select(col("vec_id"),
+        call_function("graft_q8cell", col("embedding")).as("s"),
+        col("ingest_ts"))
+      .select(col("s.cell").as("cell"), col("vec_id"),
+        transform(col("s.q8"), x => coalesce(x, lit(0L))).as("q8"),
+        col("s.na2").as("na2"), col("ingest_ts"))
+      .as[(Long, Long, Seq[Long], Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[(Long, Long, Seq[Long], Long, java.sql.Timestamp)],
+         state: GroupState[List[TimedVecSig]]) =>
+          cellStepBounded(horizonMs,
+            rows.map(r => TimedVecSig(r._2, r._3, r._4, r._5.getTime)), state)
+      }
+  }
+
   /** History-aware sustained-ingestion form: arriving vectors probe
     * the PERSISTED q8-cell index
     * ([[graft.operators.SimilarityOps.buildVecIndex]]) via a

@@ -43,6 +43,44 @@ class SemanticStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("watermarked variant: in-horizon semantic dup paired, past-horizon member evicted") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // identical embeddings → same cell, cos 1 (pairs); `other` has
+    // alternating signs → dot 0 against `dup` (never pairs), it only
+    // advances the watermark
+    val dup: Seq[Float] = Seq.fill(8)(1.0f)
+    val other: Seq[Float] = Seq.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    val input = MemoryStream[(Long, java.sql.Timestamp, Seq[Float])]
+    val q = streaming.SemanticStream.semanticPairsWithinWatermark(spark,
+        input.toDF().toDF("vec_id", "ingest_ts", "embedding"),
+        horizon = "10 minutes")
+      .writeStream.format("memory").queryName("sem_wm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def got() = spark.table("sem_wm").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      input.addData((1L, ts("2024-01-01 10:00:00"), dup))
+      q.processAllAvailable()
+      input.addData((2L, ts("2024-01-01 10:05:00"), dup))
+      q.processAllAvailable()
+      assert(got().contains((1L, 2L)), s"in-horizon pair missing: ${got()}")
+      // advance the watermark far past horizon → members 1,2 evicted
+      input.addData((3L, ts("2024-01-01 11:00:00"), other))
+      q.processAllAvailable()
+      input.addData((4L, ts("2024-01-01 11:01:00"), dup))
+      q.processAllAvailable()
+      assert(!got().exists(_._2 == 4L),
+        s"past-horizon member was not evicted: ${got()}")
+      // fresh arrival re-seeds state: an in-horizon follower pairs
+      input.addData((5L, ts("2024-01-01 11:02:00"), dup))
+      q.processAllAvailable()
+      assert(got().contains((4L, 5L)), s"re-seeded pair missing: ${got()}")
+    } finally q.stop()
+  }
+
   test("stream-static index probe matches every replayed vector to its original") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-semidx").toString
