@@ -178,7 +178,14 @@ object Oracles {
 
   /** q8 store + 8-bit integer-plane cell frame (vec_id, q8, na2,
     * cell) — the shared prefix of every semantic-dedup oracle; mirrors
-    * SimilarityOps.q8CellFrame (native Q8CellSig) step for step. */
+    * SimilarityOps.q8CellFrame (native Q8CellSig) step for step,
+    * INCLUDING degenerate vectors: an empty or all-null embedding has
+    * every plane SUM NULL and list_sum(q8²) NULL, so both are
+    * COALESCEd to 0 → cell 255 (every empty sum "≥ 0") and na2 0,
+    * exactly the native expression's documented behavior
+    * (Q8Ops.scala; SemanticDedupSpec pins it). The fixture carries no such
+    * vectors, but a regeneration that adds one must not fork the two
+    * engines. */
   private val SemanticCellCte: String =
     """, sq8 AS (
       |  SELECT vec_id,
@@ -194,8 +201,8 @@ object Oracles {
       |  SELECT unnest(range(0, (SELECT MAX(len(embedding)) FROM embeddings))) AS pos
       |), scellbit AS (
       |  SELECT vec_id, p,
-      |         CASE WHEN SUM(q8[CAST(pos AS INT) + 1] *
-      |                ((p*2654435761 + pos*40503) % 1001 - 500)) >= 0
+      |         CASE WHEN COALESCE(SUM(q8[CAST(pos AS INT) + 1] *
+      |                ((p*2654435761 + pos*40503) % 1001 - 500)), 0) >= 0
       |              THEN 1 ELSE 0 END AS bit
       |  FROM sq8 CROSS JOIN sdims
       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS p)
@@ -208,16 +215,20 @@ object Oracles {
       |           AS cell
       |  FROM scellbit b JOIN (
       |    SELECT vec_id, q8,
-      |           CAST(list_sum(list_transform(q8, x -> x*x)) AS BIGINT) AS na2
+      |           COALESCE(CAST(list_sum(list_transform(q8, x -> x*x)) AS BIGINT),
+      |                    0) AS na2
       |    FROM sq8) s USING (vec_id)
       |  GROUP BY b.vec_id, s.q8, s.na2
       |)""".stripMargin
 
   /** Within-cell integer-exact semantic pairs over [[SemanticCellCte]]
     * — shared by the semantic_dedup and semantic_dedup_canonical
-    * oracles; mirrors SimilarityOps.semanticPairs (τ_e2 = 30). */
-  private val SemanticPairsCte: String = SemanticCellCte +
-    """, spairs AS (
+    * oracles; mirrors SimilarityOps.semanticPairs. Parameterized by
+    * τ_e2² exactly like the Spark side's one filter constant (900 =
+    * the fixture stress shape τ=0.30; 9025 = the production
+    * semantic_dedup_t95 point). */
+  private def semanticPairsCteAt(tauSq: Long): String = SemanticCellCte +
+    s""", spairs AS (
       |  SELECT a_id, b_id, cell, dot, dot*dot*1000000 // (na2a*na2b) AS cos2_e6
       |  FROM (
       |    SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cell AS cell,
@@ -228,8 +239,9 @@ object Oracles {
       |      ON a.cell = b.cell AND a.vec_id < b.vec_id
       |    CROSS JOIN sdims
       |    GROUP BY 1, 2, 3, 4, 5)
-      |  WHERE dot > 0 AND dot*dot*10000 >= 900*na2a*na2b
+      |  WHERE dot > 0 AND dot*dot*10000 >= $tauSq*na2a*na2b
       |)""".stripMargin
+  private val SemanticPairsCte: String = semanticPairsCteAt(900L)
 
   /** Recursive components + longest-text survivor + per-doc verdict
     * over [[SemanticPairsCte]] — shared by the semantic_dedup_canonical
@@ -1404,6 +1416,21 @@ object Oracles {
         """SELECT p.id, w.worker_id
           |FROM pend p JOIN widx w ON (p.o_orderkey * 2654435761) % w.nw + 1 = w.wrn
           |ORDER BY p.id""".stripMargin),
+      // seeded two-round PRNG (Knuth mod 2^32 + Lehmer mod 2^31-1) —
+      // all operands nonneg and < 2.1e14, so % == pmod in both engines
+      "random_assign" -> qx(
+        """, pend AS (
+          |  SELECT id, o_orderkey FROM tasks WHERE status = 0
+          |), widx AS (
+          |  SELECT worker_id, CAST(ROW_NUMBER() OVER (ORDER BY worker_id) AS INT) AS wrn,
+          |         CAST(COUNT(*) OVER () AS INT) AS nw
+          |  FROM workers
+          |)""".stripMargin,
+        """SELECT p.id, w.worker_id
+          |FROM pend p JOIN widx w
+          |  ON ((((p.o_orderkey * 2654435761 + 20260813) % 4294967296)
+          |       * 48271) % 2147483647) % w.nw + 1 = w.wrn
+          |ORDER BY p.id""".stripMargin),
       "cosine_topk_native" -> cosineSql,
       "worker_load_salted" -> q(
         """SELECT worker_id, COUNT(*) AS n_tasks FROM assigned
@@ -1465,6 +1492,13 @@ object Oracles {
       // arg_max rule), universe = vectors with a document row
       "semantic_dedup_canonical" -> qrx(
         SemanticPairsCte + SemanticComponentsCte,
+        """SELECT doc_id, component, kept FROM sverdict
+          |ORDER BY doc_id""".stripMargin),
+      // production τ=0.95: the same CTE chain with one constant — the
+      // sparse SemDeDup regime (few/no fixture pairs; the verdict is
+      // still the full components+survivor computation)
+      "semantic_dedup_t95" -> qrx(
+        semanticPairsCteAt(9025L) + SemanticComponentsCte,
         """SELECT doc_id, component, kept FROM sverdict
           |ORDER BY doc_id""".stripMargin),
       "semantic_dedup_stats" -> qrx(

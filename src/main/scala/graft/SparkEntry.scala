@@ -133,6 +133,7 @@ object SparkEntry {
     "cosine_topk" -> (SimilarityOps.cosineTopk _),
     "ann_lsh_topk" -> (SimilarityOps.annLshTopk _),
     "ann_ivf_topk" -> (SimilarityOps.annIvfTopk _),
+    "ann_ivf_probe" -> (SimilarityOps.annIvfProbeQuery _),
     "minhash_dedup" -> (SimilarityOps.minhashDedup _),
     "embedding_centroids" -> (SimilarityOps.embeddingCentroids _),
     "embedding_coverage" -> (SimilarityOps.embeddingCoverage _),
@@ -147,6 +148,7 @@ object SparkEntry {
     // embedding-space (SemDeDup-style) dedup, integer-exact end to end
     "semantic_dedup" -> (SimilarityOps.semanticDedup _),
     "semantic_dedup_canonical" -> (GraphOps.semanticDedupCanonical _),
+    "semantic_dedup_t95" -> (GraphOps.semanticDedupT95 _),
     "semantic_incremental" -> (SimilarityOps.semanticIncremental _),
     "semantic_dedup_stats" -> (GraphOps.semanticDedupStats _),
     // LLM-pipeline: multimodal plumbing
@@ -162,6 +164,7 @@ object SparkEntry {
     "sql_task_stats" -> (AggOps.sqlTaskStats _),
     "round_robin_assign" -> (AggOps.roundRobinAssign _),
     "hash_assign" -> (AggOps.hashAssign _),
+    "random_assign" -> (AggOps.randomAssign _),
     "cosine_topk_native" -> (AggOps.cosineTopkNative _),
     // skew + distinct-agg surface
     "worker_load_salted" -> (WorkerOps.workerLoadSalted _),

@@ -149,6 +149,33 @@ object AggOps {
       .orderBy("id")
   }
 
+  /** The reference's true RANDOM dispatch strategy
+    * (tasks/dispatcher.go:646-655 picks a worker via the global `rand`)
+    * with a SEEDED integer PRNG in place of Go's non-reproducible
+    * source: two mixing rounds — a Knuth multiplicative congruential
+    * step mod 2³² folding in the seed, then a Lehmer (MINSTD, 48271
+    * mod 2³¹−1) step — of the order key. Changing the seed literal
+    * reshuffles the whole assignment (the "random" contract); fixing
+    * it makes the draw replayable, which is what a production dispatch
+    * audit needs anyway and what lets DuckDB recompute it exactly
+    * (every operand stays ≤ 2.1e14, inside exact int64; nonnegative
+    * operands make Spark's pmod and DuckDB's % agree). Embarrassingly
+    * parallel: no window, no global rank — same shape as
+    * [[hashAssign]], different (seeded) mixing. */
+  def randomAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val seed = 20260813L
+    val t = Tables.tasks(spark, sfDir)
+      .filter(col("status") === Tables.Pending)
+      .select(col("id"), col("o_orderkey"))
+    val h1 = pmod(col("o_orderkey") * lit(2654435761L) + lit(seed),
+      lit(4294967296L))
+    val h2 = pmod(h1 * lit(48271L), lit(2147483647L))
+    val w = workerIndex(spark, sfDir)
+    t.join(broadcast(w), pmod(h2, col("nw")) + 1 === col("wrn"))
+      .select("id", "worker_id")
+      .orderBy("id")
+  }
+
   /** cosineTopk re-expressed on the native fused-loop Expression
     * (graft.functions.CosineSimilarity) — identical results (same fold
     * order), one array traversal instead of three, whole-stage codegen.

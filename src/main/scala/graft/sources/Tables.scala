@@ -60,7 +60,14 @@ object Tables {
     * Cache contract: fixture dirs are immutable for a session's
     * lifetime (the driver regenerates testdata only between rounds).
     * A deployment with mutable tables would key this by snapshot/commit
-    * id the way a lakehouse catalog does. */
+    * id the way a lakehouse catalog does.
+    *
+    * Size bound: a long-lived session touching MANY sfDirs (a
+    * multi-tenant notebook server) would otherwise grow the per-session
+    * map without limit, so it is cleared past [[CountCacheCap]] entries
+    * — counts are cheap to re-derive; the cap trades a rare re-count
+    * for a hard memory bound. */
+  private val CountCacheCap = 1024
   private val countCache =
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]]()
@@ -73,6 +80,7 @@ object Tables {
       }
       m
     }
+    if (perSession.size > CountCacheCap) perSession.clear()
     perSession.computeIfAbsent(
       (sfDir, name), _ => table(spark, sfDir, name).count())
   }

@@ -41,6 +41,10 @@ object CurationStream {
   private val hashCache =
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, Array[Long]]]()
+  // eval-set arrays are dim-sized but not tiny; bound the per-session
+  // map so a session sweeping many sfDirs can't accumulate them —
+  // same contract as Tables.CountCacheCap (clear + re-derive is cheap)
+  private val HashCacheCap = 64
 
   def benchShingleHashes(spark: SparkSession, sfDir: String): Array[Long] = {
     val perSession = hashCache.synchronized {
@@ -51,6 +55,7 @@ object CurationStream {
       }
       m
     }
+    if (perSession.size > HashCacheCap) perSession.clear()
     perSession.computeIfAbsent(sfDir, _ => {
       graft.GraftExtensions.register(spark)
       import spark.implicits._

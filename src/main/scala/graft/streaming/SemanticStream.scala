@@ -30,12 +30,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the batch form), spec-pinned stream ≡ batch.
   *
   * Scale design: state partitions by cell — 256 cells at P=8 is too
-  * coarse for a 100 TB store (hot-cell state grows with corpus), so
-  * the production deployment raises P the same way the batch side
-  * shards cells, and/or bounds the horizon with the watermark variant
-  * of [[NearDupStream.bucketStepBounded]] (the trade documented
-  * there). The per-pair work is one integer dot — identical to the
-  * batch verify.
+  * coarse for a 100 TB store (hot-cell state grows with corpus). The
+  * production deployment uses [[semanticPairsStreamSharded]], which
+  * re-keys state to (cell, shard) with doc-side replication so the
+  * hottest cell's per-key state is bounded at |cell|/shards, and/or
+  * bounds the horizon with the watermark variant
+  * ([[semanticPairsWithinWatermark]], trade documented at
+  * [[NearDupStream.bucketStepBounded]]). The per-pair work is one integer dot — identical to the
+  * batch verify. The int64 dim ceilings documented at
+  * [[graft.operators.SimilarityOps.semanticPairs]] apply here too
+  * (predicate exact to D ≈ 1800; the cos2_e6 evidence to D ≈ 188).
   */
 object SemanticStream {
 
@@ -49,14 +53,18 @@ object SemanticStream {
 
   /** Per-cell state update: emit a pair for every qualifying (prior
     * member, arrival); process arrivals in vec_id order; append
-    * arrivals. Pure function of (sorted arrivals, prior state). */
+    * arrivals. Pure function of (sorted arrivals, prior state).
+    * A re-arrival of a vec_id already in state (at-least-once source
+    * re-delivery) is SKIPPED entirely — no duplicate state entry (which
+    * would re-emit its pairs for every future partner) and no re-emitted
+    * pairs for the replay itself. */
   private[graft] def cellStep(arrivals: Iterator[VecSig],
       state: GroupState[List[VecSig]]): Iterator[SemPair] = {
     var members = state.getOption.getOrElse(Nil)
     val out = List.newBuilder[SemPair]
     arrivals.toSeq.sortBy(_.vecId).foreach { v =>
-      members.foreach { m =>
-        if (m.vecId != v.vecId) {
+      if (!members.exists(_.vecId == v.vecId)) {
+        members.foreach { m =>
           val d = dotOf(m.q8, v.q8)
           if (d > 0 && d * d * 10000L >= TauE2 * TauE2 * m.na2 * v.na2) {
             val (a, b) =
@@ -64,10 +72,54 @@ object SemanticStream {
             out += SemPair(a, b, d, d * d * 1000000L / (m.na2 * v.na2))
           }
         }
+        members ::= v
       }
-      members ::= v
     }
     state.update(members)
+    out.result().iterator
+  }
+
+  /** One arriving vector's role in a (cell, shard) group: `home` =
+    * this group is hash(vec_id)'s own shard (the arrival is appended
+    * to state here); probe-role copies only match. */
+  case class ShardVecSig(vecId: Long, q8: Seq[Long], na2: Long, home: Boolean)
+
+  /** Per-(cell, shard) state update — the HOT-CELL-BOUNDED analog of
+    * [[cellStep]] (same trick as NearDupStream's band+slice key): state
+    * in this group holds only the cell members whose home shard this
+    * is (~1/S of the cell), so the hottest cell's per-key state is
+    * bounded by |cell|/S instead of |cell|. Every pair (m, v) with m
+    * appended before v is emitted exactly once — in m's home shard,
+    * where v's probe copy meets it; within a batch the vec_id
+    * processing order means the smaller id has already appended in its
+    * own shard when the larger id's probe copy arrives (spec-pinned
+    * sharded ≡ unsharded on an engineered hot cell). Re-delivery
+    * suppression covers the home shard (state dedup by vec_id); a
+    * non-home probe copy of a replayed vector cannot know — full
+    * at-least-once idempotence composes a downstream
+    * dropDuplicates on (a_id, b_id), which the deterministic pair key
+    * makes exact. */
+  private[graft] def cellShardStep(arrivals: Iterator[ShardVecSig],
+      state: GroupState[List[VecSig]]): Iterator[SemPair] = {
+    var members = state.getOption.getOrElse(Nil)
+    val out = List.newBuilder[SemPair]
+    var changed = false
+    // distinctBy: an in-batch duplicate delivery would otherwise probe
+    // twice in NON-home groups (no append there to trip the state guard)
+    arrivals.toSeq.sortBy(_.vecId).distinctBy(_.vecId).foreach { v =>
+      if (!members.exists(_.vecId == v.vecId)) {
+        members.foreach { m =>
+          val d = dotOf(m.q8, v.q8)
+          if (d > 0 && d * d * 10000L >= TauE2 * TauE2 * m.na2 * v.na2) {
+            val (a, b) =
+              if (m.vecId < v.vecId) (m.vecId, v.vecId) else (v.vecId, m.vecId)
+            out += SemPair(a, b, d, d * d * 1000000L / (m.na2 * v.na2))
+          }
+        }
+        if (v.home) { members ::= VecSig(v.vecId, v.q8, v.na2); changed = true }
+      }
+    }
+    if (changed) state.update(members)
     out.result().iterator
   }
 
@@ -85,8 +137,10 @@ object SemanticStream {
     var members = state.getOption.getOrElse(Nil).filter(_.tsMillis >= wm)
     val out = List.newBuilder[SemPair]
     arrivals.toSeq.sortBy(_.vecId).foreach { v =>
-      members.foreach { m =>
-        if (m.vecId != v.vecId) {
+      // same re-delivery guard as cellStep: an in-horizon member with
+      // this vec_id means a replay — skip (no duplicate state entry)
+      if (!members.exists(_.vecId == v.vecId)) {
+        members.foreach { m =>
           val d = dotOf(m.q8, v.q8)
           if (d > 0 && d * d * 10000L >= TauE2 * TauE2 * m.na2 * v.na2) {
             val (a, b) =
@@ -94,8 +148,8 @@ object SemanticStream {
             out += SemPair(a, b, d, d * d * 1000000L / (m.na2 * v.na2))
           }
         }
+        members ::= v
       }
-      members ::= v
     }
     if (members.isEmpty) state.remove()
     else {
@@ -196,6 +250,46 @@ object SemanticStream {
         (_: Long, rows: Iterator[(Long, Long, Seq[Long], Long)],
          state: GroupState[List[VecSig]]) =>
           cellStep(rows.map(r => VecSig(r._2, r._3, r._4)), state)
+      }
+  }
+
+  /** HOT-CELL SHARDED form of [[semanticPairsStream]] — the 100 TB
+    * deployment shape. [[semanticPairsStream]] keys state by cell
+    * alone, so the hottest cell's state (and its per-batch pairing
+    * work) grows with the corpus — 256 cells is far too coarse a
+    * partition for a corpus-scale store. Here the key is
+    * (cell, shard): an arriving vector is replicated to all `shards`
+    * probe copies of its cell but APPENDED only in its home shard
+    * hash(vec_id) % shards, so per-key state — and the work one state
+    * task does per arrival — is |cell|/shards, tunable independently
+    * of how hot a cell gets (exactly the batch side's bounded-tile B
+    * knob, and the same doc-side replication NearDupStream's
+    * band+slice key uses). Shuffle cost: shards× the (narrow
+    * ~600 B/vec signature) arrivals — the price of bounding the
+    * hottest key. Emits the SAME pair set with the same integer
+    * evidence (SemanticStreamSpec pins sharded ≡ unsharded on an
+    * engineered hot cell). */
+  def semanticPairsStreamSharded(spark: SparkSession, vecs: DataFrame,
+      shards: Int = 8): Dataset[SemPair] = {
+    import spark.implicits._
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    graft.GraftExtensions.register(spark)
+    vecs
+      .select(col("vec_id"),
+        call_function("graft_q8cell", col("embedding")).as("s"))
+      .select(col("s.cell").as("cell"), col("vec_id"),
+        transform(col("s.q8"), x => coalesce(x, lit(0L))).as("q8"),
+        col("s.na2").as("na2"),
+        pmod(xxhash64(col("vec_id")), lit(shards)).cast("int").as("home_shard"),
+        explode(sequence(lit(0), lit(shards - 1))).as("shard"))
+      .select(col("cell"), col("shard"), col("vec_id"), col("q8"), col("na2"),
+        (col("shard") === col("home_shard")).as("home"))
+      .as[(Long, Int, Long, Seq[Long], Long, Boolean)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Long, Int), rows: Iterator[(Long, Int, Long, Seq[Long], Long, Boolean)],
+         state: GroupState[List[VecSig]]) =>
+          cellShardStep(rows.map(r => ShardVecSig(r._3, r._4, r._5, r._6)), state)
       }
   }
 }

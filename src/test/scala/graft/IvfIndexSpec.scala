@@ -41,6 +41,19 @@ class IvfIndexSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("ann_ivf_probe query form: builds once, probes training-free, ≡ fused") {
+    // the (spark, sfDir) query form memoizes the index build per
+    // (session, sfDir) — second call must reuse the same stored index
+    val first = SimilarityOps.annIvfProbeQuery(spark, sf)
+    assert(!first.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
+      "training leaked into the query-form probe plan")
+    val got = first.collect().map(_.toSeq).toSeq
+    assert(got == SimilarityOps.annIvfTopk(spark, sf, 2).collect().map(_.toSeq).toSeq,
+      "query-form probe diverged from the fused train+search query")
+    assert(got == SimilarityOps.annIvfProbeQuery(spark, sf).collect().map(_.toSeq).toSeq,
+      "second (memoized) invocation diverged")
+  }
+
   test("incremental dedup against a persisted signature index ≡ the in-plan form") {
     import org.apache.spark.sql.functions._
     val docs = sources.Tables.documents(spark, sf)

@@ -144,6 +144,31 @@ class SemanticDedupSpec extends SparkSuite {
     assert(probed == inPlan)
   }
 
+  test("degenerate vectors sign to cell 255 / na2 0 (oracle COALESCE contract)") {
+    // The oracle CTE COALESCEs every plane SUM and na2 to 0 so an
+    // empty, all-null, or all-zero embedding lands where the native
+    // expression documents: every empty/zero plane sum is ">= 0" →
+    // all 8 bits set → cell 255; na2 = 0. The fixture carries no such
+    // vectors — this pins the contract against the next regeneration.
+    graft.GraftExtensions.register(spark)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, Seq.empty[java.lang.Double]),
+        org.apache.spark.sql.Row(2L, Seq[java.lang.Double](null, null)),
+        org.apache.spark.sql.Row(3L, Seq[java.lang.Double](0.0, 0.0)))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    val got = df.select(col("vec_id"),
+        call_function("graft_q8cell", col("embedding")).as("s"))
+      .select(col("vec_id"), col("s.na2"), col("s.cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 0L, 255L), (2L, 0L, 255L), (3L, 0L, 255L)))
+  }
+
   test("pair plan joins on cell+tile keys, never a cartesian") {
     val plan = SimilarityOps.semanticDedup(spark, sf)
       .queryExecution.optimizedPlan.toString

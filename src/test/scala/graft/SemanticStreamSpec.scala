@@ -43,6 +43,72 @@ class SemanticStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("sharded hot-cell form ≡ unsharded pair set (engineered hot cell, cross- and in-batch)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // engineered HOT CELL: positive multiples of one direction all
+    // quantize to the same q8 signature → one cell holds every vector
+    // and every pair qualifies (cos = 1); plus a cold cell (alternating
+    // signs) to prove cross-cell isolation survives sharding
+    val hot: Seq[Float] = Seq.tabulate(8)(i => (i + 1).toFloat)
+    val cold: Seq[Float] = Seq.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val vecs: Seq[(Long, Seq[Float])] =
+      (1L to 30L).map(i => i -> hot.map(x => x * (1 + (i % 7)))) ++
+        (31L to 36L).map(i => i -> cold)
+    // split so pairs form both across batches (keyed state) and within
+    // one batch (the in-batch append/probe ordering)
+    val chunks = vecs.grouped(13).toSeq
+
+    def run(name: String,
+        mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[
+          streaming.SemanticStream.SemPair]) = {
+      val input = MemoryStream[(Long, Seq[Float])]
+      val q = mk(input.toDF().toDF("vec_id", "embedding"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+      } finally q.stop()
+    }
+    val unsharded = run("sem_unsharded",
+      df => SemanticStream.semanticPairsStream(spark, df))
+    val sharded = run("sem_sharded",
+      df => SemanticStream.semanticPairsStreamSharded(spark, df, shards = 4))
+    assert(unsharded.size >= 30 * 29 / 2,
+      s"hot cell not hot: only ${unsharded.size} pairs")
+    assert(sharded == unsharded,
+      s"sharded-only: ${(sharded -- unsharded).take(5)}; " +
+        s"unsharded-only: ${(unsharded -- sharded).take(5)}")
+  }
+
+  test("re-delivered vector adds no duplicate state and re-emits no pairs") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dup: Seq[Float] = Seq.fill(8)(1.0f)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = SemanticStream.semanticPairsStream(spark,
+        input.toDF().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("sem_redeliver")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, dup), (2L, dup)); q.processAllAvailable()
+      // at-least-once source re-delivers vec 1, then a new member 3
+      // arrives: without the state guard, 3 would pair against TWO
+      // copies of 1 (duplicate SemPair rows for every future partner)
+      input.addData((1L, dup)); q.processAllAvailable()
+      input.addData((3L, dup)); q.processAllAvailable()
+      val rows = spark.table("sem_redeliver").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows.sorted == Seq((1L, 2L), (1L, 3L), (2L, 3L)),
+        s"expected each pair exactly once, got $rows")
+    } finally q.stop()
+  }
+
   test("watermarked variant: in-horizon semantic dup paired, past-horizon member evicted") {
     val s = spark
     import s.implicits._
