@@ -363,6 +363,26 @@ object Oracles {
         |       ',"task_type":"' || task_type || '"}' AS json
         |FROM (SELECT * FROM tasks ORDER BY id LIMIT 100)
         |ORDER BY id""".stripMargin),
+    // the replace-chain is generated from the SAME BpeMerges table the
+    // Spark side folds over — one definition, two dialects
+    "token_count_bpe_merge" -> q({
+      val base = "' ' || array_to_string(list_transform(pieces, " +
+        "p -> rtrim(regexp_replace(p, '(.)', '\\1 ', 'g'))), ' ~ ') || ' '"
+      val chain = graft.operators.TextOps.BpeMerges.foldLeft(base) {
+        case (s, (a, b)) =>
+          val once = s"replace($s, ' $a $b ', ' $a$b ')"
+          s"replace($once, ' $a $b ', ' $a$b ')"
+      }
+      s"""SELECT id, CAST(len(pieces) AS INT) AS n_pieces,
+         |       CAST(len(string_split(trim($chain), ' '))
+         |            - (len(pieces) - 1) AS INT) AS n_tokens
+         |FROM (SELECT CAST(o_orderkey AS VARCHAR) AS id,
+         |             regexp_extract_all(
+         |               '{"row_id":' || o_orderkey || ',"cust":' || o_custkey || '}',
+         |               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') AS pieces
+         |      FROM orders)
+         |ORDER BY id""".stripMargin
+    }),
     "token_count_bpe" -> q(
       """SELECT CAST(o_orderkey AS VARCHAR) AS id,
         |       '{"row_id":' || o_orderkey || ',"cust":' || o_custkey || '}' AS payload,

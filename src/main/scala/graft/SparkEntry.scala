@@ -90,6 +90,7 @@ object SparkEntry {
     "dedup_exact" -> (TextOps.dedupExact _),
     "token_count" -> (TextOps.tokenCount _),
     "token_count_bpe" -> (TextOps.tokenCountBpe _),
+    "token_count_bpe_merge" -> (TextOps.tokenCountBpeMerge _),
     "quality_score" -> (TextOps.qualityScore _),
     "lang_id" -> (TextOps.langId _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),

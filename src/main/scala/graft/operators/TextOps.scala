@@ -71,6 +71,69 @@ object TextOps {
       .orderBy("id")
   }
 
+  /** The BPE merge table (rank order) shared by [[tokenCountBpeMerge]],
+    * its oracle SQL, and the textbook-BPE reference in BpeSpec — a
+    * small fixture vocab over the payload alphabet (a real deployment
+    * broadcasts the tokenizer's learned merges the same way: literals
+    * in the plan ARE broadcast-by-value). Rank property of every real
+    * BPE vocab holds here by construction: a merge's constituent
+    * symbols are created only by LOWER-ranked merges. */
+  private[graft] val BpeMerges: Seq[(String, String)] = Seq(
+    "r" -> "o", "ro" -> "w", "i" -> "d", "c" -> "u", "cu" -> "s",
+    "cus" -> "t", "1" -> "2", "0" -> "0", "12" -> "3", "4" -> "5",
+    "6" -> "7", "8" -> "9", "00" -> "0")
+
+  /** REAL BPE token counting — [[tokenCountBpe]] plus the merge loop,
+    * so the count is true post-merge tokens, not pre-tokenizer pieces.
+    *
+    * The iterative greedy algorithm (repeatedly merge the
+    * lowest-ranked adjacent symbol pair) is re-expressed as a STATIC
+    * chain of literal string replaces, which is what makes it one
+    * codegen'd scan in Spark AND exactly recomputable by the DuckDB
+    * oracle: symbols are space-delimited (pieces separated by a '~'
+    * guard symbol so no merge crosses a pre-token boundary), and merge
+    * (a,b) becomes replace(" a b " → " ab "), applied TWICE —
+    * consecutive occurrences share a delimiter space, so one
+    * non-overlapping left-to-right pass merges alternate occurrences
+    * and the second pass catches the (now isolated) leftovers.
+    * Equivalence with true greedy BPE: processing merges exhaustively
+    * in rank order equals per-step lowest-rank-first merging because a
+    * rank-r merge can only create pairs whose merges rank ABOVE r (the
+    * rank property on [[BpeMerges]]) — the original Sennrich encode.
+    * BpeSpec pins the whole chain against a driver-Scala textbook
+    * implementation on every fixture payload; the hash gate pins it
+    * against DuckDB running the same replace chain.
+    *
+    * Scale: a pure per-row projection of ~30 literal replaces — zero
+    * shuffles, whole-stage codegen, merge table shipped with the plan.
+    * A production-sized vocab (50k merges) would move the loop into a
+    * native Expression over a broadcast merge map (same contract, one
+    * pass per piece instead of one replace per merge); the fixture
+    * vocab keeps it oracle-recomputable. */
+  def tokenCountBpeMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val payload = concat(
+      lit("{\"row_id\":"), col("o_orderkey").cast("string"),
+      lit(",\"cust\":"), col("o_custkey").cast("string"),
+      lit("}"))
+    val pieces = regexp_extract_all(payload,
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))
+    val spaced = concat(lit(" "),
+      array_join(transform(col("pieces"),
+        p => rtrim(regexp_replace(p, "(.)", "$1 "))), " ~ "),
+      lit(" "))
+    val merged = BpeMerges.foldLeft(spaced) { case (s, (a, b)) =>
+      val once = call_function("replace", s, lit(s" $a $b "), lit(s" $a$b "))
+      call_function("replace", once, lit(s" $a $b "), lit(s" $a$b "))
+    }
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").cast("string").as("id"), pieces.as("pieces"))
+      .select(col("id"),
+        size(col("pieces")).as("n_pieces"),
+        (size(split(trim(merged), " ")) - (size(col("pieces")) - 1))
+          .as("n_tokens"))
+      .orderBy("id")
+  }
+
   private def padded: Column = concat(lit(" "), col("text"), lit(" "))
 
   /** Quality scoring: length, token count, avg token length (scaled to
