@@ -47,7 +47,7 @@ object Bench {
     // seeded random dispatch; ann_ivf_topk's slot above became
     // ann_ivf_probe (the stored-index probe — production search cost;
     // the index build lands untimed in warm-up, like a nightly job)
-    "semantic_dedup_t95", "random_assign")
+    "semantic_dedup_t95", "random_assign", "token_count_bpe_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -92,6 +92,18 @@ object Bench {
     // A query that throws is recorded as -1 (sentinel) and listed in
     // "failed" — a crash must never masquerade as a fast run.
     val nPasses = if (all) 3 else 5
+    println(benchJson(spark, sfDir, selected, nPasses))
+    spark.stop()
+  }
+
+  /** The interleaved timing loop, factored so [[Bench10x]] emits the
+    * SAME schema over the scale-probe replica: N round-robin passes,
+    * per-query min + p50, crashes recorded as -1 and listed in
+    * "failed" — one compact JSON line. */
+  private[graft] def benchJson(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String,
+      selected: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)],
+      nPasses: Int): String = {
     def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -121,7 +133,6 @@ object Bench {
     val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size},"queries":${jmap(_._2)},"p50":${jmap(_._3)},"failed":$failed,"sf":"$sfDir"}""")
-    spark.stop()
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size},"queries":${jmap(_._2)},"p50":${jmap(_._3)},"failed":$failed,"sf":"$sfDir"}"""
   }
 }

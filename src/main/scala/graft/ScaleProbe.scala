@@ -38,7 +38,14 @@ object ScaleProbe {
 
     val spark = GraftSession.builder(16).master("local[16]").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    build(spark, srcDir, outDir, replicas)
+    spark.stop()
+  }
 
+  /** The replica synthesis, factored so [[Bench10x]] can (re)build the
+    * probe corpus in-session when the artifact run finds it missing. */
+  private[graft] def build(spark: SparkSession, srcDir: String,
+      outDir: String, replicas: Int): Unit = {
     Files.createDirectories(Paths.get(outDir))
     val stride = 10000000L
 
@@ -94,6 +101,47 @@ object ScaleProbe {
     val ne = spark.read.parquet(s"$outDir/embeddings.parquet").count()
     println(s"SCALEPROBE wrote $outDir documents=$nd embeddings=$ne " +
       s"(replicas=$replicas, src=$srcDir)")
+  }
+}
+
+/** The 10× scale probe as a MACHINE-DIFFABLE per-round artifact:
+  * synthesizes (or reuses) the ScaleProbe replica corpus, runs the
+  * bench headline over it with the exact [[Bench]] timing loop, and
+  * writes the one-line JSON — same schema as BENCH_r{N}.json — to
+  * `BENCH_10x.json` in the repo. Rounds 5-6 recorded the scaling
+  * curve only as BASELINE.md prose; an artifact makes a 10× plan flip
+  * (superlinear query, new failure) a diffable regression instead of
+  * a narrative claim.
+  *
+  * Usage: runMain graft.Bench10x [probeDir] [artifactPath]
+  * (source fixture from SPARK_GRAFT_SF_DIR, default sf0.1; 2 passes —
+  * the probe's signal is the SHAPE of per-query scaling vs the sf0.1
+  * line, not micro-variance, and a 10× pass is minutes long).
+  */
+object Bench10x {
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val probeDir = args.headOption.getOrElse("/tmp/sfx10")
+    val artifact = if (args.length > 1) args(1) else "/root/repo/BENCH_10x.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.builder(cpus).master(s"local[$cpus]").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!Files.exists(Paths.get(s"$probeDir/documents.parquet")))
+      ScaleProbe.build(spark, srcDir, probeDir, replicas = 10)
+    // same warm-up contract as Bench (index build + codegen untimed)
+    Seq("task_stats", "events_tumbling", "ann_ivf_probe").foreach { n =>
+      SparkEntry.queries.get(n).foreach { fn =>
+        try fn(spark, probeDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench10x] warm-up $n failed: ${e.getMessage}")
+        }
+      }
+    }
+    val selected = Bench.headline.map(n => n -> SparkEntry.queries(n))
+    val line = Bench.benchJson(spark, probeDir, selected, nPasses = 2)
+    Files.write(Paths.get(artifact),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(line)
     spark.stop()
   }
 }

@@ -20,7 +20,58 @@ object StreamBench {
     else if (args.headOption.contains("neardup")) nearDupBench(args.drop(1))
     else if (args.headOption.contains("idxdup")) idxDupBench(args.drop(1))
     else if (args.headOption.contains("semdup")) semDupBench(args.drop(1))
+    else if (args.headOption.contains("semshard")) semShardBench(args.drop(1))
     else engineBench(args)
+
+  /** Hot-cell scaling of the sharded semantic stream: an engineered
+    * WORST-CASE corpus (every vector in ONE cell — positive multiples
+    * of a single direction, so every pair qualifies at cos 1) driven
+    * through the unsharded per-cell form and the (cell, shard) form.
+    * Unsharded, the hot cell is ONE state key: every arrival's pairing
+    * work serializes on one task regardless of cores. Sharded, the
+    * same work spreads across `shards` keys (each holding 1/shards of
+    * the members). Reports wall + pairs for both — the pair sets must
+    * agree (also spec-pinned in SemanticStreamSpec). */
+  private def semShardBench(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val n = args.headOption.map(_.toInt).getOrElse(2000)
+    val shards = if (args.length > 1) args(1).toInt else 16
+    val dim = 64
+    val spark = GraftSession.builder(32).master("local[32]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-semshard").toString
+    val in = s"$root/in"
+    val base = Seq.tabulate(dim)(i => (i % 7 + 1).toFloat)
+    (1L to n.toLong).map(i => (i, base.map(x => x * (1 + (i % 5)))))
+      .toDF("vec_id", "embedding")
+      .repartition(24).write.parquet(in)
+    def run(tag: String,
+        mk: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.Dataset[streaming.SemanticStream.SemPair]): (Double, Long) = {
+      val out = s"$root/out-$tag"; val ckpt = s"$root/ckpt-$tag"
+      val vecs = spark.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", "6").parquet(in)
+      val t0 = System.nanoTime()
+      val q = mk(vecs).writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      (sec, spark.read.parquet(out).select("a_id", "b_id").distinct().count())
+    }
+    val (uSec, uPairs) = run("unsharded",
+      df => streaming.SemanticStream.semanticPairsStream(spark, df))
+    val (sSec, sPairs) = run("sharded",
+      df => streaming.SemanticStream.semanticPairsStreamSharded(spark, df, shards))
+    require(uPairs == sPairs, s"pair sets diverged: $uPairs vs $sPairs")
+    println(f"""{"metric":"semshard_speedup","value":${uSec / sSec}%.2f,"vecs":$n,"shards":$shards,"pairs":$uPairs,"unsharded_sec":$uSec%.2f,"sharded_sec":$sSec%.2f}""")
+    spark.stop()
+  }
 
   /** History-aware streaming SEMANTIC dedup throughput: replayed
     * fixture vectors (fresh ids, identical embeddings — every arrival
