@@ -47,7 +47,8 @@ object Bench {
     // seeded random dispatch; ann_ivf_topk's slot above became
     // ann_ivf_probe (the stored-index probe — production search cost;
     // the index build lands untimed in warm-up, like a nightly job)
-    "semantic_dedup_t95", "random_assign", "token_count_bpe_merge")
+    "semantic_dedup_t95", "random_assign", "token_count_bpe_merge",
+    "doc_pack_bpe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -299,6 +299,22 @@ object Oracles {
       |  SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node
       |)""".stripMargin
 
+  /** True-BPE per-doc token count over `text` (single-spaced words):
+    * the replace-chain generated from TextOps.DocBpeMerges — the ONE
+    * merge table — in DuckDB dialect. Used by the doc_pack_bpe and
+    * token_budget_mix_bpe oracles. */
+  private val BpeDocTokensExpr: String = {
+    val base = "' ' || array_to_string(list_transform(string_split(text, ' '), " +
+      "p -> rtrim(regexp_replace(p, '(.)', '\\1 ', 'g'))), ' ~ ') || ' '"
+    val chain = graft.operators.TextOps.DocBpeMerges.foldLeft(base) {
+      case (s, (a, b)) =>
+        val once = s"replace($s, ' $a $b ', ' $a$b ')"
+        s"replace($once, ' $a $b ', ' $a$b ')"
+    }
+    s"(CAST(len(string_split(trim($chain), ' ')) " +
+      s"- (len(string_split(text, ' ')) - 1) AS BIGINT))"
+  }
+
   val sql: Map[String, String] = windowSql ++ joinSql ++ eventSql ++
     textSql ++ layoutSql ++ Map(
     "scan_tasks" -> q(
@@ -363,6 +379,34 @@ object Oracles {
         |       ',"task_type":"' || task_type || '"}' AS json
         |FROM (SELECT * FROM tasks ORDER BY id LIMIT 100)
         |ORDER BY id""".stripMargin),
+    // doc-side true-BPE counter: the same replace-chain construction
+    // generated from TextOps.DocBpeMerges (words are the pre-tokens)
+    "doc_pack_bpe" -> q(
+      s"""SELECT doc_id, source, n_tokens,
+         |       CAST(end_tok - n_tokens AS BIGINT) AS start_tok,
+         |       CAST(floor((end_tok - n_tokens) / 2048) AS BIGINT) AS pack_id
+         |FROM (
+         |  SELECT doc_id, source, n_tokens,
+         |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |                             ROWS UNBOUNDED PRECEDING) AS end_tok
+         |  FROM (SELECT doc_id, source, $BpeDocTokensExpr AS n_tokens
+         |        FROM documents))
+         |ORDER BY source, doc_id""".stripMargin),
+    "token_budget_mix_bpe" -> qx(
+      s""", bpsw AS (
+         |  SELECT source, n_docs, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS w
+         |  FROM (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |          CAST(SUM($BpeDocTokensExpr) AS BIGINT) AS n_tokens
+         |        FROM documents GROUP BY 1)
+         |), btot AS (
+         |  SELECT SUM(w) AS sum_w,
+         |         CAST(FLOOR(SUM(n_tokens) / 2) AS BIGINT) AS budget
+         |  FROM bpsw
+         |)""".stripMargin,
+      """SELECT source, n_docs, n_tokens,
+        |  CAST(ROUND(1000.0 * LEAST(1.0, budget * (w / sum_w) / n_tokens)) AS BIGINT) AS rate_milli,
+        |  CAST(ROUND(LEAST(1.0, budget * (w / sum_w) / n_tokens) * n_tokens) AS BIGINT) AS expected_tokens
+        |FROM bpsw CROSS JOIN btot ORDER BY source""".stripMargin),
     // the replace-chain is generated from the SAME BpeMerges table the
     // Spark side folds over — one definition, two dialects
     "token_count_bpe_merge" -> q({

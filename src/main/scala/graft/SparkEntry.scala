@@ -112,6 +112,8 @@ object SparkEntry {
     "tfidf_terms" -> (RetrievalOps.tfidfTerms _),
     "bm25_search" -> (RetrievalOps.bm25Search _),
     "token_budget_mix" -> (RetrievalOps.tokenBudgetMix _),
+    "token_budget_mix_bpe" -> (RetrievalOps.tokenBudgetMixBpe _),
+    "doc_pack_bpe" -> (TextOps.docPackBpe _),
     // runtime bloom-filter join pruning (plan-level; output = plain join)
     "bloom_prune_join" -> (JoinOps.bloomPruneJoin _),
     // LLM-pipeline: CDC compaction + outlier filtering

@@ -108,11 +108,23 @@ object RetrievalOps {
     * the emitted rates feed [[TextOps.stratifiedSample]]-style
     * hash-threshold sampling. sqrt is IEEE-exact cross-engine; outputs
     * are rounded to integer millis/tokens. */
-  def tokenBudgetMix(spark: SparkSession, sfDir: String): DataFrame = {
+  def tokenBudgetMix(spark: SparkSession, sfDir: String): DataFrame =
+    tokenBudgetMixBy(spark, sfDir, Exprs.tokenCount(col("text")).cast("long"))
+
+  /** [[tokenBudgetMix]] with the per-doc counter swapped for TRUE BPE
+    * tokens ([[TextOps.bpeDocTokenCount]]) — a training budget is
+    * spent in tokenizer tokens, not whitespace splits, so the mixture
+    * rates should be planned in the same currency. Identical two-stage
+    * plan; the counter is a pure projection fused into the scan. */
+  def tokenBudgetMixBpe(spark: SparkSession, sfDir: String): DataFrame =
+    tokenBudgetMixBy(spark, sfDir, TextOps.bpeDocTokenCount(col("text")))
+
+  private def tokenBudgetMixBy(spark: SparkSession, sfDir: String,
+      tokens: Column): DataFrame = {
     val perSource = Tables.documents(spark, sfDir)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(Exprs.tokenCount(col("text")).cast("long")).as("n_tokens"))
+        sum(tokens).as("n_tokens"))
       .withColumn("w", sqrt(col("n_tokens").cast("double")))
     val totals = perSource.agg(
       sum("w").as("sum_w"),

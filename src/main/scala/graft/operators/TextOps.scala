@@ -83,6 +83,42 @@ object TextOps {
     "cus" -> "t", "1" -> "2", "0" -> "0", "12" -> "3", "4" -> "5",
     "6" -> "7", "8" -> "9", "00" -> "0")
 
+  /** The DOCUMENT-side merge table (rank order, same rank property) —
+    * tuned to the corpus vocabulary so frequent words (`the`, `join`,
+    * `scan`, `data`, `row`) merge to single tokens and the rest
+    * fragment realistically. Shared by [[bpeDocTokenCount]], the
+    * generated oracle SQL, and BpeSpec's textbook reference. */
+  private[graft] val DocBpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r", "j" -> "o",
+    "jo" -> "in", "d" -> "a", "da" -> "t", "dat" -> "a", "s" -> "c",
+    "sc" -> "a", "sca" -> "n", "s" -> "t", "o" -> "r", "a" -> "t",
+    "r" -> "o", "ro" -> "w")
+
+  /** Two exhaustive passes of every merge in rank order — the
+    * replace-chain core shared by the payload and document counters
+    * (see [[tokenCountBpeMerge]] for the equivalence argument). */
+  private def bpeFold(spaced: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(spaced) { case (s, (a, b)) =>
+      val once = call_function("replace", s, lit(s" $a $b "), lit(s" $a$b "))
+      call_function("replace", once, lit(s" $a $b "), lit(s" $a$b "))
+    }
+
+  /** True-BPE token count of single-spaced word text (the documents
+    * contract): words are the pre-tokens, char-spaced and '~'-guarded,
+    * merged by [[DocBpeMerges]]. A pure projection — the counter the
+    * budgeting queries ([[docPackBpe]],
+    * [[RetrievalOps.tokenBudgetMixBpe]]) plug in where the whitespace
+    * count stood, so corpus budgets are true post-merge tokens. */
+  private[graft] def bpeDocTokenCount(text: Column): Column = {
+    val words = split(text, " ")
+    val spaced = concat(lit(" "),
+      array_join(transform(words,
+        w => rtrim(regexp_replace(w, "(.)", "$1 "))), " ~ "),
+      lit(" "))
+    (size(split(trim(bpeFold(spaced, DocBpeMerges)), " "))
+      - (size(words) - 1)).cast("long")
+  }
+
   /** REAL BPE token counting — [[tokenCountBpe]] plus the merge loop,
     * so the count is true post-merge tokens, not pre-tokenizer pieces.
     *
@@ -121,10 +157,7 @@ object TextOps {
       array_join(transform(col("pieces"),
         p => rtrim(regexp_replace(p, "(.)", "$1 "))), " ~ "),
       lit(" "))
-    val merged = BpeMerges.foldLeft(spaced) { case (s, (a, b)) =>
-      val once = call_function("replace", s, lit(s" $a $b "), lit(s" $a$b "))
-      call_function("replace", once, lit(s" $a $b "), lit(s" $a$b "))
-    }
+    val merged = bpeFold(spaced, BpeMerges)
     Tables.orders(spark, sfDir)
       .select(col("o_orderkey").cast("string").as("id"), pieces.as("pieces"))
       .select(col("id"),
@@ -514,13 +547,24 @@ object TextOps {
     * primitive for the in-partition sequential prefix.)
     * [[docPackWindow]] is the window-form comparison pair; the spec
     * asserts equality and the oracle checks the window semantics. */
-  def docPack(spark: SparkSession, sfDir: String): DataFrame = {
+  def docPack(spark: SparkSession, sfDir: String): DataFrame =
+    docPackBy(spark, sfDir, Exprs.tokenCount(col("text")).cast("long"))
+
+  /** [[docPack]] budgeted in TRUE BPE tokens ([[bpeDocTokenCount]])
+    * instead of whitespace counts — context windows are token-capacity
+    * bounds, so packing by the real tokenizer's counts is what a
+    * training-data pipeline actually ships. Identical plan; only the
+    * per-doc counter column changes. */
+  def docPackBpe(spark: SparkSession, sfDir: String): DataFrame =
+    docPackBy(spark, sfDir, bpeDocTokenCount(col("text")))
+
+  private def docPackBy(spark: SparkSession, sfDir: String,
+      tokens: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val ctx = 2048L
     val base = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"),
-        Exprs.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("source"), tokens.as("n_tokens"))
       .repartitionByRange(32, asc("source"), asc("doc_id"))
       .sortWithinPartitions(asc("source"), asc("doc_id"))
       .localCheckpoint() // pin ONE sampled partitioning for both consumers

@@ -11,11 +11,9 @@ import graft.operators.TextOps
   */
 class BpeSpec extends SparkSuite {
 
-  /** Textbook greedy BPE over [[TextOps.BpeMerges]]. */
-  private val rank: Map[(String, String), Int] =
-    TextOps.BpeMerges.zipWithIndex.toMap
-
-  private def bpe(piece: String): Seq[String] = {
+  /** Textbook greedy BPE over an arbitrary merge table. */
+  private def bpe(merges: Seq[(String, String)])(piece: String): Seq[String] = {
+    val rank = merges.zipWithIndex.toMap
     var syms = piece.map(_.toString).toVector
     var done = false
     while (!done) {
@@ -32,17 +30,41 @@ class BpeSpec extends SparkSuite {
 
   private val preTok = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]".r
 
-  test("merge table has the BPE rank property (constituents rank lower)") {
+  test("both merge tables have the BPE rank property (constituents rank lower)") {
     // the scaladoc's equivalence argument needs it: a merge's non-char
     // constituent must itself be produced by a LOWER-ranked merge
-    val producedAt = TextOps.BpeMerges.zipWithIndex
-      .map { case ((a, b), i) => (a + b) -> i }.toMap
-    TextOps.BpeMerges.zipWithIndex.foreach { case ((a, b), i) =>
-      Seq(a, b).filter(_.length > 1).foreach { s =>
-        assert(producedAt.contains(s) && producedAt(s) < i,
-          s"merge $i ($a,$b): constituent '$s' not produced by a lower rank")
+    Seq("payload" -> TextOps.BpeMerges, "doc" -> TextOps.DocBpeMerges)
+      .foreach { case (tag, merges) =>
+        val producedAt = merges.zipWithIndex
+          .map { case ((a, b), i) => (a + b) -> i }.toMap
+        merges.zipWithIndex.foreach { case ((a, b), i) =>
+          Seq(a, b).filter(_.length > 1).foreach { s =>
+            assert(producedAt.contains(s) && producedAt(s) < i,
+              s"$tag merge $i ($a,$b): constituent '$s' not from a lower rank")
+          }
+        }
       }
+  }
+
+  test("document counter ≡ textbook greedy BPE over every fixture document") {
+    val counted = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(counted.nonEmpty)
+    val got = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        TextOps.bpeDocTokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val doc = bpe(TextOps.DocBpeMerges) _
+    var mergedDocs = 0
+    counted.foreach { case (id, text) =>
+      val words = text.split(" ").toSeq
+      val want = words.map(doc(_).length.toLong).sum
+      assert(got(id) == want, s"doc $id: query ${got(id)}, textbook $want")
+      if (want < words.map(_.length).sum) mergedDocs += 1
     }
+    assert(mergedDocs == counted.length,
+      "corpus words (the/join/scan/data/row...) should merge in every doc")
   }
 
   test("replace-chain query ≡ textbook greedy BPE on every fixture payload") {
@@ -56,11 +78,12 @@ class BpeSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     // counts must actually exercise the merges: some payload merges
     // down (n_tokens < sum of piece lengths) — not a no-op chain
+    val pay = bpe(TextOps.BpeMerges) _
     var merged = 0
     got.foreach { case (id, nPieces, nTokens) =>
       val pieces = preTok.findAllIn(payloads(id)).toSeq
       assert(pieces.length == nPieces, s"id $id pre-token count")
-      val want = pieces.map(bpe(_).length).sum
+      val want = pieces.map(pay(_).length).sum
       assert(nTokens == want,
         s"id $id (${payloads(id)}): query $nTokens, textbook $want")
       if (want < pieces.map(_.length).sum) merged += 1
