@@ -91,6 +91,11 @@ object SparkEntry {
     "token_count" -> (TextOps.tokenCount _),
     "token_count_bpe" -> (TextOps.tokenCountBpe _),
     "token_count_bpe_merge" -> (TextOps.tokenCountBpeMerge _),
+    // tokenizer lifecycle: learned merge table + encode-with-it
+    // (rows-only: the training loop is data-dependent; BpeSpec pins
+    // both against a driver-Scala reference trainer)
+    "bpe_train" -> (TextOps.bpeTrainQuery _),
+    "token_count_bpe_trained" -> (TextOps.tokenCountBpeTrained _),
     "quality_score" -> (TextOps.qualityScore _),
     "lang_id" -> (TextOps.langId _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),

@@ -109,14 +109,120 @@ object TextOps {
     * budgeting queries ([[docPackBpe]],
     * [[RetrievalOps.tokenBudgetMixBpe]]) plug in where the whitespace
     * count stood, so corpus budgets are true post-merge tokens. */
-  private[graft] def bpeDocTokenCount(text: Column): Column = {
+  private[graft] def bpeDocTokenCount(text: Column): Column =
+    bpeDocTokenCountWith(text, DocBpeMerges)
+
+  /** [[bpeDocTokenCount]] over an arbitrary merge table — the learned
+    * vocab from [[bpeTrainMerges]] plugs in here. */
+  private[graft] def bpeDocTokenCountWith(text: Column,
+      merges: Seq[(String, String)]): Column = {
     val words = split(text, " ")
     val spaced = concat(lit(" "),
       array_join(transform(words,
         w => rtrim(regexp_replace(w, "(.)", "$1 "))), " ~ "),
       lit(" "))
-    (size(split(trim(bpeFold(spaced, DocBpeMerges)), " "))
+    (size(split(trim(bpeFold(spaced, merges)), " "))
       - (size(words) - 1)).cast("long")
+  }
+
+  /** Distributed BPE TRAINING — the Sennrich merge-learning loop as K
+    * rounds of (pair count → argmax → apply), run over the corpus's
+    * WORD-FREQUENCY table rather than raw text: BPE statistics are a
+    * function of (distinct word, count) only, and by Heaps' law that
+    * table is ≪ corpus at any scale (the standard training trick —
+    * count once, iterate on the compressed form). Per round:
+    *  - adjacent symbol pairs via arrays_zip of the symbol array with
+    *    its shift (overlap-counting, like the textbook algorithm),
+    *    weighted by word count — one narrow aggregation;
+    *  - argmax with a TOTAL tie-break (count desc, left asc, right
+    *    asc) so the learned table is deterministic;
+    *  - the winning merge applied with the same two-pass replace the
+    *    encoders use.
+    * The only driver-side value per round is the 1-row argmax — the
+    * same sanctioned shape as the fixpoint convergence scalar; the
+    * frequency table itself stays distributed. Training stops early
+    * when no pair occurs twice (merging hapax pairs is vocab noise).
+    * Returns (rank, left, right, pair_count) — the learned table
+    * [[bpeTrainQuery]] emits and [[tokenCountBpeTrained]] encodes
+    * with (memoized per session/sfDir like the IVF index: training is
+    * the offline half of the tokenizer lifecycle). */
+  private[graft] def bpeTrainMerges(spark: SparkSession, sfDir: String,
+      k: Int): Seq[(String, String, Long)] = {
+    var words = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(" "),
+        rtrim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" ")).as("spaced"),
+        col("cnt"))
+      .localCheckpoint() // word-freq table computed once; rounds reuse it
+    val learned = Seq.newBuilder[(String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < k && !exhausted) {
+      val syms = split(trim(col("spaced")), " ")
+      val best = words
+        .select(col("cnt"), explode(arrays_zip(
+          slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1))).as("pr"))
+        .groupBy(col("pr").getItem("0").as("l"), col("pr").getItem("1").as("r"))
+        .agg(sum("cnt").as("freq"))
+        .orderBy(desc("freq"), asc("l"), asc("r"))
+        .limit(1).collect()
+      if (best.isEmpty || best.head.getLong(2) < 2) exhausted = true
+      else {
+        val (l, r, f) =
+          (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+        learned += ((l, r, f))
+        words = words.withColumn("spaced",
+          bpeFold(col("spaced"), Seq(l -> r)))
+        round += 1
+      }
+    }
+    learned.result()
+  }
+
+  private val TrainedCacheCap = 64
+  private val trainedCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String, Long)]]]()
+  private def trainedMerges(spark: SparkSession, sfDir: String): Seq[(String, String, Long)] = {
+    val perSession = trainedCache.synchronized {
+      var m = trainedCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String, Long)]]()
+        trainedCache.put(spark, m)
+      }
+      m
+    }
+    if (perSession.size > TrainedCacheCap) perSession.clear()
+    perSession.computeIfAbsent(sfDir, _ => bpeTrainMerges(spark, sfDir, 12))
+  }
+
+  /** The learned merge table as a query: (rank, left, right,
+    * pair_count). Rows-only (the loop is data-dependent — no single
+    * SQL statement); BpeSpec pins it against a driver-Scala reference
+    * trainer on the same word-frequency table. */
+  def bpeTrainQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    trainedMerges(spark, sfDir).zipWithIndex
+      .map { case ((l, r, f), i) => (i + 1, l, r, f) }
+      .toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Per-doc token counts under the LEARNED vocab — the tokenizer
+    * lifecycle closed end to end inside the engine: train on the
+    * corpus ([[bpeTrainMerges]]), encode the corpus with the result
+    * (the same replace-chain encoder as the fixture-vocab counters).
+    * Emits the whitespace count beside it so the compression the
+    * learned merges buy is visible per document. */
+  def tokenCountBpeTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = trainedMerges(spark, sfDir).map { case (l, r, _) => l -> r }
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        Exprs.tokenCount(col("text")).cast("long").as("n_words"),
+        bpeDocTokenCountWith(col("text"), merges).as("n_tokens"))
+      .orderBy("doc_id")
   }
 
   /** REAL BPE token counting — [[tokenCountBpe]] plus the merge loop,

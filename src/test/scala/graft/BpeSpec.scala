@@ -67,6 +67,71 @@ class BpeSpec extends SparkSuite {
       "corpus words (the/join/scan/data/row...) should merge in every doc")
   }
 
+  test("bpe_train ≡ driver-Scala reference trainer; encode-with-learned compresses") {
+    // reference trainer: textbook Sennrich loop over the same
+    // word-frequency table — overlap-counting adjacent pairs, argmax
+    // with the SAME total tie-break, non-overlapping left-to-right
+    // apply, stop below pair frequency 2
+    val wordFreq: Map[String, Long] = sources.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    var words: Map[Vector[String], Long] =
+      wordFreq.map { case (w, c) => w.map(_.toString).toVector -> c }
+    val expected = Seq.newBuilder[(String, String, Long)]
+    var done = false
+    var rounds = 0
+    while (rounds < 12 && !done) {
+      val freqs = scala.collection.mutable.Map[(String, String), Long]()
+      words.foreach { case (syms, c) =>
+        syms.indices.dropRight(1).foreach { i =>
+          freqs((syms(i), syms(i + 1))) =
+            freqs.getOrElse((syms(i), syms(i + 1)), 0L) + c
+        }
+      }
+      val cands = freqs.toSeq.sortBy { case ((l, r), f) => (-f, l, r) }
+      if (cands.isEmpty || cands.head._2 < 2) done = true
+      else {
+        val ((l, r), f) = cands.head
+        expected += ((l, r, f))
+        words = words.map { case (syms, c) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), c)
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        rounds += 1
+      }
+    }
+    val got = operators.TextOps.bpeTrainQuery(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected.result(),
+      s"learned table diverged from the reference trainer: $got")
+    assert(got.nonEmpty)
+
+    // encode-with-learned: counts match textbook BPE under the learned
+    // table and strictly compress vs character count
+    val learned = got.map { case (l, r, _) => l -> r }
+    val enc = bpe(learned) _
+    val rows = operators.TextOps.tokenCountBpeTrained(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val texts = sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, nWords, nTokens) =>
+      val ws = texts(id).split(" ").toSeq
+      assert(nWords == ws.length, s"doc $id word count")
+      val want = ws.map(enc(_).length.toLong).sum
+      assert(nTokens == want, s"doc $id: query $nTokens, textbook $want")
+      assert(nTokens < ws.map(_.length).sum, s"doc $id: no compression")
+    }
+  }
+
   test("replace-chain query ≡ textbook greedy BPE on every fixture payload") {
     val got = TextOps.tokenCountBpeMerge(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
