@@ -128,8 +128,10 @@ object Bench10x {
     spark.sparkContext.setLogLevel("WARN")
     if (!Files.exists(Paths.get(s"$probeDir/documents.parquet")))
       ScaleProbe.build(spark, srcDir, probeDir, replicas = 10)
-    // same warm-up contract as Bench (index build + codegen untimed)
-    Seq("task_stats", "events_tumbling", "ann_ivf_probe").foreach { n =>
+    // same warm-up contract as Bench (index build + BPE training +
+    // codegen untimed)
+    Seq("task_stats", "events_tumbling", "ann_ivf_probe",
+      "token_count_bpe_trained").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, probeDir).count()
         catch { case e: Throwable =>

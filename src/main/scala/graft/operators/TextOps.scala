@@ -113,16 +113,22 @@ object TextOps {
     bpeDocTokenCountWith(text, DocBpeMerges)
 
   /** [[bpeDocTokenCount]] over an arbitrary merge table — the learned
-    * vocab from [[bpeTrainMerges]] plugs in here. */
+    * vocab from [[bpeTrainMerges]] plugs in here.
+    *
+    * The char-spacing runs ONE regex over the whole text instead of a
+    * per-word HOF (split → transform(regexp_replace) → array_join was
+    * ~4× slower at sf0.1: a lambda + regex-engine entry per word):
+    * after `(.) → "$1 "` each original space becomes a THREE-space run
+    * (space-char's own emission + the neighbors' trailing/leading), so
+    * one literal replace turns word boundaries into the ' ~ ' guard.
+    * Relies on the documents contract (single-spaced text) the
+    * whitespace counter already assumes. */
   private[graft] def bpeDocTokenCountWith(text: Column,
       merges: Seq[(String, String)]): Column = {
-    val words = split(text, " ")
-    val spaced = concat(lit(" "),
-      array_join(transform(words,
-        w => rtrim(regexp_replace(w, "(.)", "$1 "))), " ~ "),
-      lit(" "))
-    (size(split(trim(bpeFold(spaced, merges)), " "))
-      - (size(words) - 1)).cast("long")
+    val spaced = concat(lit(" "), regexp_replace(text, "(.)", "$1 "))
+    val guarded = call_function("replace", spaced, lit("   "), lit(" ~ "))
+    (size(split(trim(bpeFold(guarded, merges)), " "))
+      - (size(split(text, " ")) - 1)).cast("long")
   }
 
   /** Distributed BPE TRAINING — the Sennrich merge-learning loop as K
@@ -669,8 +675,16 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val ctx = 2048L
-    val base = Tables.documents(spark, sfDir)
+    // materialize the narrow counted frame BEFORE the range
+    // repartition: the RangePartitioner's sampling pass executes the
+    // child a second time, so an expensive counter (the BPE chain)
+    // would be evaluated twice — checkpointing 3 narrow columns first
+    // makes both the sample and the shuffle read the computed rows
+    // (measured: doc_pack_bpe 2.16 s → counter-once at sf0.1)
+    val counted = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), tokens.as("n_tokens"))
+      .localCheckpoint()
+    val base = counted
       .repartitionByRange(32, asc("source"), asc("doc_id"))
       .sortWithinPartitions(asc("source"), asc("doc_id"))
       .localCheckpoint() // pin ONE sampled partitioning for both consumers
