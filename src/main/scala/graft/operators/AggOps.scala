@@ -159,7 +159,10 @@ object AggOps {
     * it makes the draw replayable, which is what a production dispatch
     * audit needs anyway and what lets DuckDB recompute it exactly
     * (every operand stays ≤ 2.1e14, inside exact int64; nonnegative
-    * operands make Spark's pmod and DuckDB's % agree). Embarrassingly
+    * operands make Spark's pmod and DuckDB's % agree). Exact-int64
+    * bound: the first product needs o_orderkey < 2⁶³/2654435761 ≈
+    * 3.4e9 — beyond TPC-H sf~500, pre-fold the key (pmod 2³²) before
+    * the multiply; same chain, one extra pmod. Embarrassingly
     * parallel: no window, no global rank — same shape as
     * [[hashAssign]], different (seeded) mixing. */
   def randomAssign(spark: SparkSession, sfDir: String): DataFrame = {
