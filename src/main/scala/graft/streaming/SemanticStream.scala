@@ -160,6 +160,83 @@ object SemanticStream {
     out.result().iterator
   }
 
+  /** Bounded + sharded cell step — [[cellShardStep]] with
+    * [[cellStepBounded]]'s horizon eviction and idle-key timeout, so
+    * the PRODUCTION form can bound state on BOTH axes at once:
+    * per-key membership ≤ |cell ∩ horizon|/shards. Same exactly-once
+    * pair placement argument as [[cellShardStep]]. */
+  private[graft] def cellShardStepBounded(horizonMs: Long,
+      arrivals: Iterator[(TimedVecSig, Boolean)],
+      state: GroupState[List[TimedVecSig]]): Iterator[SemPair] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val wm = state.getCurrentWatermarkMs()
+    var members = state.getOption.getOrElse(Nil).filter(_.tsMillis >= wm)
+    val out = List.newBuilder[SemPair]
+    arrivals.toSeq.sortBy(_._1.vecId).distinctBy(_._1.vecId)
+      .foreach { case (v, home) =>
+        if (!members.exists(_.vecId == v.vecId)) {
+          members.foreach { m =>
+            val d = dotOf(m.q8, v.q8)
+            if (d > 0 && d * d * 10000L >= TauE2 * TauE2 * m.na2 * v.na2) {
+              val (a, b) =
+                if (m.vecId < v.vecId) (m.vecId, v.vecId) else (v.vecId, m.vecId)
+              out += SemPair(a, b, d, d * d * 1000000L / (m.na2 * v.na2))
+            }
+          }
+          if (home) members ::= v
+        }
+      }
+    if (members.isEmpty) { if (state.exists) state.remove() }
+    else {
+      state.update(members)
+      state.setTimeoutTimestamp(
+        math.max(members.map(_.tsMillis).max + horizonMs, wm + 1))
+    }
+    out.result().iterator
+  }
+
+  /** [[semanticPairsStreamSharded]] with [[semanticPairsWithinWatermark]]'s
+    * horizon — BOTH production bounds composed: hot-cell state splits
+    * across (cell, shard) keys AND members evict past the watermark
+    * horizon, so per-key state is ≤ |cell ∩ horizon|/shards however
+    * hot the cell and however long the stream runs. Same trade as the
+    * unsharded bounded form (a dup arriving later than `horizon` after
+    * its counterpart is not paired; compose with
+    * [[semanticAgainstIndex]] for full history). */
+  def semanticPairsWithinWatermarkSharded(spark: SparkSession, vecs: DataFrame,
+      horizon: String = "1 hour", shards: Int = 8): Dataset[SemPair] = {
+    import spark.implicits._
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    graft.GraftExtensions.register(spark)
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String
+        .fromString(horizon))
+    val horizonMs = iv.months * 2592000000L + iv.days * 86400000L +
+      iv.microseconds / 1000L
+    vecs.withWatermark("ingest_ts", horizon)
+      .select(col("vec_id"),
+        call_function("graft_q8cell", col("embedding")).as("s"),
+        col("ingest_ts"))
+      .select(col("s.cell").as("cell"), col("vec_id"),
+        transform(col("s.q8"), x => coalesce(x, lit(0L))).as("q8"),
+        col("s.na2").as("na2"), col("ingest_ts"),
+        pmod(xxhash64(col("vec_id")), lit(shards)).cast("int").as("home_shard"),
+        explode(sequence(lit(0), lit(shards - 1))).as("shard"))
+      .select(col("cell"), col("shard"), col("vec_id"), col("q8"), col("na2"),
+        col("ingest_ts"), (col("shard") === col("home_shard")).as("home"))
+      .as[(Long, Int, Long, Seq[Long], Long, java.sql.Timestamp, Boolean)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (_: (Long, Int),
+         rows: Iterator[(Long, Int, Long, Seq[Long], Long, java.sql.Timestamp, Boolean)],
+         state: GroupState[List[TimedVecSig]]) =>
+          cellShardStepBounded(horizonMs,
+            rows.map(r => (TimedVecSig(r._3, r._4, r._5, r._6.getTime), r._7)),
+            state)
+      }
+  }
+
   /** The state-BOUNDED production form of [[semanticPairsStream]]:
     * identical signature/cell/verify, but cell members are kept only
     * within `horizon` of the watermark, so state is bounded by the
