@@ -48,7 +48,10 @@ object Bench {
     // ann_ivf_probe (the stored-index probe — production search cost;
     // the index build lands untimed in warm-up, like a nightly job)
     "semantic_dedup_t95", "random_assign", "token_count_bpe_merge",
-    "doc_pack_bpe", "token_count_bpe_trained")
+    "doc_pack_bpe", "token_count_bpe_trained",
+    // late round-7: deterministic shard planning (the training-data
+    // write layout) + boilerplate-strip (repeated-span removal)
+    "shard_plan", "boilerplate_strip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1136,6 +1136,50 @@ object Oracles {
         |       CAST(COUNT(*) AS BIGINT) AS dup_count
         |FROM ch GROUP BY md5(chunk) HAVING COUNT(*) > 1
         |ORDER BY doc_id, fp""".stripMargin),
+    // boilerplate = chunk in >1 DISTINCT doc; kept_tokens sums the
+    // surviving chunks' whitespace token counts (same length
+    // arithmetic as token_count); `//` = Spark's `div` on nonneg ints
+    "boilerplate_strip" -> qx(
+      """, bch AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(0, len(string_split(text, ' ')), 10),
+        |           i -> array_to_string(string_split(text, ' ')[i+1:i+10], ' '))) AS chunk
+        |  FROM documents
+        |), bdf AS (
+        |  SELECT md5(chunk) AS fp, COUNT(DISTINCT doc_id) AS ndocs
+        |  FROM bch GROUP BY md5(chunk)
+        |)""".stripMargin,
+      """SELECT c.doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |       CAST(SUM(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |       CAST(SUM(CASE WHEN f.ndocs > 1 THEN 0
+        |                ELSE length(c.chunk) - length(replace(c.chunk, ' ', '')) + 1
+        |                END) AS BIGINT) AS kept_tokens,
+        |       CAST(SUM(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) * 1000000
+        |            // COUNT(*) AS BIGINT) AS boiler_ratio_e6
+        |FROM bch c JOIN bdf f ON md5(c.chunk) = f.fp
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin),
+    // seeded xor-shift/Lehmer hash (mirrors LayoutOps.shardPlan — the
+    // xor folds kill the multiplicative chain's low-bit lattice); pos
+    // ranks the hash within the shard, doc_id tiebreak — all operands
+    // nonneg and < 2^47 so % == pmod and nothing overflows int64
+    "shard_plan" -> qx(
+      """, shb AS (
+        |  SELECT doc_id, n_tokens, xor(h4, h4 >> 11) AS h FROM (
+        |    SELECT doc_id, n_tokens,
+        |           (xor(h2, h2 >> 13) * 69621) % 2147483647 AS h4 FROM (
+        |      SELECT doc_id, n_tokens,
+        |             (xor(h0, h0 >> 16) * 48271) % 2147483647 AS h2 FROM (
+        |        SELECT doc_id,
+        |               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |               (doc_id * 2654435761 + 20260814) % 2147483647 AS h0
+        |        FROM documents)))
+        |)""".stripMargin,
+      """SELECT doc_id, CAST(h % 32 AS INT) AS shard,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY h % 32
+        |              ORDER BY h, doc_id) - 1 AS BIGINT) AS pos,
+        |       n_tokens
+        |FROM shb ORDER BY doc_id""".stripMargin),
     "stratified_sample" -> q(
       """SELECT doc_id, source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS u
         |FROM documents

@@ -107,6 +107,7 @@ object SparkEntry {
     "curation_funnel" -> (TextOps.curationFunnel _),
     "repetition_ratio" -> (TextOps.repetitionRatio _),
     "chunk_dedup" -> (TextOps.chunkDedup _),
+    "boilerplate_strip" -> (TextOps.boilerplateStrip _),
     "stratified_sample" -> (TextOps.stratifiedSample _),
     "split_assign" -> (TextOps.splitAssign _),
     "split_leakage" -> (TextOps.splitLeakage _),
@@ -127,6 +128,7 @@ object SparkEntry {
     // physical-layout planning (Z-order skipping stats, compaction bins)
     "zorder_layout" -> (LayoutOps.zorderLayout _),
     "compaction_plan" -> (LayoutOps.compactionPlan _),
+    "shard_plan" -> (LayoutOps.shardPlan _),
     // as-of join (merge-scan form), rare terms, distribution windows,
     // cluster resolution (iterative min-label propagation, rows-only)
     "asof_join" -> (EventOps.asofJoin _),

@@ -1,9 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Exprs
 import graft.sources.Tables
 
 /** Physical-layout planning operators — the table-maintenance side of a
@@ -131,4 +132,62 @@ object LayoutOps {
       .select("doc_id", "source", "n_chars", "bin")
       .repartition(col("source"), col("bin"))
       .write.mode("overwrite").partitionBy("source", "bin").parquet(outDir)
+
+  /** Deterministic training-shard plan — the LAST stage of a curation
+    * pipeline: pseudo-shuffle the corpus under a FIXED seed and assign
+    * every document a (shard, position), so N writer tasks emit
+    * byte-reproducible shards and a dataloader streams them in a
+    * stable pseudo-random document order (re-running the pipeline, or
+    * resuming a crashed write, reproduces the identical layout — the
+    * property `df.orderBy(rand())` cannot give).
+    *
+    * The shuffle key is a seeded integer hash built ONLY from ops both
+    * engines evaluate identically on int64 (+ * % xor >>), so the
+    * DuckDB oracle reproduces it bit-for-bit: affine seed mix, then
+    * xor-shift/Lehmer rounds (x ^= x>>k between multiplies). The
+    * xor-shift folds are load-bearing: randomAssign's plain 2-round
+    * multiplicative chain looks random but its LOW bits are lattice-
+    * structured — measured: `h % 32` left every shard ≡ 0 (mod 4)
+    * EMPTY over the fixture's sequential doc_ids. Fine for that
+    * query's `% n_workers` with worker counts off the lattice, fatal
+    * for a power-of-two shard split. Position = rank of the hash
+    * within the shard (doc_id tiebreak for the rare collision).
+    *
+    * Scale: the per-shard rank window is partitioned by shard — at
+    * 100 TB shard count is sized so corpus/N fits a writer task (tens
+    * of thousands of shards), and each window partition is exactly the
+    * sort the shard's writer performs anyway (`repartition(N, shard) +
+    * sortWithinPartitions(h)` is the write-side twin of this plan); no
+    * global window, no driver state. Token counts ride along so the
+    * plan doubles as the per-shard token-budget manifest. */
+  def shardPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val nShards = 32
+    val seed = 20260814L
+    def fold(c: Column, k: Int): Column = c.bitwiseXOR(shiftright(c, k))
+    val w = Window.partitionBy("shard").orderBy(asc("h"), asc("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        Exprs.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("h0",
+        pmod(col("doc_id") * lit(2654435761L) + lit(seed), lit(2147483647L)))
+      .withColumn("h2", pmod(fold(col("h0"), 16) * lit(48271L),
+        lit(2147483647L)))
+      .withColumn("h4", pmod(fold(col("h2"), 13) * lit(69621L),
+        lit(2147483647L)))
+      .withColumn("h", fold(col("h4"), 11))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select("doc_id", "shard", "pos", "n_tokens")
+      .orderBy("doc_id")
+  }
+
+  /** EXECUTE the shard plan: one data file per shard, rows inside each
+    * file in the plan's position order — the write-side twin of
+    * [[shardPlan]] (LayoutOpsSpec pins file contents ≡ the plan's
+    * (shard, pos) assignment). */
+  def writeSharded(spark: SparkSession, sfDir: String, outDir: String): Unit =
+    shardPlan(spark, sfDir)
+      .repartition(32, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 }

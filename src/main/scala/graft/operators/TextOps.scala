@@ -786,6 +786,45 @@ object TextOps {
       .select("fp", "doc_id", "dup_count")
       .orderBy("doc_id", "fp")
 
+  /** Boilerplate-strip accounting — the CCNet/RefinedWeb repeated-SPAN
+    * removal pass, the complement of [[chunkDedup]]: a chunk appearing
+    * in MORE THAN ONE DISTINCT document is boilerplate (headers,
+    * footers, nav bars, license blurbs); the document survives with its
+    * remaining chunks. Reports per doc the chunk counts and the token
+    * budget that survives stripping. Intra-doc repeats are NOT
+    * boilerplate here (that signal is [[repetitionRatio]]'s): the
+    * frequency that matters is document frequency, so ndocs counts
+    * distinct docs per chunk, not occurrences.
+    *
+    * Plan: one generator pass → groupBy (fp, doc_id) — past the first
+    * exchange the currency is a 128-bit hash plus two longs, never
+    * chunk text. The per-chunk doc-frequency aggregates the SAME
+    * (fp, doc_id) frame, so the shuffle is reused (ReuseExchange — the
+    * scan and the chunk generator run once), and the fp-keyed join
+    * back re-aggregates per doc. At 100 TB: dominant singleton chunks
+    * survive only as one narrow row each through a hash aggregation —
+    * the join carries no text, and nothing is ever collected. */
+  def boilerplateStrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val ch = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), chunks10Native(spark, col("text")).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("fp"),
+        Exprs.tokenCount(col("chunk")).cast("long").as("c_toks"))
+    val perDocFp = ch.groupBy("fp", "doc_id")
+      .agg(count(lit(1)).as("n"), sum("c_toks").as("toks"))
+    val docFreq = perDocFp.groupBy("fp").agg(count(lit(1)).as("ndocs"))
+    perDocFp.join(docFreq, "fp")
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_chunks"),
+        sum(when(col("ndocs") > 1, col("n")).otherwise(0L)).as("n_boiler"),
+        sum(when(col("ndocs") > 1, 0L).otherwise(col("toks")))
+          .as("kept_tokens"))
+      .withColumn("boiler_ratio_e6",
+        expr("n_boiler * 1000000 div n_chunks").cast("long"))
+      .select("doc_id", "n_chunks", "n_boiler", "kept_tokens",
+        "boiler_ratio_e6")
+      .orderBy("doc_id")
+  }
+
   /** 10-token chunks of a doc (last chunk may be short). Token split is
     * LET-BOUND (see [[shingles3]] — HOFs have no common-subexpression
     * elimination). Shared with [[GraphOps.dedupClusters]]' edge builder. */

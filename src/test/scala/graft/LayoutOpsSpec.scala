@@ -99,4 +99,60 @@ class LayoutOpsSpec extends SparkSuite {
         assert(chars >= 16384L, s"bin ($s,$b) under target: $chars chars")
     }
   }
+
+  test("shard plan: deterministic, uniform-ish, dense per-shard positions") {
+    val a = LayoutOps.shardPlan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val b = LayoutOps.shardPlan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(a.sameElements(b), "shard plan is not reproducible run-to-run")
+
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    assert(a.length == n, "shard plan dropped or duplicated docs")
+    assert(a.forall { case (_, s, _, _) => s >= 0 && s < 32 })
+
+    // positions are exactly 0..count-1 within every shard (a writer can
+    // stream them as file offsets with no gaps)
+    a.groupBy(_._2).foreach { case (s, rows) =>
+      val pos = rows.map(_._3).sorted
+      assert(pos.sameElements(0L until rows.length.toLong),
+        s"shard $s positions not dense: ${pos.take(5).mkString(",")}..")
+    }
+
+    // seeded-hash uniformity: ALL 32 shards populated (the plain
+    // multiplicative chain failed exactly this — its low-bit lattice
+    // left every shard ≡ 0 mod 4 empty) and none over 3x fair share
+    val byShard = a.groupBy(_._2)
+    assert(byShard.size == 32,
+      s"only ${byShard.size}/32 shards populated — hash low-bit bias")
+    val fair = n.toDouble / 32
+    val max = byShard.values.map(_.length).max
+    assert(max <= 3 * fair, s"shard skew: max $max vs fair $fair")
+  }
+
+  test("shard write: one file per shard, file row order == plan position order") {
+    val dir = tmp("shards")
+    LayoutOps.writeSharded(spark, sf, dir)
+
+    val shardDirs = new java.io.File(dir).listFiles().toSeq
+      .filter(_.getName.startsWith("shard="))
+    assert(shardDirs.size == 32, s"expected 32 shard dirs, got ${shardDirs.size}")
+    shardDirs.foreach { d =>
+      val files = d.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+      assert(files.size == 1, s"${d.getPath} has ${files.size} data files")
+    }
+
+    // within each shard file, physical row order IS the plan's pos order
+    val plan = LayoutOps.shardPlan(spark, sf).collect()
+      .map(r => (r.getInt(1), r.getLong(2)) -> r.getLong(0)).toMap
+    shardDirs.foreach { d =>
+      val s = d.getName.stripPrefix("shard=").toInt
+      val ids = spark.read.parquet(d.getAbsolutePath)
+        .select("doc_id").collect().map(_.getLong(0))
+      ids.zipWithIndex.foreach { case (id, i) =>
+        assert(plan((s, i.toLong)) == id,
+          s"shard $s row $i: file has doc $id, plan says ${plan((s, i.toLong))}")
+      }
+    }
+  }
 }
