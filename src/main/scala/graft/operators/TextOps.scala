@@ -798,21 +798,25 @@ object TextOps {
     *
     * Plan: one generator pass → groupBy (fp, doc_id) — past the first
     * exchange the currency is a 128-bit hash plus two longs, never
-    * chunk text. The per-chunk doc-frequency aggregates the SAME
-    * (fp, doc_id) frame, so the shuffle is reused (ReuseExchange — the
-    * scan and the chunk generator run once), and the fp-keyed join
-    * back re-aggregates per doc. At 100 TB: dominant singleton chunks
-    * survive only as one narrow row each through a hash aggregation —
-    * the join carries no text, and nothing is ever collected. */
+    * chunk text. The per-chunk doc-frequency is a COUNT window
+    * partitioned by fp over that aggregated frame — NOT a
+    * groupBy(fp)+self-join: the join form reads as "reuse the
+    * exchange" but column pruning specializes each branch's aggregate
+    * (the frequency branch drops the token columns), the canonicalized
+    * exchanges differ, ReuseExchange never fires, and the corpus is
+    * scanned and chunked TWICE (measured: 2 scans, 0 reuses). The
+    * window keys on fp — bounded partitions (docs containing that
+    * chunk), never global. At 100 TB: dominant singleton chunks
+    * survive only as one narrow row each; nothing is collected. */
   def boilerplateStrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ch = Tables.documents(spark, sfDir)
       .select(col("doc_id"), chunks10Native(spark, col("text")).as("chunk"))
       .select(col("doc_id"), md5(col("chunk")).as("fp"),
         Exprs.tokenCount(col("chunk")).cast("long").as("c_toks"))
-    val perDocFp = ch.groupBy("fp", "doc_id")
+    ch.groupBy("fp", "doc_id")
       .agg(count(lit(1)).as("n"), sum("c_toks").as("toks"))
-    val docFreq = perDocFp.groupBy("fp").agg(count(lit(1)).as("ndocs"))
-    perDocFp.join(docFreq, "fp")
+      .withColumn("ndocs", count(lit(1)).over(Window.partitionBy("fp")))
       .groupBy("doc_id")
       .agg(sum("n").as("n_chunks"),
         sum(when(col("ndocs") > 1, col("n")).otherwise(0L)).as("n_boiler"),
