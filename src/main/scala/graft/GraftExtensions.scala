@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CompressionRatio, CosineSimilarity, MinHashSig, PolyMinHashSig, PolySimHash, Q8CellSig, Q8Dot, RollingFp, SimHash64, TokenChunksGen, TokenShingles}
+import graft.functions.{CompressionRatio, CosineSimilarity, MinHashSig, PolyMinHashSig, PolySimHash, Q8CellSig, Q8Dot, RollingFp, SimHash64, TokenChunksGen, TokenChunksPosGen, TokenShingles}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for the SQL surface. Use either at session build time
@@ -68,6 +68,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[TokenChunksGen].getName, "graft_chunks"),
       (children: Seq[Expression]) =>
         TokenChunksGen(children(0), litInt("graft_chunks", children(1)))),
+    (FunctionIdentifier("graft_chunks_pos"),
+      new ExpressionInfo(classOf[TokenChunksPosGen].getName, "graft_chunks_pos"),
+      (children: Seq[Expression]) =>
+        TokenChunksPosGen(children(0), litInt("graft_chunks_pos", children(1)))),
     (FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[TokenShingles].getName, "graft_shingles"),
       (children: Seq[Expression]) =>

@@ -1159,6 +1159,26 @@ object Oracles {
         |            // COUNT(*) AS BIGINT) AS boiler_ratio_e6
         |FROM bch c JOIN bdf f ON md5(c.chunk) = f.fp
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin),
+    // executed strip: parallel unnests zip positionally in DuckDB, so
+    // (pos, chunk) pairs need no struct; NOT IN the >1-distinct-doc
+    // dictionary, re-join survivors in pos order
+    "boilerplate_strip_text" -> qx(
+      """, xcf AS (
+        |  SELECT doc_id,
+        |         CAST(unnest(range(0, len(string_split(text, ' ')), 10)) AS INT) AS pos,
+        |         unnest(list_transform(range(0, len(string_split(text, ' ')), 10),
+        |           i -> array_to_string(string_split(text, ' ')[i+1:i+10], ' '))) AS chunk
+        |  FROM documents
+        |), xbo AS (
+        |  SELECT md5(chunk) AS fp FROM xcf
+        |  GROUP BY md5(chunk) HAVING COUNT(DISTINCT doc_id) > 1
+        |)""".stripMargin,
+      """SELECT doc_id,
+        |       string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+        |       CAST(COUNT(*) AS BIGINT) AS n_kept
+        |FROM xcf
+        |WHERE md5(chunk) NOT IN (SELECT fp FROM xbo)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     // seeded xor-shift/Lehmer hash (mirrors LayoutOps.shardPlan — the
     // xor folds kill the multiplicative chain's low-bit lattice); pos
     // ranks the hash within the shard, doc_id tiebreak — all operands

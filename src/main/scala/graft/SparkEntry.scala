@@ -108,6 +108,7 @@ object SparkEntry {
     "repetition_ratio" -> (TextOps.repetitionRatio _),
     "chunk_dedup" -> (TextOps.chunkDedup _),
     "boilerplate_strip" -> (TextOps.boilerplateStrip _),
+    "boilerplate_strip_text" -> (TextOps.boilerplateStripText _),
     "stratified_sample" -> (TextOps.stratifiedSample _),
     "split_assign" -> (TextOps.splitAssign _),
     "split_leakage" -> (TextOps.splitLeakage _),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst forms of the text-chunking primitives that the HOF
@@ -133,6 +133,57 @@ case class TokenChunksGen(child: Expression, width: Int)
           }
           i += width
           InternalRow(UTF8String.fromString(sb.toString))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** [[TokenChunksGen]] with the chunk's starting TOKEN OFFSET alongside
+  * (`graft_chunks_pos(text, w)` → rows (pos, chunk), pos = 0, w, 2w…):
+  * the re-assembly key for operators that strip/reorder chunks and
+  * must rebuild the document in original order (boilerplate_strip_text
+  * sorts surviving chunks by pos). Same streaming iterator — no
+  * intermediate array. */
+case class TokenChunksPosGen(child: Expression, width: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && width > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_chunks_pos expects (string, positive int literal), got " +
+        s"${child.dataType.simpleString}, width=$width")
+
+  override def elementSchema: StructType =
+    StructType(StructField("pos", IntegerType, nullable = false) ::
+      StructField("chunk", StringType, nullable = false) :: Nil)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Iterator.empty
+    else {
+      val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+      val n = toks.length
+      new Iterator[InternalRow] {
+        private var i = 0
+        private var first = true
+        override def hasNext: Boolean = first || i <= n - 1
+        override def next(): InternalRow = {
+          first = false
+          val hi = math.min(i + width, n)
+          val sb = new java.lang.StringBuilder
+          var j = i
+          while (j < hi) {
+            if (j > i) sb.append(' ')
+            sb.append(toks(j))
+            j += 1
+          }
+          val at = i
+          i += width
+          InternalRow(at, UTF8String.fromString(sb.toString))
         }
       }
     }

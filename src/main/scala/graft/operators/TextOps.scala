@@ -829,6 +829,45 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The EXECUTED form of [[boilerplateStrip]]: emit each surviving
+    * document's STRIPPED text — boilerplate chunks removed, remaining
+    * chunks re-joined in original order (`graft_chunks_pos` carries
+    * each chunk's starting token offset as the re-assembly key;
+    * array_sort on (pos, chunk) structs makes the collect_list order
+    * deterministic). All-boilerplate docs drop, as CCNet drops empty
+    * survivors.
+    *
+    * Two-PASS by nature: pass 1 learns the boilerplate dictionary
+    * (chunk fps in >1 distinct doc — a HAVING>1 aggregate, so the
+    * dictionary is the small high-df tail, not all fps), pass 2
+    * re-chunks and anti-joins against it. The dictionary is the only
+    * thing crossing the passes; the nightly production form persists
+    * it once (exactly [[SimilarityOps.buildSigIndex]]'s shape) and
+    * pass 2 becomes the whole job. */
+  def boilerplateStripText(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val chPos = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        call_function("graft_chunks_pos", col("text"), lit(10)))
+    val boiler = chPos
+      .groupBy(md5(col("chunk")).as("fp"))
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") > 1)
+      .select("fp")
+    chPos
+      .withColumn("fp", md5(col("chunk")))
+      .join(boiler, Seq("fp"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("chunk")))),
+            s => s.getField("chunk")),
+          " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      .orderBy("doc_id")
+  }
+
   /** 10-token chunks of a doc (last chunk may be short). Token split is
     * LET-BOUND (see [[shingles3]] — HOFs have no common-subexpression
     * elimination). Shared with [[GraphOps.dedupClusters]]' edge builder. */

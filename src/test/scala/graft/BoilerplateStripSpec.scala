@@ -54,6 +54,49 @@ class BoilerplateStripSpec extends SparkSuite {
     assert(anyClean, "every doc is all-boilerplate — test is degenerate")
   }
 
+  test("boilerplate_strip_text is consistent with the accounting query") {
+    val acct = TextOps.boilerplateStrip(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap // n_chunks, n_boiler
+    val txt = TextOps.boilerplateStripText(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // surviving set = docs with at least one non-boilerplate chunk
+    val expectSurvivors = acct.filter { case (_, (n, b)) => b < n }.keySet
+    assert(txt.keySet == expectSurvivors,
+      "strip-text survivors != accounting's non-all-boilerplate docs")
+
+    txt.foreach { case (id, (clean, kept)) =>
+      val (n, b) = acct(id)
+      assert(kept == n - b, s"doc $id: n_kept $kept != n_chunks-n_boiler ${n - b}")
+      if (b == 0)
+        assert(clean == docs(id), s"doc $id: untouched doc's text changed")
+      else
+        assert(clean.length < docs(id).length, s"doc $id: stripped but not shorter")
+    }
+  }
+
+  test("graft_chunks_pos zips positions with graft_chunks' chunks") {
+    import org.apache.spark.sql.functions._
+    graft.GraftExtensions.register(spark)
+    val docs = graft.sources.Tables.documents(spark, sf).limit(50)
+    val withPos = docs
+      .select(col("doc_id"), call_function("graft_chunks_pos", col("text"), lit(10)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val plain = docs
+      .select(col("doc_id"), call_function("graft_chunks", col("text"), lit(10)))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(withPos.map(t => (t._1, t._3)).sameElements(plain),
+      "pos variant emits different chunks or order")
+    withPos.groupBy(_._1).foreach { case (id, rows) =>
+      val ps = rows.map(_._2)
+      assert(ps.sameElements(ps.indices.map(_ * 10)),
+        s"doc $id positions not 0,10,..: ${ps.take(5).mkString(",")}")
+    }
+  }
+
   test("boilerplate_strip agrees with chunk_dedup on which docs carry dups") {
     // chunk_dedup flags chunks with COUNT(*) > 1 (incl. intra-doc
     // repeats); boilerplate uses DISTINCT-doc frequency. Every
