@@ -31,10 +31,26 @@ object PlanAudit {
         val unpartWindows = windows.count(_.partitionSpec.isEmpty)
         val exchanges = all.collect { case e: ShuffleExchangeExec => e }
         val singleParts = exchanges.count(_.outputPartitioning.numPartitions == 1)
+        // repeated scans of one big table = a branch Catalyst could not
+        // share (ReuseExchange needs IDENTICAL canonicalized subtrees —
+        // column pruning specializing one branch defeats it; caught
+        // boilerplate_strip's join form chunking the corpus twice).
+        // Deliberate self-joins (LSH band joins, list_all_tasks' status
+        // union) legitimately re-scan; the flag is a review prompt, not
+        // a failure.
+        val scans = all.filter(_.nodeName.contains("Scan"))
+          .map(_.toString.split("\n").head)
+        val multiScan = Seq("documents", "embeddings", "lineitem")
+          .map(t => t -> scans.count(_.contains(t)))
+          .filter(_._2 > 1)
         val flags = Seq(
           if (cartesian > 0) Some(s"CARTESIAN=$cartesian") else None,
           if (unpartWindows > 0) Some(s"UNPART_WINDOW=$unpartWindows") else None,
-          if (singleParts > 0) Some(s"SINGLE_PART_EXCH=$singleParts") else None
+          if (singleParts > 0) Some(s"SINGLE_PART_EXCH=$singleParts") else None,
+          if (multiScan.nonEmpty)
+            Some(multiScan.map { case (t, n) => s"MULTI_SCAN($t)=$n" }
+              .mkString(" "))
+          else None
         ).flatten
         println(f"AUDIT $name%-26s exch=${exchanges.size}%2d win=${windows.size} ${flags.mkString(" ")}")
       } catch {
