@@ -51,7 +51,8 @@ object Bench {
     "doc_pack_bpe", "token_count_bpe_trained",
     // late round-7: deterministic shard planning (the training-data
     // write layout) + boilerplate-strip (repeated-span removal)
-    "shard_plan", "boilerplate_strip", "boilerplate_strip_text")
+    "shard_plan", "boilerplate_strip", "boilerplate_strip_text",
+    "boilerplate_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1159,6 +1159,34 @@ object Oracles {
         |            // COUNT(*) AS BIGINT) AS boiler_ratio_e6
         |FROM bch c JOIN bdf f ON md5(c.chunk) = f.fp
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin),
+    // nightly strip: batch (doc_id%5=0) probes the existing corpus's
+    // DISTINCT chunk set; in-existing = boiler_existing, else >1
+    // distinct batch doc = boiler_batch, else kept
+    "boilerplate_incremental" -> qx(
+      """, ich AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(0, len(string_split(text, ' ')), 10),
+        |           i -> array_to_string(string_split(text, ' ')[i+1:i+10], ' '))) AS chunk
+        |  FROM documents
+        |), ibfd AS (
+        |  SELECT md5(chunk) AS fp, doc_id, COUNT(*) AS n,
+        |         SUM(length(chunk) - length(replace(chunk, ' ', '')) + 1) AS toks
+        |  FROM ich WHERE doc_id % 5 = 0 GROUP BY md5(chunk), doc_id
+        |), ibw AS (
+        |  SELECT *, COUNT(*) OVER (PARTITION BY fp) AS nb FROM ibfd
+        |), iex AS (
+        |  SELECT DISTINCT md5(chunk) AS fp FROM ich WHERE doc_id % 5 <> 0
+        |)""".stripMargin,
+      """SELECT b.doc_id,
+        |       CAST(SUM(b.n) AS BIGINT) AS n_chunks,
+        |       CAST(SUM(CASE WHEN e.fp IS NOT NULL THEN b.n ELSE 0 END) AS BIGINT)
+        |         AS n_boiler_existing,
+        |       CAST(SUM(CASE WHEN e.fp IS NULL AND b.nb > 1 THEN b.n ELSE 0 END) AS BIGINT)
+        |         AS n_boiler_batch,
+        |       CAST(SUM(CASE WHEN e.fp IS NULL AND b.nb <= 1 THEN b.toks ELSE 0 END) AS BIGINT)
+        |         AS kept_tokens
+        |FROM ibw b LEFT JOIN iex e ON b.fp = e.fp
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin),
     // executed strip: parallel unnests zip positionally in DuckDB, so
     // (pos, chunk) pairs need no struct; NOT IN the >1-distinct-doc
     // dictionary, re-join survivors in pos order

@@ -109,6 +109,7 @@ object SparkEntry {
     "chunk_dedup" -> (TextOps.chunkDedup _),
     "boilerplate_strip" -> (TextOps.boilerplateStrip _),
     "boilerplate_strip_text" -> (TextOps.boilerplateStripText _),
+    "boilerplate_incremental" -> (TextOps.boilerplateIncremental _),
     "stratified_sample" -> (TextOps.stratifiedSample _),
     "split_assign" -> (TextOps.splitAssign _),
     "split_leakage" -> (TextOps.splitLeakage _),

@@ -868,6 +868,46 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The NIGHTLY form of [[boilerplateStrip]] — [[SimilarityOps.dedupIncremental]]'s
+    * batch-vs-index shape applied to span removal: the new batch
+    * (`doc_id % 5 = 0`, standing in for the day's partition) is
+    * stripped against the EXISTING corpus's chunk set, with the same
+    * two-verdict split as incremental dedup — a batch chunk already
+    * present in ANY existing doc is `boiler_existing` (one prior
+    * occurrence + this one = frequency ≥ 2, the C4 rule), a chunk new
+    * to the corpus but in >1 distinct BATCH doc is `boiler_batch`,
+    * and the rest is the surviving token budget.
+    *
+    * Scale: the existing side reduces to a DISTINCT fp frame — ~16
+    * bytes/chunk, the persistable dictionary (exactly what
+    * buildSigIndex stores for signatures); the probe is a batch-sized
+    * left join against it, and the batch-internal frequency is a
+    * per-fp window over the batch's (fp, doc_id) aggregate — the
+    * batch never joins itself, the index never joins itself. */
+  def boilerplateIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ch = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), chunks10Native(spark, col("text")).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("fp"),
+        Exprs.tokenCount(col("chunk")).cast("long").as("c_toks"))
+    val batchPerFp = ch.filter(col("doc_id") % 5 === 0)
+      .groupBy("fp", "doc_id")
+      .agg(count(lit(1)).as("n"), sum("c_toks").as("toks"))
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy("fp")))
+    val existFps = ch.filter(col("doc_id") % 5 =!= 0)
+      .select("fp").distinct().withColumn("in_exist", lit(1))
+    batchPerFp.join(existFps, Seq("fp"), "left")
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_chunks"),
+        sum(when(col("in_exist").isNotNull, col("n")).otherwise(0L))
+          .as("n_boiler_existing"),
+        sum(when(col("in_exist").isNull && col("nb") > 1, col("n"))
+          .otherwise(0L)).as("n_boiler_batch"),
+        sum(when(col("in_exist").isNull && col("nb") <= 1, col("toks"))
+          .otherwise(0L)).as("kept_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** 10-token chunks of a doc (last chunk may be short). Token split is
     * LET-BOUND (see [[shingles3]] — HOFs have no common-subexpression
     * elimination). Shared with [[GraphOps.dedupClusters]]' edge builder. */

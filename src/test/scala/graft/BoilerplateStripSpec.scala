@@ -97,6 +97,27 @@ class BoilerplateStripSpec extends SparkSuite {
     }
   }
 
+  test("incremental verdicts recompose the full-corpus accounting exactly") {
+    // corpus = existing ∪ batch, so for a batch doc: chunk in >1
+    // distinct doc overall ⟺ chunk in existing OR in >1 batch docs.
+    // Hence boiler_existing + boiler_batch == full n_boiler and the
+    // kept token budgets agree — an exact equality, not a bound.
+    val full = TextOps.boilerplateStrip(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap // n_boiler, kept
+    val inc = TextOps.boilerplateIncremental(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(inc.nonEmpty)
+    inc.foreach { case (id, (be, bb, kept)) =>
+      assert(id % 5 == 0, s"non-batch doc $id in incremental output")
+      val (fb, fk) = full(id)
+      assert(be + bb == fb, s"doc $id: $be+$bb != full n_boiler $fb")
+      assert(kept == fk, s"doc $id: kept $kept != full kept $fk")
+    }
+    // the fixture exercises both verdict branches
+    assert(inc.exists(_._2._1 > 0), "no boiler_existing verdicts — vacuous")
+    assert(inc.exists(_._2._3 > 0), "no kept tokens — degenerate")
+  }
+
   test("boilerplate_strip agrees with chunk_dedup on which docs carry dups") {
     // chunk_dedup flags chunks with COUNT(*) > 1 (incl. intra-doc
     // repeats); boilerplate uses DISTINCT-doc frequency. Every
