@@ -845,18 +845,39 @@ object TextOps {
     * it once (exactly [[SimilarityOps.buildSigIndex]]'s shape) and
     * pass 2 becomes the whole job. */
   def boilerplateStripText(spark: SparkSession, sfDir: String): DataFrame = {
+    val boiler = chunkDictionary(spark, Tables.documents(spark, sfDir))
+    stripAgainstDict(spark, Tables.documents(spark, sfDir), boiler)
+      .orderBy("doc_id")
+  }
+
+  /** Pass 1 of the strip, standalone: the boilerplate DICTIONARY — fps
+    * of chunks appearing in >1 distinct doc of `docs`. ~16 B/chunk;
+    * the persistable artifact the nightly/streaming forms store once
+    * (the strip analog of [[SimilarityOps.buildSigIndex]]). */
+  private[graft] def chunkDictionary(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
     graft.GraftExtensions.register(spark)
-    val chPos = Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"),
-        call_function("graft_chunks_pos", col("text"), lit(10)))
-    val boiler = chPos
+        call_function("graft_chunks", col("text"), lit(10)))
       .groupBy(md5(col("chunk")).as("fp"))
       .agg(count_distinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") > 1)
       .select("fp")
-    chPos
+  }
+
+  /** Pass 2, standalone and SHARED with the streaming form (one
+    * Column pipeline — batch and stream can't fork): chunk `docs`
+    * with positions, anti-join the dictionary, re-assemble survivors
+    * in pos order. Stateless w.r.t. everything but the dictionary. */
+  private[graft] def stripAgainstDict(spark: SparkSession, docs: DataFrame,
+      dictFps: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    docs
+      .select(col("doc_id"),
+        call_function("graft_chunks_pos", col("text"), lit(10)))
       .withColumn("fp", md5(col("chunk")))
-      .join(boiler, Seq("fp"), "left_anti")
+      .join(dictFps.select("fp"), Seq("fp"), "left_anti")
       .groupBy("doc_id")
       .agg(
         array_join(
@@ -865,7 +886,6 @@ object TextOps {
             s => s.getField("chunk")),
           " ").as("clean_text"),
         count(lit(1)).as("n_kept"))
-      .orderBy("doc_id")
   }
 
   /** The NIGHTLY form of [[boilerplateStrip]] — [[SimilarityOps.dedupIncremental]]'s
