@@ -1587,6 +1587,21 @@ object Oracles {
           |  ON ((((p.o_orderkey * 2654435761 + 20260813) % 4294967296)
           |       * 48271) % 2147483647) % w.nw + 1 = w.wrn
           |ORDER BY p.id""".stripMargin),
+      // TODO #3 analog: round-robin within each priority class
+      "priority_balanced_assign" -> qx(
+        """, pbp AS (
+          |  SELECT id, priority,
+          |         ROW_NUMBER() OVER (PARTITION BY priority
+          |           ORDER BY o_orderkey) AS rn
+          |  FROM tasks WHERE status = 0
+          |), widx AS (
+          |  SELECT worker_id, CAST(ROW_NUMBER() OVER (ORDER BY worker_id) AS INT) AS wrn,
+          |         CAST(COUNT(*) OVER () AS INT) AS nw
+          |  FROM workers
+          |)""".stripMargin,
+        """SELECT p.id, p.priority, w.worker_id
+          |FROM pbp p JOIN widx w ON (p.rn - 1) % w.nw + 1 = w.wrn
+          |ORDER BY p.id""".stripMargin),
       "cosine_topk_native" -> cosineSql,
       "worker_load_salted" -> q(
         """SELECT worker_id, COUNT(*) AS n_tasks FROM assigned

@@ -25,7 +25,18 @@ object PlanAudit {
           case other => other
         }
         val plan = finalPlan(df.queryExecution.executedPlan)
-        val all = plan.collectWithSubqueries { case p => p }
+        // collectWithSubqueries stops at MATERIALIZED AQE query stages
+        // (their subtree hangs off `plan`, not `children`) — descend
+        // explicitly or every early-stage window/cartesian/scan is
+        // invisible to the audit
+        def allNodes(p: SparkPlan): Seq[SparkPlan] =
+          p.collectWithSubqueries { case x => x }.flatMap {
+            case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              qs +: allNodes(qs.plan)
+            case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+            case x => Seq(x)
+          }
+        val all = allNodes(plan)
         val cartesian = all.count(_.isInstanceOf[CartesianProductExec])
         val windows = all.collect { case w: WindowExec => w }
         val unpartWindows = windows.count(_.partitionSpec.isEmpty)

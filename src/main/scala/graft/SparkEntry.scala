@@ -177,6 +177,7 @@ object SparkEntry {
     "round_robin_assign" -> (AggOps.roundRobinAssign _),
     "hash_assign" -> (AggOps.hashAssign _),
     "random_assign" -> (AggOps.randomAssign _),
+    "priority_balanced_assign" -> (AggOps.priorityBalancedAssign _),
     "cosine_topk_native" -> (AggOps.cosineTopkNative _),
     // skew + distinct-agg surface
     "worker_load_salted" -> (WorkerOps.workerLoadSalted _),

@@ -75,6 +75,37 @@ class OperatorPlanSpec extends SparkSuite {
     assert(!plan.contains("Window"), s"WindowExec crept back in:\n$plan")
   }
 
+  test("priority_balanced_assign: per-class fairness, no corpus-side window") {
+    val rows = graft.operators.AggOps.priorityBalancedAssign(spark, sf)
+      .collect().map(r => (r.getInt(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    // every worker's share of EVERY priority class is equal ±1 —
+    // the property plain round-robin does not give
+    rows.groupBy(_._1).foreach { case (prio, inClass) =>
+      val counts = inClass.groupBy(_._2).values.map(_.size)
+      assert(counts.max - counts.min <= 1,
+        s"priority $prio skew: per-worker counts ${counts.toSeq.sorted}")
+    }
+    // the only Window is over the (partition, priority) SUBTOTAL frame
+    // (32×10 rows, keyed by priority) — never over the task corpus.
+    // collectWithSubqueries stops at materialized AQE query stages, so
+    // descend into them explicitly.
+    def allNodes(p: SparkPlan): Seq[SparkPlan] =
+      p.collectWithSubqueries { case x => x }.flatMap {
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          qs +: allNodes(qs.plan)
+        case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+        case x => Seq(x)
+      }
+    val df = graft.operators.AggOps.priorityBalancedAssign(spark, sf)
+    df.collect()
+    val windows = allNodes(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 1, s"expected 1 subtotal window, got:\n$windows")
+    assert(windows.head.partitionSpec.nonEmpty, "subtotal window unpartitioned")
+  }
+
   test("embedding_dedup joins on tile keys, not label alone") {
     val optimized = graft.operators.SimilarityOps.embeddingDedup(spark, sf)
       .queryExecution.optimizedPlan.toString
