@@ -32,7 +32,7 @@ object GraphOps {
     *    SQL statement); GraphOpsSpec proves equality with union-find.
     */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val comp = minLabelComponents(chunkStarEdges(spark, sfDir))
+    val comp = components(chunkStarEdges(spark, sfDir), starShaped = true)
     val sizes = comp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, Seq("comp"))
       .select(col("doc").as("doc_id"), col("comp").as("component"),
@@ -163,6 +163,127 @@ object GraphOps {
     comp
   }
 
+  /** Connected components by ALTERNATING STAR CONTRACTION (Kiveris et
+    * al. 2014, "Connected Components in MapReduce and Beyond" — the
+    * two-phase large-star/small-star algorithm; also the engine behind
+    * GraphFrames' connectedComponents). Same contract as
+    * [[minLabelComponents]]: input (src, dst) with src < dst, output
+    * (doc, comp) with comp = the component's min node id, one row per
+    * node appearing in the edge list.
+    *
+    * WHY a second engine: min-label propagation's round count is bound
+    * below by the EDGE-graph diameter — a new minimum crosses one edge
+    * per round, and pointer jumping cannot shortcut that (measured ≈15
+    * rounds on the τ=0.30 semantic pair graph). Star contraction
+    * REWIRES the edge set itself each round — large-star hangs every
+    * larger neighbor of u directly under min(Γ(u) ∪ {u}), small-star
+    * compresses the smaller neighborhood the same way — so distances
+    * to the root shrink multiplicatively, not additively:
+    * O(log² n) rounds worst-case, ~4–6 in practice REGARDLESS of
+    * diameter. At 100 TB that is the robustness property that matters:
+    * a pathological chain-shaped near-dup corpus (each doc overlapping
+    * only its neighbor — crawl snapshots do this) stalls min-label at
+    * O(chain length) rounds but leaves this engine untouched.
+    *
+    * Per round: two phases × (one groupBy(u) + one same-key join —
+    * the join lands on the aggregation's own hash partitioning, so
+    * each phase is ONE real exchange of the edge list) + a distinct.
+    * Phase outputs are checkpointed exactly like the min-label loop
+    * (truncated lineage keeps per-round planning O(1); reliable mode
+    * via spark.graft.checkpointDir for cluster runs). Both phases
+    * preserve the src < dst orientation (the emitted src is the
+    * neighborhood minimum), so no re-normalization between rounds.
+    *
+    * Fixpoint certificate: the round is a deterministic function of
+    * the edge SET, so output-set == input-set ⟹ every further round
+    * is the identity. At that point the graph is a star forest whose
+    * roots are component minima (small-star would rewire any node
+    * with two distinct roots, large-star any root chain), so the
+    * answer reads off the edges with no propagation table at all.
+    * Checked with a count + one anti-join per round — driver-side
+    * scalars only. GraphOpsSpec pins engine equality on paths,
+    * cycles, cliques, random graphs, and the real fixture pair
+    * graphs. */
+  private[graft] def starContractComponents(rawEdges: DataFrame): DataFrame = {
+    val session = rawEdges.sparkSession
+    val ckptDir = session.conf.get("spark.graft.checkpointDir", "")
+    val reliable = ckptDir.nonEmpty
+    if (reliable && session.sparkContext.getCheckpointDir.isEmpty)
+      session.sparkContext.setCheckpointDir(ckptDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+
+    var edges = ckpt(rawEdges
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct())
+    var edgeCount = edges.count()
+
+    var converged = edgeCount == 0L
+    var iters = 0
+    while (!converged && iters < 25) {
+      // LARGE-STAR: attach every strictly-larger neighbor of u to
+      // m = min(Γ(u) ∪ {u}). Both edge orientations contribute to
+      // Γ(u); the v > u guard keeps the phase monotone (no edge ever
+      // points "up", which is what guarantees termination).
+      val nbrs = edges.select(col("src").as("u"), col("dst").as("v"))
+        .union(edges.select(col("dst").as("u"), col("src").as("v")))
+      val lmins = nbrs.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val large = ckpt(nbrs.join(lmins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("m").as("src"), col("v").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct())
+      // SMALL-STAR: view edges pointing high→low (u = dst side, its
+      // smaller neighborhood N≤(u) = the srcs); hang N≤(u) ∪ {u}
+      // under m = min N≤(u). Emits (m, v) for v ∈ N≤(u) \ {m} plus
+      // (m, u) — all with src = the minimum, orientation preserved.
+      val dirs = large.select(col("dst").as("u"), col("src").as("v"))
+      val smins = dirs.groupBy("u").agg(min("v").as("m"))
+      val small = ckpt(dirs.join(smins, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("m").as("src"), col("v").as("dst"))
+        .union(smins.select(col("m").as("src"), col("u").as("dst")))
+        .distinct())
+      val smallCount = small.count()
+      converged = smallCount == edgeCount &&
+        small.join(edges, Seq("src", "dst"), "left_anti").isEmpty
+      edges = small
+      edgeCount = smallCount
+      iters += 1
+    }
+    require(converged || edgeCount == 0L,
+      s"starContractComponents: no fixpoint in $iters rounds — " +
+        "not expected for any graph (O(log² n) bound); raise the cap")
+    edges.select(col("dst").as("doc"), col("src").as("comp"))
+      .union(edges.select(col("src").as("doc"), col("src").as("comp")))
+      .distinct()
+  }
+
+  /** Engine dispatch for the components fixpoint, shared by every
+    * pair-emitting dedup pipeline. `spark.graft.ccEngine`:
+    *  - `minlabel` — [[minLabelComponents]] (delta-iteration
+    *    min-label propagation; O(edge diameter) rounds);
+    *  - `star` — [[starContractComponents]] (alternating star
+    *    contraction; O(log² n) rounds, diameter-independent);
+    *  - `auto` (default) — minlabel when the CALLER knows the edges
+    *    form a star forest (chunk-share groups: the direct init
+    *    resolves everything in one closed-form round and the loop only
+    *    confirms), star contraction for arbitrary pair graphs
+    *    (MinHash/SimHash/semantic pairs), whose diameter is
+    *    data-dependent and unbounded. */
+  private[graft] def components(rawEdges: DataFrame,
+      starShaped: Boolean = false): DataFrame =
+    rawEdges.sparkSession.conf.get("spark.graft.ccEngine", "auto") match {
+      case "minlabel" => minLabelComponents(rawEdges)
+      case "star" => starContractComponents(rawEdges)
+      case _ =>
+        if (starShaped) minLabelComponents(rawEdges)
+        else starContractComponents(rawEdges)
+    }
+
   /** The dedup pipeline's FINAL verdict — what actually gets dropped:
     * for every chunk-share cluster keep exactly one canonical member
     * (longest text, tie → min doc_id: the standard keep-the-longest
@@ -223,7 +344,7 @@ object GraphOps {
     val edges = SimilarityOps.minhashPolyPairs(spark, sfDir)
       .filter(col("est_jaccard_milli") >= 500)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
-    val comp = minLabelComponents(edges)
+    val comp = components(edges)
       .select(col("doc").as("doc_id"), col("comp").as("component"))
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
     canonicalVerdict(docs, comp)
@@ -259,7 +380,7 @@ object GraphOps {
       tauE2: Long = SimilarityOps.SemTauE2): DataFrame = {
     val edges = SimilarityOps.semanticPairs(spark, sfDir, tauE2)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
-    val comp = minLabelComponents(edges)
+    val comp = components(edges)
       .select(col("doc").as("doc_id"), col("comp").as("component"))
     val docs = Tables.embeddings(spark, sfDir).select(col("vec_id"))
       .join(Tables.documents(spark, sfDir)
