@@ -52,7 +52,10 @@ object Bench {
     // late round-7: deterministic shard planning (the training-data
     // write layout) + boilerplate-strip (repeated-span removal)
     "shard_plan", "boilerplate_strip", "boilerplate_strip_text",
-    "boilerplate_incremental")
+    "boilerplate_incremental",
+    // round-8 surface: Gopher rule-bundle quality gate + exact
+    // substring-run dedup spans (chunk-granular Lee et al. form)
+    "gopher_quality", "substring_dedup_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

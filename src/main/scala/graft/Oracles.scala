@@ -1095,6 +1095,65 @@ object Oracles {
         |       n_tokens >= 10 AND n_tokens <= 10000
         |         AND (n_chars - (n_tokens - 1)) / n_tokens <= 20 AS keep
         |FROM tq ORDER BY doc_id""".stripMargin),
+    // R4's letter test is the one regex ([A-Za-z] reads identically in
+    // Java regex and RE2); everything else is length/replace integer
+    // arithmetic, mirrored from TextOps.gopherQuality term for term.
+    "gopher_quality" -> qx(
+      """, gq AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS wchars,
+        |    CAST((length(text) - length(replace(text, '#', '')))
+        |       + (length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_symbols,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |           t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+        |    CAST((CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' the ', '')) THEN 1 ELSE 0 END)
+        |       + (CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' be ', '')) THEN 1 ELSE 0 END)
+        |       + (CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' to ', '')) THEN 1 ELSE 0 END)
+        |       + (CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' of ', '')) THEN 1 ELSE 0 END)
+        |       + (CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' and ', '')) THEN 1 ELSE 0 END)
+        |       + (CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' that ', '')) THEN 1 ELSE 0 END)
+        |       + (CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' have ', '')) THEN 1 ELSE 0 END)
+        |       + (CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' with ', '')) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_stopwords
+        |  FROM documents
+        |)""".stripMargin,
+      """SELECT doc_id, n_words, wchars * 1000 // n_words AS word_len_milli,
+        |       n_symbols, n_alpha_words, n_stopwords,
+        |       n_words BETWEEN 10 AND 10000
+        |         AND (wchars * 1000 // n_words) BETWEEN 3000 AND 10000
+        |         AND n_symbols * 10 <= n_words
+        |         AND n_alpha_words * 5 >= n_words * 4
+        |         AND n_stopwords >= 2 AS keep
+        |FROM gq ORDER BY doc_id""".stripMargin),
+    // Positional chunking mirrors chunk_dedup's CTE with the start
+    // offset kept; islands = ord - ROW_NUMBER is the standard
+    // gaps-and-islands run merge, identical on both engines.
+    "substring_dedup_spans" -> qx(
+      """, pch AS (
+        |  SELECT doc_id,
+        |         unnest(range(0, len(string_split(text, ' ')), 10)) AS i,
+        |         string_split(text, ' ') AS toks
+        |  FROM documents
+        |), pch2 AS (
+        |  SELECT doc_id, CAST(i // 10 AS BIGINT) AS ord,
+        |         md5(array_to_string(toks[i+1:i+10], ' ')) AS fp,
+        |         CAST(len(toks[i+1:i+10]) AS BIGINT) AS c_toks
+        |  FROM pch
+        |), pdup AS (
+        |  SELECT fp FROM pch2 GROUP BY fp HAVING COUNT(DISTINCT doc_id) > 1
+        |), pisl AS (
+        |  SELECT doc_id, ord, c_toks,
+        |         ord - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord) AS island
+        |  FROM pch2 WHERE fp IN (SELECT fp FROM pdup)
+        |)""".stripMargin,
+      """SELECT doc_id,
+        |       CAST(MIN(ord) AS BIGINT) AS span_start,
+        |       CAST(MAX(ord) AS BIGINT) AS span_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |       CAST(SUM(c_toks) AS BIGINT) AS n_tokens
+        |FROM pisl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin),
     "lang_id" -> qx(
       """, lh AS (
         |  SELECT doc_id, lang,

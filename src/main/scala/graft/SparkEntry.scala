@@ -97,6 +97,8 @@ object SparkEntry {
     "bpe_train" -> (TextOps.bpeTrainQuery _),
     "token_count_bpe_trained" -> (TextOps.tokenCountBpeTrained _),
     "quality_score" -> (TextOps.qualityScore _),
+    "gopher_quality" -> (TextOps.gopherQuality _),
+    "substring_dedup_spans" -> (TextOps.substringDedupSpans _),
     "lang_id" -> (TextOps.langId _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
     "token_freq" -> (TextOps.tokenFreq _),

@@ -299,6 +299,92 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style rule-bundle quality filter (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", Appendix A1.1 — the repetition rules
+    * live in [[repetitionRatio]]): the standard pre-training quality
+    * gate as one narrow scan projection, each rule reported separately
+    * so a corpus owner can tune thresholds from ONE pass instead of
+    * re-running per rule. Rules (word-level; the fixture is
+    * single-line, so the line-shape rules are out of scope) with
+    * bounds adapted to the fixture's short synthetic docs:
+    *   R1  word count within [10, 10 000]  (Gopher: [50, 100 000]);
+    *   R2  mean word length within [3, 10] chars (exact integer
+    *       millis, floor division);
+    *   R3  symbol-to-word ratio ≤ 0.1 ('#' plus '...' hits);
+    *   R4  ≥ 80 % of words contain an alphabetic character;
+    *   R5  at least 2 of 8 standard English stopwords present.
+    * Everything is length/replace integer arithmetic except R4's
+    * letter test, a single-character-class regex that Java regex and
+    * RE2 read identically (the [[tokenCountBpe]] precedent).
+    * Scale: single scan, no shuffle before the final sort — the whole
+    * bundle adds zero wide stages to a 100 TB curation pass. */
+  def gopherQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val nWords = Exprs.tokenCount(col("text")).cast("long")
+    val wchars = length(translate(col("text"), " ", "")).cast("long")
+    val nSymbols = (Exprs.occurrences(col("text"), "#") +
+      Exprs.occurrences(col("text"), "...")).cast("long")
+    val nAlpha = size(filter(split(col("text"), " "),
+      t => t.rlike("[A-Za-z]"))).cast("long")
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStops = stops.map(w =>
+      when(Exprs.occurrences(padded, s" $w ") > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), nWords.as("n_words"), wchars.as("wchars"),
+        nSymbols.as("n_symbols"), nAlpha.as("n_alpha_words"),
+        nStops.as("n_stopwords"))
+      .withColumn("word_len_milli", expr("wchars * 1000 div n_words"))
+      .select(col("doc_id"), col("n_words"), col("word_len_milli"),
+        col("n_symbols"), col("n_alpha_words"), col("n_stopwords"),
+        (col("n_words").between(10L, 10000L) &&
+          col("word_len_milli").between(3000L, 10000L) &&
+          col("n_symbols") * 10 <= col("n_words") &&
+          col("n_alpha_words") * 5 >= col("n_words") * 4 &&
+          col("n_stopwords") >= 2L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** EXACT SUBSTRING-RUN dedup spans (the cross-doc form of Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better" — their suffix-array substring dedup, re-expressed at
+    * 10-token chunk granularity so it distributes): for every doc,
+    * the maximal runs of CONSECUTIVE chunks that also appear in some
+    * other document. Doc-level dedup ([[dedupExact]]/fuzzy) drops
+    * whole documents; this emits the (doc_id, span_start, span_end)
+    * REGIONS a surgical dedup pass would cut — long shared runs are
+    * exactly the memorization-risk substrings the suffix-array method
+    * targets, found here with joins instead of a global suffix sort.
+    *
+    * Plan: positional chunking is the [[boilerplateStripText]] scan
+    * (native `graft_chunks_pos` generator), duplicated-fp detection
+    * is one count-distinct aggregation over fp (16-byte rows), the
+    * semi-join back is fp-partitioned, and run-merging is the classic
+    * gaps-and-islands window — partitioned BY DOC, so no global sort
+    * anywhere. At 100 TB the fp aggregate is the only corpus-wide
+    * shuffle, the same currency every chunk-dedup op here pays. */
+  def substringDedupSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.GraftExtensions.register(spark)
+    val ch = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        call_function("graft_chunks_pos", col("text"), lit(10)))
+      .select(col("doc_id"), expr("pos div 10").cast("long").as("ord"),
+        md5(col("chunk")).as("fp"),
+        Exprs.tokenCount(col("chunk")).cast("long").as("c_toks"))
+    val dupFps = ch.groupBy("fp")
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") > 1)
+      .select("fp")
+    val isl = ch.join(dupFps, Seq("fp"), "left_semi")
+      .withColumn("island", col("ord") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("ord")))
+    isl.groupBy("doc_id", "island")
+      .agg(min("ord").as("span_start"), max("ord").as("span_end"),
+        count(lit(1)).as("n_chunks"), sum("c_toks").as("n_tokens"))
+      .select("doc_id", "span_start", "span_end", "n_chunks", "n_tokens")
+      .orderBy("doc_id", "span_start")
+  }
+
   /** Language-ID heuristic: per-language stopword occurrence counts with
     * a deterministic argmax precedence (en > de > fr > es > unknown). */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
