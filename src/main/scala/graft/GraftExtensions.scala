@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CompressionRatio, CosineSimilarity, MinHashSig, PolyMinHashSig, PolySimHash, Q8CellSig, Q8Dot, RollingFp, SimHash64, TokenChunksGen, TokenChunksPosGen, TokenShingles}
+import graft.functions.{CompressionRatio, CosineSimilarity, MinHashSig, PolyMinHashSig, PolySimHash, Q8CellSig, Q8Dot, RollingFp, SimHash64, TokenChunksGen, TokenChunksPosGen, TokenNGramsGen, TokenShingles}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for the SQL surface. Use either at session build time
@@ -72,6 +72,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[TokenChunksPosGen].getName, "graft_chunks_pos"),
       (children: Seq[Expression]) =>
         TokenChunksPosGen(children(0), litInt("graft_chunks_pos", children(1)))),
+    (FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[TokenNGramsGen].getName, "graft_ngrams"),
+      (children: Seq[Expression]) =>
+        TokenNGramsGen(children(0), litInt("graft_ngrams", children(1)))),
     (FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[TokenShingles].getName, "graft_shingles"),
       (children: Seq[Expression]) =>

@@ -1126,6 +1126,43 @@ object Oracles {
         |         AND n_alpha_words * 5 >= n_words * 4
         |         AND n_stopwords >= 2 AS keep
         |FROM gq ORDER BY doc_id""".stripMargin),
+    // N-gram instance lists mirror TextOps.gopherRepetition's grams()
+    // (full-length n-grams only; range(0, n-k+1) is empty for short
+    // docs); ROW_NUMBER tie order (c DESC, g) is binary collation on
+    // both engines.
+    "gopher_repetition" -> qx(
+      """, gr AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |         string_split(text, ' ') AS tk
+        |  FROM documents
+        |), gc2 AS (
+        |  SELECT doc_id, g, COUNT(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(range(0, len(tk) - 1),
+        |             i -> array_to_string(tk[i+1:i+2], ' '))) AS g
+        |    FROM gr) GROUP BY doc_id, g
+        |), gt2 AS (
+        |  SELECT doc_id, c * length(g) AS top2_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+        |  FROM gc2
+        |), gd5 AS (
+        |  SELECT doc_id, SUM(c * length(g)) AS dup5_chars FROM (
+        |    SELECT doc_id, g, COUNT(*) AS c FROM (
+        |      SELECT doc_id, unnest(list_transform(range(0, len(tk) - 4),
+        |               i -> array_to_string(tk[i+1:i+5], ' '))) AS g
+        |      FROM gr) GROUP BY doc_id, g)
+        |  WHERE c > 1 GROUP BY doc_id
+        |)""".stripMargin,
+      """SELECT gr.doc_id, gr.n_chars,
+        |       CAST(COALESCE(t.top2_chars, 0) AS BIGINT) AS top2_chars,
+        |       CAST(COALESCE(d.dup5_chars, 0) AS BIGINT) AS dup5_chars,
+        |       CAST(COALESCE(t.top2_chars, 0) * 1000 // gr.n_chars AS BIGINT) AS top2_milli,
+        |       CAST(COALESCE(d.dup5_chars, 0) * 1000 // gr.n_chars AS BIGINT) AS dup5_milli,
+        |       COALESCE(t.top2_chars, 0) * 1000 // gr.n_chars <= 200
+        |         AND COALESCE(d.dup5_chars, 0) * 1000 // gr.n_chars <= 150 AS keep
+        |FROM gr
+        |LEFT JOIN (SELECT doc_id, top2_chars FROM gt2 WHERE rn = 1) t USING (doc_id)
+        |LEFT JOIN gd5 d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
     // Positional chunking mirrors chunk_dedup's CTE with the start
     // offset kept; islands = ord - ROW_NUMBER is the standard
     // gaps-and-islands run merge, identical on both engines.

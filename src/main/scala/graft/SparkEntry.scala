@@ -98,6 +98,7 @@ object SparkEntry {
     "token_count_bpe_trained" -> (TextOps.tokenCountBpeTrained _),
     "quality_score" -> (TextOps.qualityScore _),
     "gopher_quality" -> (TextOps.gopherQuality _),
+    "gopher_repetition" -> (TextOps.gopherRepetition _),
     "substring_dedup_spans" -> (TextOps.substringDedupSpans _),
     "lang_id" -> (TextOps.langId _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),

@@ -193,6 +193,56 @@ case class TokenChunksPosGen(child: Expression, width: Int)
     copy(child = newChild)
 }
 
+/** Generator form of full-length n-gram INSTANCES, non-distinct and in
+  * document order: `graft_ngrams(text, n)`. The repetition-rule
+  * currency ([[graft.operators.TextOps.gopherRepetition]] counts
+  * occurrence multiplicity, which the LinkedHashSet-deduped
+  * [[TokenShingles]] array cannot carry). Emits nothing for docs
+  * shorter than n tokens — full windows only, matching the
+  * `range(0, len - n + 1)` construction the DuckDB oracle uses.
+  * Iterator-streamed like [[TokenChunksGen]]: no intermediate array.
+  */
+case class TokenNGramsGen(child: Expression, n: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && n > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_ngrams expects (string, positive int literal), got " +
+        s"${child.dataType.simpleString}, n=$n")
+
+  override def elementSchema: StructType =
+    StructType(StructField("gram", StringType, nullable = false) :: Nil)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Iterator.empty
+    else {
+      val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+      val last = toks.length - n
+      if (last < 0) Iterator.empty
+      else new Iterator[InternalRow] {
+        private var i = 0
+        override def hasNext: Boolean = i <= last
+        override def next(): InternalRow = {
+          val sb = new java.lang.StringBuilder
+          var j = i
+          while (j < i + n) {
+            if (j > i) sb.append(' ')
+            sb.append(toks(j))
+            j += 1
+          }
+          i += 1
+          InternalRow(UTF8String.fromString(sb.toString))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Count of distinct n-token shingles WITHOUT materializing them:
   * the optimizer-rule target for `size(graft_shingles(text, n))`
   * ([[graft.GraftExtensions]] injects the rewrite). Counting needs only

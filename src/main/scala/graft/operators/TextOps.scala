@@ -344,6 +344,57 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Gopher REPETITION rules (Rae et al. 2021, Appendix A1.1, the
+    * within-doc half that [[gopherQuality]]'s word-level rules don't
+    * cover; [[repetitionRatio]] is the distinct-shingle summary):
+    *   - top2_milli: fraction of characters inside occurrences of the
+    *     doc's most frequent word 2-gram (tie → lexicographically
+    *     first), Gopher threshold 0.20;
+    *   - dup5_milli: fraction of characters inside word 5-grams that
+    *     occur more than once, Gopher threshold 0.15.
+    * Char mass = occurrence count × n-gram character length (spaces
+    * included), over total doc chars — exact integer millis (floor
+    * division) so the oracle compare is exact. N-grams are
+    * full-length only (a doc shorter than n tokens has none; its
+    * fractions are 0).
+    * Scale: two (doc_id, gram) count aggregations + one per-doc
+    * window — everything partitions by doc_id, no corpus-wide key
+    * ever forms (the gram counts are per-document, unlike the
+    * cross-doc chunk dictionary ops). */
+  def gopherRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.GraftExtensions.register(spark)
+    // n-gram instances stream from the native graft_ngrams generator
+    // (one flat pass per doc; the HOF sequence/slice/concat_ws form
+    // measured 4.9 s at sf0.1 — interpreted lambda per gram — vs
+    // ~0.3 s native, the same trap q8CellFrame documents)
+    def grams(n: Int) = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        call_function("graft_ngrams", col("text"), lit(n)))
+    val top2 = grams(2)
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("c"), asc("gram"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), (col("c") * length(col("gram"))).as("top2_chars"))
+    val dup5 = grams(5)
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .groupBy("doc_id")
+      .agg(sum(col("c") * length(col("gram"))).as("dup5_chars"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .join(top2, Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("top2_chars"), lit(0L)).as("top2_chars"),
+        coalesce(col("dup5_chars"), lit(0L)).as("dup5_chars"))
+      .withColumn("top2_milli", expr("top2_chars * 1000 div n_chars"))
+      .withColumn("dup5_milli", expr("dup5_chars * 1000 div n_chars"))
+      .withColumn("keep", col("top2_milli") <= 200L && col("dup5_milli") <= 150L)
+      .orderBy("doc_id")
+  }
+
   /** EXACT SUBSTRING-RUN dedup spans (the cross-doc form of Lee et
     * al. 2022, "Deduplicating Training Data Makes Language Models
     * Better" — their suffix-array substring dedup, re-expressed at

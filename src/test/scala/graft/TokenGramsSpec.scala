@@ -47,6 +47,28 @@ class TokenGramsSpec extends SparkSuite {
     assert(hofArr.toSeq == natArr.toSeq, "per-doc chunk order differs")
   }
 
+  test("graft_ngrams generator ≡ HOF full-window construction, multiset + order") {
+    GraftExtensions.register(spark)
+    val df = fixtureAndEdges
+    for (n <- Seq(2, 5)) {
+      // HOF reference: full-length windows only (empty for short docs)
+      val toks = split(col("text"), " ")
+      val hofGrams = when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+        .otherwise(typedlit(Seq.empty[String]))
+      val hof = df.select(col("text"), explode(hofGrams).as("gram"))
+      val native = df.select(col("text"),
+        call_function("graft_ngrams", col("text"), lit(n)).as("gram"))
+      assert(hof.exceptAll(native).isEmpty && native.exceptAll(hof).isEmpty,
+        s"$n-gram multisets differ between HOF and native generator")
+    }
+    // short-doc edge: fewer tokens than n → no grams at all
+    val short = Seq("one", "a b").toDF("text")
+      .select(call_function("graft_ngrams", col("text"), lit(5)))
+    assert(short.isEmpty)
+  }
+
   test("graft_shingles ≡ shingles3 HOF, bit-identical arrays") {
     GraftExtensions.register(spark)
     val df = fixtureAndEdges
