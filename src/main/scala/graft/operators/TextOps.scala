@@ -583,16 +583,22 @@ object TextOps {
     * candidate generation is the ONLY wide stage before the verify. */
   def ngramJaccardPrefixHash(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = shingleDocs(spark, sfDir)
-    val prefix = docs.select(col("doc_id"), col("source"),
+    val prefix = docs.select(col("doc_id"), col("source"), col("sz"),
       explode(slice(col("sh"), lit(1), (col("sz") / 3).cast("int") + 1)).as("tok_h"))
     // never broadcast the exploded table (Catalyst's width estimate
     // undershoots after the 8-byte hash projection); shuffle-hash
-    // co-locates on (source, tok_h)
+    // co-locates on (source, tok_h). LENGTH FILTER (the PPJoin size
+    // bound): J ≥ 0.5 forces |A| and |B| within 2× of each other
+    // (I ≤ min, union ≥ max ⇒ J ≤ min/max), so size-incompatible
+    // bucket collisions drop BEFORE the distinct and the verify join —
+    // recall 1 preserved (RewireEquivalenceSpec pins ≡ all-pairs).
     val cand = prefix.alias("a").hint("shuffle_hash")
       .join(prefix.alias("b"),
         col("a.source") === col("b.source") &&
         col("a.tok_h") === col("b.tok_h") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.doc_id") < col("b.doc_id") &&
+        col("a.sz") <= col("b.sz") * 2 &&
+        col("b.sz") <= col("a.sz") * 2)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     jaccardVerify(cand, docs)
@@ -613,12 +619,16 @@ object TextOps {
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(asc("tok_df"), asc("tok_h"))))
       .filter(col("rn") <= (col("sz") / 3).cast("int") + 1)
-      .select("doc_id", "source", "tok_h")
+      .select("doc_id", "source", "sz", "tok_h")
+    // same PPJoin length filter as the hash path: J ≥ 0.5 ⇒ sizes
+    // within 2×, pruning bucket collisions before distinct + verify
     val cand = prefix.alias("a").hint("shuffle_hash")
       .join(prefix.alias("b"),
         col("a.source") === col("b.source") &&
         col("a.tok_h") === col("b.tok_h") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.doc_id") < col("b.doc_id") &&
+        col("a.sz") <= col("b.sz") * 2 &&
+        col("b.sz") <= col("a.sz") * 2)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     jaccardVerify(cand, docs)
