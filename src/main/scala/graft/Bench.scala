@@ -55,7 +55,8 @@ object Bench {
     "boilerplate_incremental",
     // round-8 surface: Gopher rule-bundle quality gate + exact
     // substring-run dedup spans (chunk-granular Lee et al. form)
-    "gopher_quality", "substring_dedup_spans", "gopher_repetition")
+    "gopher_quality", "substring_dedup_spans", "gopher_repetition",
+    "corpus_report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1126,6 +1126,57 @@ object Oracles {
         |         AND n_alpha_words * 5 >= n_words * 4
         |         AND n_stopwords >= 2 AS keep
         |FROM gq ORDER BY doc_id""".stripMargin),
+    // Per-doc flag expressions mirror TextOps.corpusReport term for
+    // term (which itself inlines the quality_score / gopher_quality
+    // keep rules, with the floor-division upper bound expanded to the
+    // strict form x < 10001n).
+    "corpus_report" -> qx(
+      """, cr AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS wchars,
+        |    CAST((length(text) - length(replace(text, '#', '')))
+        |       + (length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_symbols,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |           t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST((CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' the ', '')) THEN 1 ELSE 0 END)
+        |       + (CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' be ', '')) THEN 1 ELSE 0 END)
+        |       + (CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' to ', '')) THEN 1 ELSE 0 END)
+        |       + (CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' of ', '')) THEN 1 ELSE 0 END)
+        |       + (CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' and ', '')) THEN 1 ELSE 0 END)
+        |       + (CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' that ', '')) THEN 1 ELSE 0 END)
+        |       + (CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' have ', '')) THEN 1 ELSE 0 END)
+        |       + (CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' with ', '')) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_stop,
+        |    md5(text) AS fp
+        |  FROM documents
+        |), crf AS (
+        |  SELECT c.*, f.fp_n FROM cr c
+        |  JOIN (SELECT fp, COUNT(*) AS fp_n FROM cr GROUP BY fp) f USING (fp)
+        |), crs AS (
+        |  SELECT source,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        |    CAST(SUM(CASE WHEN n_tokens BETWEEN 10 AND 10000
+        |               AND wchars <= n_tokens * 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |    CAST(SUM(CASE WHEN n_tokens BETWEEN 10 AND 10000
+        |               AND wchars * 1000 >= n_tokens * 3000
+        |               AND wchars * 1000 < n_tokens * 10001
+        |               AND n_symbols * 10 <= n_tokens
+        |               AND n_alpha * 5 >= n_tokens * 4
+        |               AND n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
+        |    CAST(SUM(CASE WHEN fp_n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+        |  FROM crf GROUP BY source
+        |)""".stripMargin,
+      """SELECT source, n_docs, total_chars, total_tokens, n_en,
+        |       n_quality, n_gopher, n_dup_docs,
+        |       n_quality * 1000 // n_docs AS quality_milli,
+        |       n_gopher * 1000 // n_docs AS gopher_milli,
+        |       n_dup_docs * 1000 // n_docs AS dup_milli
+        |FROM crs ORDER BY source""".stripMargin),
     // N-gram instance lists mirror TextOps.gopherRepetition's grams()
     // (full-length n-grams only; range(0, n-k+1) is empty for short
     // docs); ROW_NUMBER tie order (c DESC, g) is binary collation on

@@ -99,6 +99,7 @@ object SparkEntry {
     "quality_score" -> (TextOps.qualityScore _),
     "gopher_quality" -> (TextOps.gopherQuality _),
     "gopher_repetition" -> (TextOps.gopherRepetition _),
+    "corpus_report" -> (TextOps.corpusReport _),
     "substring_dedup_spans" -> (TextOps.substringDedupSpans _),
     "lang_id" -> (TextOps.langId _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),

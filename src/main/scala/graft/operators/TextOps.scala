@@ -1104,6 +1104,72 @@ object TextOps {
       .orderBy("doc_id", "rn")
   }
 
+  /** The per-source CORPUS CARD — the one-page report a curation run
+    * publishes before training signs off on a corpus: volume (docs,
+    * tokens, chars), language share, quality-gate pass rates (both the
+    * simple [[qualityScore]] rule and the [[gopherQuality]] bundle),
+    * and exact-duplicate exposure, per source in ONE composed plan.
+    * Every rate is exact integer millis (floor division).
+    *
+    * Plan shape: one narrow documents scan computes all per-doc flags
+    * map-side; the only other wide stage is the md5-fingerprint count
+    * (the dup-exposure input, 16-byte rows) joined back on fp; then a
+    * single per-source hash aggregation — |sources| output rows. The
+    * per-doc flag expressions are the SAME rules the standalone gates
+    * apply (keep definitions inlined term for term), so the card can
+    * never disagree with the gates it summarizes. */
+  def corpusReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val nTokens = Exprs.tokenCount(col("text")).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val nonSpace = nChars - (nTokens - 1)
+    // qualityScore's keep rule (integer-exact: nonSpace/nTokens is
+    // double division there with a <= 20 bound — equivalently
+    // nonSpace <= 20 * nTokens, exact)
+    val qKeep = nTokens >= 10 && nTokens <= 10000 &&
+      nonSpace <= nTokens * 20
+    // gopherQuality's keep rule, same five terms
+    val wlenMilli = nonSpace * 1000
+    val nSymbols = (Exprs.occurrences(col("text"), "#") +
+      Exprs.occurrences(col("text"), "...")).cast("long")
+    val nAlpha = size(filter(split(col("text"), " "),
+      t => t.rlike("[A-Za-z]"))).cast("long")
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStops = stops.map(w =>
+      when(Exprs.occurrences(padded, s" $w ") > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    // floor-division bound equivalences: div(x,n) ≥ 3000 ⟺ x ≥ 3000n;
+    // div(x,n) ≤ 10000 ⟺ x < 10001n (NOT x ≤ 10000n — the floor
+    // absorbs the fractional part, so the strict form is required to
+    // match gopherQuality's gate exactly)
+    val gKeep = nTokens.between(10L, 10000L) &&
+      wlenMilli >= nTokens * 3000 && wlenMilli < nTokens * 10001 &&
+      nSymbols * 10 <= nTokens &&
+      nAlpha * 5 >= nTokens * 4 &&
+      nStops >= 2L
+    val flags = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        nChars.as("n_chars"), nTokens.as("n_tokens"),
+        qKeep.as("q_keep"), gKeep.as("g_keep"),
+        md5(col("text")).as("fp"))
+    val fpCounts = flags.groupBy("fp").agg(count(lit(1)).as("fp_n"))
+    flags.join(fpCounts, Seq("fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum("n_tokens").as("total_tokens"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(when(col("q_keep"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("g_keep"), 1L).otherwise(0L)).as("n_gopher"),
+        sum(when(col("fp_n") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .withColumn("quality_milli", expr("n_quality * 1000 div n_docs"))
+      .withColumn("gopher_milli", expr("n_gopher * 1000 div n_docs"))
+      .withColumn("dup_milli", expr("n_dup_docs * 1000 div n_docs"))
+      .select("source", "n_docs", "total_chars", "total_tokens", "n_en",
+        "n_quality", "n_gopher", "n_dup_docs",
+        "quality_milli", "gopher_milli", "dup_milli")
+      .orderBy("source")
+  }
+
   /** Deterministic stratified sampling — per-source keep rates via a
     * uniform hash of the doc id (md5 hex prefix < per-stratum
     * threshold). Even-numbered sources keep ~50% ('80'/256 hex pairs),
