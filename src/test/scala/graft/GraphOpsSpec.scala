@@ -105,8 +105,13 @@ class GraphOpsSpec extends SparkSuite {
       val reliable = operators.GraphOps.dedupClusters(spark, sf).collect()
         .map(_.toSeq).toSeq
       assert(reliable == local)
-      // the reliable path actually wrote checkpoint files
-      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      // the reliable path actually wrote checkpoint files — into
+      // whichever dir owns the JVM-wide context checkpoint location
+      // (set once per JVM; an earlier reliable-mode suite may own it)
+      val actualDir = spark.sparkContext.getCheckpointDir.get
+        .stripPrefix("file:")
+      val wrote = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(actualDir))
         .filter(java.nio.file.Files.isRegularFile(_)).count()
       assert(wrote > 0, "reliable mode produced no checkpoint files")
     } finally spark.conf.unset("spark.graft.checkpointDir")

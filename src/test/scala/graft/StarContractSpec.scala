@@ -85,6 +85,27 @@ class StarContractSpec extends SparkSuite {
     }
   }
 
+  test("reliable-checkpoint mode (spark.graft.checkpointDir) yields the same answer") {
+    val dir = java.nio.file.Files.createTempDirectory("star-ckpt").toString
+    val g = (1L until 40L).map(i => (i, i + 1)) ++ Seq((100L, 101L))
+    val plain = run(g)
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      // the context checkpoint dir is set once per JVM (an earlier
+      // reliable-mode test may own it) — count the DELTA of files in
+      // whichever dir actually serves the engine's df.checkpoint()
+      def fileCount(d: String): Long =
+        java.nio.file.Files.walk(
+            java.nio.file.Paths.get(d.stripPrefix("file:")))
+          .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      val reliable = run(g)
+      val actualDir = spark.sparkContext.getCheckpointDir.get
+      assert(reliable == plain)
+      assert(fileCount(actualDir) > 0,
+        "reliable mode left no checkpoint files on disk")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
   test("ccEngine conf forces the engine on star-shaped dispatch") {
     // dedupClusters dispatches starShaped=true → minlabel under auto;
     // forcing `star` must not change the answer.
