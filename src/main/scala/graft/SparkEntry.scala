@@ -85,6 +85,9 @@ object SparkEntry {
     "events_session" -> (EventOps.eventsSession _),
     "events_props_json" -> (EventOps.eventsPropsJson _),
     "events_value_pct" -> (EventOps.eventsValuePct _),
+    // rows-only: percentile_approx's sketch has no DuckDB equivalent;
+    // TwinAgreementSpec bounds it against the hash-checked exact twin
+    "events_value_pct_approx" -> (EventOps.eventsValuePctApprox _),
     "events_gap_fill" -> (EventOps.eventsGapFill _),
     // LLM-pipeline: text analysis + dedup
     "dedup_exact" -> (TextOps.dedupExact _),

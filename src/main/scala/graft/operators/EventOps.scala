@@ -91,6 +91,27 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** The 100 TB form of [[eventsValuePct]] made first-class: per-type
+    * p50/p95/p99 via `percentile_approx` (a one-pass mergeable
+    * KLL-style sketch — no per-group sort, map-side partial merge)
+    * instead of exact `percentile`'s group sort. Rows-only by design
+    * (DuckDB's approx sketch is a different algorithm); pinned against
+    * the hash-checked exact twin by TwinAgreementSpec's per-row error
+    * bound. Accuracy 10⁴ ⇒ rank error ≤ n/10⁴ — at fixture scale the
+    * sketch is exact or one neighbor off; at corpus scale it is the
+    * only shape that doesn't sort every group. */
+  def eventsValuePctApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    def apct(p: Double, name: String) =
+      percentile_approx(col("cents"), lit(p), lit(10000))
+        .cast("long").as(name)
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), valueCents.as("cents"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), apct(0.5, "p50_cents"),
+        apct(0.95, "p95_cents"), apct(0.99, "p99_cents"))
+      .orderBy("event_type")
+  }
+
   /** CDC last-writer-wins compaction: collapse each (user_id,
     * event_type) key to its latest version by sequence number
     * (event_id — monotonic arrival order; ns timestamps are not a

@@ -33,6 +33,36 @@ class TwinAgreementSpec extends SparkSuite {
     assert(jacc >= 0.6, s"pair-set Jaccard xx vs poly = $jacc")
   }
 
+  test("events_value_pct_approx honors the sketch's RANK-error contract") {
+    // the sketch's contract is rank error (≤ n/accuracy), not value
+    // error — in a sparse value tail adjacent order statistics are far
+    // apart, so a value-distance bound would be meaningless. Assert:
+    // the approx value's empirical rank window covers the requested
+    // percentile within ε (sketch ε = 10⁻⁴ + one-element discreteness).
+    val exactRows = operators.EventOps.eventsValuePct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perGroup = sources.Tables.events(spark, sf)
+      .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val approx = operators.EventOps.eventsValuePctApprox(spark, sf).collect()
+    assert(approx.nonEmpty && approx.length == exactRows.size)
+    approx.foreach { r =>
+      val g = r.getString(0)
+      assert(r.getLong(1) == exactRows(g), "group counts must be exact")
+      val vs = perGroup(g)
+      val n = vs.length.toDouble
+      for ((p, i) <- Seq(0.5 -> 2, 0.95 -> 3, 0.99 -> 4)) {
+        val a = r.getLong(i)
+        val below = vs.count(_ < a) / n
+        val atOrBelow = vs.count(_ <= a) / n
+        val eps = 1e-4 + 1.0 / n + 1e-9
+        assert(below <= p + eps && atOrBelow >= p - eps,
+          s"$g p$p: approx $a has rank window [$below, $atOrBelow]")
+      }
+    }
+  }
+
   test("simhash_dedup (xxhash64) agrees with hash-checked simhash_dedup_poly") {
     // the two variants hash differently (64-bit xxhash / Hamming ≤ 8 vs
     // 30-bit poly / Hamming ≤ 2) so their full pair sets are not
