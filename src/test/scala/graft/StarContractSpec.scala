@@ -4,12 +4,13 @@ import org.apache.spark.sql.DataFrame
 
 /** The alternating star-contraction components engine must produce
   * exactly the same (doc, comp) mapping as min-label propagation and
-  * as a driver-side union-find — on engineered topologies (including
-  * a long path, the shape min-label is WORST at) and on the real
-  * fixture pair graphs. Also pins the O(log²) round behavior: the
-  * 200-node path converges within the 25-round cap, which min-label
-  * propagation's diameter-bound loop could never do under a cap that
-  * size.
+  * as a driver-side union-find — on engineered topologies and on the
+  * real fixture pair graphs. Also pins the O(log²) round behavior: the
+  * 200-node path converges within the 25-round cap — topology-blind
+  * by construction (min-label also passes a pure path, but only
+  * because pointer jumping telescopes label chains ALIGNED with the
+  * graph; CcProbe records the measured trade per topology, and the
+  * dense detector graphs are where this engine wins 4×).
   */
 class StarContractSpec extends SparkSuite {
   import spark.implicits._
