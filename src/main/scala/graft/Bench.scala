@@ -56,7 +56,7 @@ object Bench {
     // round-8 surface: Gopher rule-bundle quality gate + exact
     // substring-run dedup spans (chunk-granular Lee et al. form)
     "gopher_quality", "substring_dedup_spans", "gopher_repetition",
-    "corpus_report")
+    "corpus_report", "fuzzy_dedup_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1965,6 +1965,32 @@ object Oracles {
           |       CAST(SUM(CASE WHEN kept THEN 0 ELSE n_chars END) AS BIGINT)
           |         AS chars_dropped
           |FROM verdict GROUP BY source ORDER BY source""".stripMargin),
+      // audit: dropped docs with the canonical that replaced them and
+      // the max-est incident pair (tie → smallest partner) — mirrors
+      // GraphOps.fuzzyDedupAudit; fcomp/fcanon come from the shared
+      // components CTE, undp re-thresholds pest exactly like fund
+      "fuzzy_dedup_audit" -> qrx(PolyMinhashPairsCte + FuzzyComponentsCte +
+        """, undp AS (
+          |  SELECT a_id AS doc_id, b_id AS partner, est_jaccard_milli
+          |  FROM pest WHERE est_jaccard_milli >= 500
+          |  UNION ALL
+          |  SELECT b_id, a_id, est_jaccard_milli
+          |  FROM pest WHERE est_jaccard_milli >= 500
+          |), bestp AS (
+          |  SELECT doc_id, partner AS best_partner,
+          |         est_jaccard_milli AS best_est_milli
+          |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+          |          ORDER BY est_jaccard_milli DESC, partner) AS rn
+          |        FROM undp)
+          |  WHERE rn = 1
+          |)""".stripMargin,
+        """SELECT c.doc_id, c.component, f.canon_id,
+          |       b.best_partner, b.best_est_milli
+          |FROM fcomp c
+          |JOIN fcanon f USING (component)
+          |JOIN bestp b USING (doc_id)
+          |WHERE c.doc_id <> f.canon_id
+          |ORDER BY c.doc_id""".stripMargin),
       "cross_source_dups" -> qx(PolyMinhashPairsCte,
         """SELECT least(sa.source, sb.source) AS source_lo,
           |       greatest(sa.source, sb.source) AS source_hi,

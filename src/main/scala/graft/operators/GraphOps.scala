@@ -313,15 +313,58 @@ object GraphOps {
     * output. `docs` must carry (doc_id, n_chars); `clusters`
     * (doc_id, component). */
   private def canonicalVerdict(docs: DataFrame, clusters: DataFrame): DataFrame = {
-    val canon = clusters.join(docs, Seq("doc_id"))
-      .groupBy("component")
-      .agg(max_by(col("doc_id"),
-        struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("canon_id"))
+    val canon = canonicalPick(docs, clusters)
     docs.join(clusters, Seq("doc_id"), "left")
       .join(canon, Seq("component"), "left")
       .select(col("doc_id"), col("component"),
         (col("component").isNull || col("doc_id") === col("canon_id"))
           .as("kept"))
+  }
+
+  /** The survivor PICK alone — (component, canon_id) by the
+    * keep-the-longest rule, extracted so [[canonicalVerdict]] and the
+    * audit report share one definition (the rule can never fork). */
+  private def canonicalPick(docs: DataFrame, clusters: DataFrame): DataFrame =
+    clusters.join(docs, Seq("doc_id"))
+      .groupBy("component")
+      .agg(max_by(col("doc_id"),
+        struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("canon_id"))
+
+  /** AUDIT of the fuzzy dedup verdict — the "why was my document
+    * dropped" report a corpus owner asks for after a curation run: one
+    * row per DROPPED doc carrying its cluster, the canonical that
+    * replaced it (shared [[canonicalPick]] rule), and the strongest
+    * near-dup EVIDENCE — the incident pair with the highest estimated
+    * Jaccard (tie → smallest partner id, deterministic for the oracle).
+    * Every dropped doc has at least one incident pair by construction
+    * (it is in a component), so the evidence join is inner.
+    * Scale: the pair frame is LSH-bucketed (never all-pairs), the
+    * per-doc argmax is one map-side-partial max_by over pairs×2 rows,
+    * and the verdict joins are doc_id/component-equi — nothing wider
+    * than the dedup pipeline this audits. */
+  def fuzzyDedupAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = SimilarityOps.minhashPolyPairs(spark, sfDir)
+      .filter(col("est_jaccard_milli") >= 500)
+    val comp = components(pairs
+        .select(col("a_id").as("src"), col("b_id").as("dst")))
+      .select(col("doc").as("doc_id"), col("comp").as("component"))
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+    val canon = canonicalPick(docs, comp)
+    val und = pairs.select(col("a_id").as("doc_id"), col("b_id").as("partner"),
+        col("est_jaccard_milli"))
+      .union(pairs.select(col("b_id").as("doc_id"), col("a_id").as("partner"),
+        col("est_jaccard_milli")))
+    val best = und.groupBy("doc_id")
+      .agg(max_by(col("partner"),
+          struct(col("est_jaccard_milli"), (-col("partner")).as("np")))
+        .as("best_partner"),
+        max("est_jaccard_milli").as("best_est_milli"))
+    comp.join(canon, Seq("component"))
+      .filter(col("doc_id") =!= col("canon_id"))
+      .join(best, Seq("doc_id"))
+      .select(col("doc_id"), col("component"), col("canon_id"),
+        col("best_partner"), col("best_est_milli"))
+      .orderBy("doc_id")
   }
 
   /** End-to-end FUZZY dedup — the whole near-dup pipeline as one
