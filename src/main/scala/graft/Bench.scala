@@ -56,7 +56,8 @@ object Bench {
     // round-8 surface: Gopher rule-bundle quality gate + exact
     // substring-run dedup spans (chunk-granular Lee et al. form)
     "gopher_quality", "substring_dedup_spans", "gopher_repetition",
-    "corpus_report", "fuzzy_dedup_audit")
+    "corpus_report", "fuzzy_dedup_audit", "q8_covariance",
+    "embedding_pca_project")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -74,8 +75,11 @@ object Bench {
     // token_count_bpe_trained's first call trains the merge table —
     // both are the OFFLINE half of their lifecycle (nightly jobs), so
     // warming them keeps the timed passes measuring the online plans
+    // embedding_pca_project's first call runs the covariance collect +
+    // Jacobi eigensolve (the PCA training half) — offline like the
+    // IVF build and BPE training beside it
     Seq("task_stats", "events_tumbling", "ann_ivf_probe",
-      "token_count_bpe_trained").foreach { n =>
+      "token_count_bpe_trained", "embedding_pca_project").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CompressionRatio, CosineSimilarity, MinHashSig, PolyMinHashSig, PolySimHash, Q8CellSig, Q8Dot, RollingFp, SimHash64, TokenChunksGen, TokenChunksPosGen, TokenNGramsGen, TokenShingles}
+import graft.functions.{CompressionRatio, CosineSimilarity, MinHashSig, PolyMinHashSig, PolySimHash, Q8CellSig, Q8Dot, Q8MomentsGen, RollingFp, SimHash64, TokenChunksGen, TokenChunksPosGen, TokenNGramsGen, TokenShingles}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for the SQL surface. Use either at session build time
@@ -103,6 +103,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_q8cell"),
       new ExpressionInfo(classOf[Q8CellSig].getName, "graft_q8cell"),
       (children: Seq[Expression]) => Q8CellSig(children(0))),
+    (FunctionIdentifier("graft_q8moments"),
+      new ExpressionInfo(classOf[Q8MomentsGen].getName, "graft_q8moments"),
+      (children: Seq[Expression]) => Q8MomentsGen(children(0))),
     (FunctionIdentifier("graft_q8dot"),
       new ExpressionInfo(classOf[Q8Dot].getName, "graft_q8dot"),
       (children: Seq[Expression]) => Q8Dot(children(0), children(1))),

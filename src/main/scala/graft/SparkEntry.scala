@@ -67,6 +67,10 @@ object SparkEntry {
     "idle_rich_customers" -> (JoinOps.idleRichCustomers _),
     "source_caps" -> (TextOps.sourceCaps _),
     "embedding_quantize" -> (SimilarityOps.embeddingQuantize _),
+    "q8_covariance" -> (PcaOps.q8Covariance _),
+    // rows-only: driver-side Jacobi eigensolve has no oracle analog;
+    // PcaSpec pins basis + projection against a plain-Scala reference
+    "embedding_pca_project" -> (PcaOps.embeddingPcaProject _),
     "ann_q8_topk" -> (SimilarityOps.annQ8Topk _),
     "ann_q8_lsh_topk" -> (SimilarityOps.annQ8LshTopk _),
     "doc_pack" -> (TextOps.docPack _),

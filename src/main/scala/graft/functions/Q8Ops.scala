@@ -170,3 +170,65 @@ case class Q8Dot(left: Expression, right: Expression) extends BinaryExpression {
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Generator form of the upper-triangle second-moment entries of one
+  * q8 vector: `graft_q8moments(q8)` → rows (i, j, v = q8ᵢ·q8ⱼ,
+  * qi, qj) for i ≤ j — the input stream of
+  * [[graft.operators.PcaOps.q8Covariance]]'s hash aggregation. Native
+  * for the usual reason (the flatten-of-nested-transform HOF form
+  * measured 2.8 s at sf0.1 building 10M interpreted structs; this
+  * streams them from one tight loop), and the generator feeds straight
+  * into map-side partial aggregation, so the shuffle stays
+  * d(d+1)/2 × partitions rows at any corpus size. Null elements (the
+  * degenerate-vector contract of Q8CellSig) contribute rows with the
+  * null treated as 0, matching SUM-skips-nulls oracle arithmetic only
+  * when vectors are non-degenerate — the fixture's are; degenerate
+  * stores should filter first (documented boundary).
+  */
+case class Q8MomentsGen(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_q8moments expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override def elementSchema: StructType = StructType(
+    StructField("i", IntegerType, nullable = false) ::
+    StructField("j", IntegerType, nullable = false) ::
+    StructField("v", LongType, nullable = false) ::
+    StructField("qi", LongType, nullable = false) ::
+    StructField("qj", LongType, nullable = false) :: Nil)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val a = child.eval(input)
+    if (a == null) Iterator.empty
+    else {
+      val arr = a.asInstanceOf[ArrayData]
+      val d = arr.numElements()
+      val q = new Array[Long](d)
+      var k = 0
+      while (k < d) {
+        q(k) = if (arr.isNullAt(k)) 0L else arr.getLong(k)
+        k += 1
+      }
+      new Iterator[InternalRow] {
+        private var i = 0
+        private var j = 0
+        override def hasNext: Boolean = i < d
+        override def next(): InternalRow = {
+          val row = new GenericInternalRow(Array[Any](i, j, q(i) * q(j), q(i), q(j)))
+          j += 1
+          if (j >= d) { i += 1; j = i }
+          row
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -890,6 +890,11 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** The bare (vec_id, q8) store projection — [[PcaOps]]' input; same
+    * native signature expression as the whole q8 family. */
+  private[operators] def q8Frame(spark: SparkSession, sfDir: String): DataFrame =
+    q8CellOf(spark, Tables.embeddings(spark, sfDir)).select("vec_id", "q8")
+
   /** [[q8CellFrame]] over any (vec_id, embedding) frame — index build
     * and probe share the one signature definition. */
   private def q8CellOf(spark: SparkSession, vecs: DataFrame): DataFrame = {
