@@ -281,6 +281,93 @@ object MultimodalOps {
     }
   }
 
+  /** Output of [[resampleAudio]]: mono 16-bit little-endian PCM at the
+    * target rate, with the post-resample RMS for a quick signal
+    * check. */
+  final case class ResampledAudio(doc_id: Long, sample_rate: Int,
+      n_frames: Long, rms_milli: Long, pcm: Array[Byte], ok: Boolean)
+
+  /** REAL audio RESAMPLE to mono at a target rate (default 16 kHz —
+    * the standard speech-model input): channel-average to mono, then
+    * LINEAR interpolation at exact rational sample positions
+    * (srcPos = t·srcRate/dstRate via integer div/mod — no drifting
+    * float accumulator). Deliberately NOT AudioSystem's converter:
+    * javax rate conversion is service-provider-dependent (output
+    * differs across JDK vendors), while a training pipeline needs the
+    * same bytes from every worker — this loop is deterministic
+    * arithmetic. Accepts exactly what [[decodeAudio]] accepts
+    * (uncompressed 16-bit PCM; anything else quarantines with
+    * ok=false), same mapPartitions batch shape, payload bytes never
+    * shuffle except as the bounded mono output. */
+  def resampleAudio(media: Dataset[MediaRecord],
+      targetRate: Int = 16000): Dataset[ResampledAudio] = {
+    import media.sparkSession.implicits._
+    val bad = (id: Long) =>
+      ResampledAudio(id, 0, 0L, 0L, Array.emptyByteArray, ok = false)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          try {
+            val fmt = in.getFormat
+            if (fmt.getEncoding !=
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                fmt.getSampleSizeInBits != 16) bad(r.doc_id)
+            else {
+              val data = in.readAllBytes()
+              val ch = fmt.getChannels
+              val srcRate = fmt.getSampleRate.toInt
+              val nFrames = data.length / (2 * ch)
+              // mono fold: average channels per frame (int sum, /ch)
+              val mono = new Array[Double](nFrames)
+              var f = 0
+              while (f < nFrames) {
+                var s = 0L
+                var c = 0
+                while (c < ch) {
+                  val i = (f * ch + c) * 2
+                  val v =
+                    if (fmt.isBigEndian)
+                      ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+                    else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+                  s += v; c += 1
+                }
+                mono(f) = s.toDouble / ch
+                f += 1
+              }
+              if (nFrames == 0 || srcRate <= 0) bad(r.doc_id)
+              else {
+                val nOut =
+                  ((nFrames - 1).toLong * targetRate / srcRate).toInt + 1
+                val out = new Array[Byte](nOut * 2)
+                var sumSq = 0.0
+                var t = 0
+                while (t < nOut) {
+                  val num = t.toLong * srcRate
+                  val i0 = (num / targetRate).toInt
+                  val frac = (num % targetRate).toDouble / targetRate
+                  val a = mono(i0)
+                  val b = if (i0 + 1 < nFrames) mono(i0 + 1) else a
+                  val v = math.round(a + (b - a) * frac).toInt
+                    .max(Short.MinValue).min(Short.MaxValue)
+                  out(2 * t) = (v & 0xff).toByte
+                  out(2 * t + 1) = ((v >> 8) & 0xff).toByte
+                  sumSq += v.toDouble * v
+                  t += 1
+                }
+                val rms =
+                  math.round(math.sqrt(sumSq / nOut) * 1000 / 32768)
+                ResampledAudio(r.doc_id, targetRate, nOut.toLong, rms,
+                  out, ok = true)
+              }
+            }
+          } finally in.close()
+        } catch { case _: Exception => bad(r.doc_id) }
+      }
+    }
+  }
+
   /** Container-level metadata of a video payload ([[probeVideo]]). */
   final case class VideoMeta(doc_id: Long, brand: String, duration_ms: Long,
       width: Int, height: Int, n_tracks: Int, video_codec: String, ok: Boolean)

@@ -114,6 +114,63 @@ class MultimodalSpec extends SparkSuite {
       "corrupt payload must quarantine, not throw")
   }
 
+  /** WAV container around explicit little-endian samples (interleaved
+    * if multi-channel) — the interpolation tests need controlled
+    * waveforms, not just the square wave. */
+  private def wavOf(rate: Float, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels,
+      true, false)
+    val data = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      data(2 * i) = s.toByte; data(2 * i + 1) = (s >> 8).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt,
+      (samples.length / channels).toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private def shortsOf(pcm: Array[Byte]): Array[Short] =
+    pcm.grouped(2).map(p => (((p(1) << 8) | (p(0) & 0xff))).toShort).toArray
+
+  test("resampleAudio: exact linear interpolation, mono fold, quarantine") {
+    val s = spark
+    import s.implicits._
+    val ramp = Array.tabulate(100)(i => (i * 4).toShort) // linear ramp
+    val stereo = Array.tabulate(40)(i =>
+      if (i % 2 == 0) 100.toShort else 300.toShort) // L=100 R=300
+    val recs = Seq(
+      MultimodalOps.MediaRecord(1L, wavOf(8000f, 1, ramp), "audio/wav", 0L),
+      MultimodalOps.MediaRecord(2L, wavOf(8000f, 2, stereo), "audio/wav", 0L),
+      MultimodalOps.MediaRecord(3L, wavOf(16000f, 1, ramp), "audio/wav", 0L),
+      MultimodalOps.MediaRecord(4L, "noise".getBytes, "audio/wav", 0L))
+    val got = MultimodalOps.resampleAudio(recs.toDS(), 16000)
+      .collect().map(r => r.doc_id -> r).toMap
+
+    // 8k → 16k upsample of a linear ramp: even outputs hit sources,
+    // odd outputs are exact midpoints
+    val up = got(1L)
+    assert(up.ok && up.sample_rate == 16000 && up.n_frames == 199)
+    val upS = shortsOf(up.pcm)
+    (0 until 99).foreach { t =>
+      assert(upS(2 * t) == ramp(t))
+      assert(upS(2 * t + 1) == ((ramp(t) + ramp(t + 1) + 1) / 2).toShort ||
+        upS(2 * t + 1) == ((ramp(t) + ramp(t + 1)) / 2).toShort)
+    }
+    // stereo folds to per-frame channel average
+    val st = got(2L)
+    assert(st.ok && shortsOf(st.pcm).forall(_ == 200))
+    // 16k → 16k is the identity
+    val id = got(3L)
+    assert(id.ok && id.n_frames == 100 && shortsOf(id.pcm).sameElements(ramp))
+    assert(!got(4L).ok && got(4L).n_frames == 0,
+      "corrupt payload must quarantine, not throw")
+  }
+
   // --- REAL video container probe (pure ISO-BMFF byte walk) ---
 
   private def u32be(v: Long): Array[Byte] =
