@@ -186,7 +186,10 @@ object Oracles {
     * (Q8Ops.scala; SemanticDedupSpec pins it). The fixture carries no such
     * vectors, but a regeneration that adds one must not fork the two
     * engines. */
-  private val SemanticCellCte: String =
+  /** Just the q8 store CTE — mirrors SimilarityOps' native Q8CellSig
+    * quantization; shared by [[SemanticCellCte]] and the covariance
+    * oracle. */
+  private val Sq8Cte: String =
     """, sq8 AS (
       |  SELECT vec_id,
       |         list_transform(embedding, x ->
@@ -197,7 +200,10 @@ object Oracles {
       |               list_max(list_transform(embedding,
       |                 x -> abs(CAST(x AS DOUBLE)))) AS mx
       |        FROM embeddings)
-      |), sdims AS (
+      |)""".stripMargin
+
+  private val SemanticCellCte: String = Sq8Cte +
+    """, sdims AS (
       |  SELECT unnest(range(0, (SELECT MAX(len(embedding)) FROM embeddings))) AS pos
       |), scellbit AS (
       |  SELECT vec_id, p,
@@ -1802,6 +1808,22 @@ object Oracles {
       // predicate dot²·10⁴ ≥ τ_e2²·‖a‖²·‖b‖² (all int64), reported
       // cos² = floor(dot²·10⁶ / (‖a‖²‖b‖²)) — `//` is floor division
       // on BIGINT, matching Spark's DIV.
+      // upper-triangle raw second moments over the q8 store — mirrors
+      // PcaOps.q8Covariance (centering happens post-aggregation on the
+      // driver, so the distributed pass is pure int64)
+      "q8_covariance" -> qx(Sq8Cte +
+        """, pcv AS (
+          |  SELECT vec_id, q8, unnest(range(0, len(q8))) AS i FROM sq8
+          |), pcv2 AS (
+          |  SELECT CAST(i AS INT) AS i,
+          |         CAST(unnest(range(i, len(q8))) AS INT) AS j, q8
+          |  FROM pcv
+          |)""".stripMargin,
+        """SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+          |       CAST(SUM(q8[i+1] * q8[j+1]) AS BIGINT) AS s2,
+          |       CAST(SUM(q8[i+1]) AS BIGINT) AS s1_i,
+          |       CAST(SUM(q8[j+1]) AS BIGINT) AS s1_j
+          |FROM pcv2 GROUP BY i, j ORDER BY i, j""".stripMargin),
       "semantic_dedup" -> qx(SemanticPairsCte,
         """SELECT a_id, b_id, cell, dot, cos2_e6 FROM spairs
           |ORDER BY a_id, b_id""".stripMargin),
