@@ -235,11 +235,11 @@ object GraphOps {
         .union(edges.select(col("dst").as("u"), col("src").as("v")))
       val lmins = nbrs.groupBy("u").agg(min("v").as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
-      val large = ckpt(nbrs.join(lmins, Seq("u"))
+      val large = nbrs.join(lmins, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("m").as("src"), col("v").as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct())
+        .distinct()
       // SMALL-STAR: view edges pointing high→low (u = dst side, its
       // smaller neighborhood N≤(u) = the srcs); hang N≤(u) ∪ {u}
       // under m = min N≤(u). Emits (m, v) for v ∈ N≤(u) \ {m} plus
