@@ -347,8 +347,15 @@ object GraphOps {
     * and the verdict joins are doc_id/component-equi — nothing wider
     * than the dedup pipeline this audits. */
   def fuzzyDedupAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    // the pair frame feeds BOTH the components fixpoint (separate jobs
+    // via its checkpoints) and the evidence argmax — localCheckpoint
+    // materializes the LSH stage once so the corpus is signed once
+    // regardless of planner choices (A/B at 10×: ~0.5 s, within host
+    // noise locally; at real scale the avoided second signing pass is
+    // corpus-sized, the same argument as every stored-index form here)
     val pairs = SimilarityOps.minhashPolyPairs(spark, sfDir)
       .filter(col("est_jaccard_milli") >= 500)
+      .localCheckpoint()
     val comp = components(pairs
         .select(col("a_id").as("src"), col("b_id").as("dst")))
       .select(col("doc").as("doc_id"), col("comp").as("component"))
