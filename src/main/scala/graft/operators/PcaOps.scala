@@ -150,14 +150,41 @@ object PcaOps {
     * fold left-to-right (zip_with → ordered aggregate), the same order
     * PcaSpec's driver reference folds, so the spec compare is exact. */
   def embeddingPcaProject(spark: SparkSession, sfDir: String): DataFrame = {
-    val (comps, offsets) = pcaBasis(spark, sfDir)
     val q8v = SimilarityOps.q8Frame(spark, sfDir)
-    val projCols: Seq[Column] = comps.toSeq.zipWithIndex.map { case (w, c) =>
+    q8v.select(col("vec_id") +: projectionCols(pcaBasis(spark, sfDir)): _*)
+      .orderBy("vec_id")
+  }
+
+  /** The projection as reusable Columns over any (q8) frame — the
+    * batch query and the streaming form share this one definition, so
+    * the arithmetic cannot fork between them. */
+  private def projectionCols(
+      basis: (Array[Array[Double]], Array[Double])): Seq[Column] = {
+    val (comps, offsets) = basis
+    comps.toSeq.zipWithIndex.map { case (w, c) =>
       val dot = aggregate(
         zip_with(col("q8"), typedlit(w.toSeq), (x, wc) => x * wc),
         lit(0.0), (acc, x) => acc + x)
       round((dot - lit(offsets(c))) * 1e6).cast("long").as(s"pc${c + 1}_micro")
     }
-    q8v.select(col("vec_id") +: projCols: _*).orderBy("vec_id")
+  }
+
+  /** STREAM-STATIC projection — arriving vectors projected with the
+    * STORED basis the moment they land (the ingestion-time form, same
+    * shape as the stream-static signature/vector index probes):
+    * stateless, zero aggregation — the basis was trained offline from
+    * the batch corpus ([[pcaBasis]], memoized) and rides into the
+    * streaming plan as literals, so each micro-batch is one pure map.
+    * `arrivals` must carry (vec_id, embedding); quantization is the
+    * same native expression as the batch store. */
+  def projectStream(spark: SparkSession, sfDir: String,
+      arrivals: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val basis = pcaBasis(spark, sfDir)
+    arrivals
+      .select(col("vec_id"),
+        call_function("graft_q8cell", col("embedding"))
+          .getField("q8").as("q8"))
+      .select(col("vec_id") +: projectionCols(basis): _*)
   }
 }
