@@ -1111,9 +1111,9 @@ object TextOps {
     * and exact-duplicate exposure, per source in ONE composed plan.
     * Every rate is exact integer millis (floor division).
     *
-    * Plan shape: one narrow documents scan computes all per-doc flags
-    * map-side; the only other wide stage is the md5-fingerprint count
-    * (the dup-exposure input, 16-byte rows) joined back on fp; then a
+    * Plan shape: ONE narrow documents scan computes all per-doc flags
+    * map-side; the only other wide stage is the per-fingerprint count
+    * window (the dup-exposure input) over that same frame; then a
     * single per-source hash aggregation — |sources| output rows. The
     * per-doc flag expressions are the SAME rules the standalone gates
     * apply (keep definitions inlined term for term), so the card can
@@ -1151,8 +1151,12 @@ object TextOps {
         nChars.as("n_chars"), nTokens.as("n_tokens"),
         qKeep.as("q_keep"), gKeep.as("g_keep"),
         md5(col("text")).as("fp"))
-    val fpCounts = flags.groupBy("fp").agg(count(lit(1)).as("fp_n"))
-    flags.join(fpCounts, Seq("fp"))
+    // per-fp count as a WINDOW over the flags frame, not a groupBy +
+    // self-join — the join form computes the documents scan twice
+    // (column pruning specializes the branches, no ReuseExchange; the
+    // same measured fact behind boilerplate_strip's one-scan form)
+    import org.apache.spark.sql.expressions.Window
+    flags.withColumn("fp_n", count(lit(1)).over(Window.partitionBy("fp")))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_chars").as("total_chars"),
