@@ -281,7 +281,12 @@ object GraphOps {
     *    resolves everything in one closed-form round and the loop only
     *    confirms), star contraction for arbitrary pair graphs
     *    (MinHash/SimHash/semantic pairs), whose diameter is
-    *    data-dependent and unbounded. */
+    *    data-dependent and unbounded.
+    * Input contract: src ≠ dst per edge (every detector here emits
+    * a < b pairs by construction). A pure self-loop node is the one
+    * input the engines treat differently — min-label self-labels it,
+    * star contraction normalizes it away — so self-loops are out of
+    * contract rather than silently engine-dependent. */
   private[graft] def components(rawEdges: DataFrame,
       starShaped: Boolean = false): DataFrame =
     rawEdges.sparkSession.conf.get("spark.graft.ccEngine", "auto") match {
