@@ -57,7 +57,7 @@ object Bench {
     // substring-run dedup spans (chunk-granular Lee et al. form)
     "gopher_quality", "substring_dedup_spans", "gopher_repetition",
     "corpus_report", "fuzzy_dedup_audit", "q8_covariance",
-    "embedding_pca_project")
+    "embedding_pca_project", "dedup_clusters_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -78,8 +78,11 @@ object Bench {
     // embedding_pca_project's first call runs the covariance collect +
     // Jacobi eigensolve (the PCA training half) — offline like the
     // IVF build and BPE training beside it
+    // dedup_clusters_incremental's first call materializes the stored
+    // existing-corpus assignment — the nightly job's input artifact
     Seq("task_stats", "events_tumbling", "ann_ivf_probe",
-      "token_count_bpe_trained", "embedding_pca_project").foreach { n =>
+      "token_count_bpe_trained", "embedding_pca_project",
+      "dedup_clusters_incremental").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>

@@ -1601,6 +1601,14 @@ object Oracles {
       """SELECT doc_id, component,
         |       COUNT(*) OVER (PARTITION BY component) AS cluster_size
         |FROM comp ORDER BY doc_id""".stripMargin),
+    // incremental maintenance must EQUAL the full recompute (labels
+    // are component min-ids, so contracting new edges to stored labels
+    // preserves the global minimum) — the oracle IS the full-graph
+    // fixpoint, gating the merge path against the answer it maintains
+    "dedup_clusters_incremental" -> qrx(DedupClustersCte,
+      """SELECT doc_id, component,
+        |       COUNT(*) OVER (PARTITION BY component) AS cluster_size
+        |FROM comp ORDER BY doc_id""".stripMargin),
     // canonical pick: longest text, tie -> min doc_id. The composite
     // argmax key is encoded as ONE scalar (n_chars*1e9 - doc_id; doc
     // ids are far below 1e9 at any fixture SF) because this DuckDB's

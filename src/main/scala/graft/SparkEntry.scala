@@ -150,6 +150,7 @@ object SparkEntry {
     "rare_terms" -> (TextOps.rareTerms _),
     "worker_pctile" -> (WindowOps.workerPctile _),
     "dedup_clusters" -> (GraphOps.dedupClusters _),
+    "dedup_clusters_incremental" -> (GraphOps.dedupClustersIncremental _),
     "dedup_canonical" -> (GraphOps.dedupCanonical _),
     // LLM-pipeline: similarity + fuzzy dedup (minhash/simhash/LSH are
     // rows-only: xxhash64 has no DuckDB equivalent)

@@ -93,6 +93,27 @@ class GraphOpsSpec extends SparkSuite {
     }
   }
 
+  test("componentsIncremental merges clusters and assigns new nodes") {
+    import spark.implicits._
+    // two stored clusters {1,2} and {10,11}; the batch bridges them
+    // (2-10) and brings a fresh pair (20,21)
+    val stored = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc", "comp")
+    val newEdges = Seq((2L, 10L), (20L, 21L)).toDF("src", "dst")
+    val got = operators.GraphOps.componentsIncremental(stored, newEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("dedup_clusters_incremental equals the full recompute on the fixture") {
+    val full = operators.GraphOps.dedupClusters(spark, sf).collect()
+      .map(_.toSeq).toSet
+    val inc = operators.GraphOps.dedupClustersIncremental(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(inc.nonEmpty && inc == full)
+  }
+
   test("reliable-checkpoint mode is bit-identical to localCheckpoint mode") {
     // cluster form: spark.graft.checkpointDir routes the fixpoint's
     // inter-round truncation through reliable df.checkpoint() files so an
