@@ -1842,6 +1842,14 @@ object Oracles {
         SemanticPairsCte + SemanticComponentsCte,
         """SELECT doc_id, component, kept FROM sverdict
           |ORDER BY doc_id""".stripMargin),
+      // incremental merge path must EQUAL the full recompute (labels
+      // are component min-ids) — the oracle is semantic_dedup_t95's
+      // full-graph chain verbatim (maintenance runs at the production
+      // τ = 0.95 point), gating the maintenance engine
+      "semantic_clusters_incremental" -> qrx(
+        semanticPairsCteAt(9025L) + SemanticComponentsCte,
+        """SELECT doc_id, component, kept FROM sverdict
+          |ORDER BY doc_id""".stripMargin),
       // production τ=0.95: the same CTE chain with one constant — the
       // sparse SemDeDup regime (few/no fixture pairs; the verdict is
       // still the full components+survivor computation)

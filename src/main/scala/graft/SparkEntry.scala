@@ -175,6 +175,7 @@ object SparkEntry {
     "semantic_dedup_canonical" -> (GraphOps.semanticDedupCanonical _),
     "semantic_dedup_t95" -> (GraphOps.semanticDedupT95 _),
     "semantic_incremental" -> (SimilarityOps.semanticIncremental _),
+    "semantic_clusters_incremental" -> (GraphOps.semanticClustersIncremental _),
     "semantic_dedup_stats" -> (GraphOps.semanticDedupStats _),
     // LLM-pipeline: multimodal plumbing
     "multimodal_meta" -> (MultimodalOps.multimodalMeta _),

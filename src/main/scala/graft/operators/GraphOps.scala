@@ -463,6 +463,70 @@ object GraphOps {
       .orderBy("doc_id")
   }
 
+  /** Memoized EXISTING-store semantic cluster assignment — the
+    * embedding family's stored artifact (cells are per-vector
+    * signatures, so the existing-only pair graph is exactly the full
+    * pair set restricted to existing×existing). */
+  private val storedSemMemo =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]
+
+  private def storedSemClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSession = storedSemMemo.synchronized {
+      var m = storedSemMemo.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty
+        storedSemMemo.put(spark, m)
+      }
+      m
+    }
+    perSession.synchronized(perSession.getOrElseUpdate(sfDir, {
+      val existPairs = SimilarityOps.semanticPairs(spark, sfDir, tauE2 = 95L)
+        .filter(col("a_id") % 5 =!= 0 && col("b_id") % 5 =!= 0)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      components(existPairs).localCheckpoint()
+    }))
+  }
+
+  /** SEMANTIC incremental cluster maintenance — the same merge engine
+    * as [[dedupClustersIncremental]] applied to the embedding family:
+    * the day's batch of vectors (vec_id % 5 = 0) signs O(batch) rows,
+    * pairs against the MEMOIZED existing cell index (batch × index
+    * cell-equi join — in production the [[SimilarityOps.buildVecIndex]]
+    * parquet) and against its own earlier arrivals, and
+    * [[componentsIncremental]] merges those edges into the stored
+    * existing-store assignment — fixpoint over a batch-sized graph,
+    * one relabel join, NO corpus-sized pair stage at query time.
+    * Runs at SemDeDup's PRODUCTION τ = 0.95 — incremental maintenance
+    * is a production concern, and the sparse regime is where the
+    * merged graph stays batch-sized (at the fixture's dense τ = 0.30
+    * stress shape the batch entangles with most clusters). Local bench
+    * honesty: at fixture scales BOTH forms are fixed-job-overhead
+    * bound (measured ~1.3–1.6 s either way at 10× — recorded in
+    * BASELINE); the asymptotic difference is what matters — this path
+    * quantizes O(batch) vectors and probes cells batch-side, the full
+    * recompute signs and tile-joins the whole store every run.
+    * Ends with the shared keep-longest verdict, so the output contract
+    * is exactly [[semanticDedupT95]]'s — and the oracle IS that
+    * query's full-recompute CTE chain (labels are min-ids; the merge
+    * provably reproduces the full answer). */
+  def semanticClustersIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val newC = SimilarityOps.batchCells(spark, sfDir)
+    val cross = SimilarityOps.semanticPairsRole(newC,
+      SimilarityOps.existCells(spark, sfDir), within = false, tauE2 = 95L)
+    val inner = SimilarityOps.semanticPairsRole(newC, newC, within = true,
+      tauE2 = 95L)
+    val comp = componentsIncremental(storedSemClusters(spark, sfDir),
+        cross.union(inner).distinct())
+      .select(col("doc").as("doc_id"), col("comp").as("component"))
+    val docs = Tables.embeddings(spark, sfDir).select(col("vec_id"))
+      .join(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("n_chars")),
+        col("vec_id") === col("doc_id"))
+      .select(col("doc_id"), col("n_chars"))
+    canonicalVerdict(docs, comp).orderBy("doc_id")
+  }
+
   /** The survivor PICK alone — (component, canon_id) by the
     * keep-the-longest rule, extracted so [[canonicalVerdict]] and the
     * audit report share one definition (the rule can never fork). */

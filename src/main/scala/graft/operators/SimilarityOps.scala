@@ -817,6 +817,56 @@ object SimilarityOps {
   def semanticDedup(spark: SparkSession, sfDir: String): DataFrame =
     semanticPairs(spark, sfDir).orderBy("a_id", "b_id")
 
+  /** ROLE-pair form of the semantic pair stage — qualifying (src, dst)
+    * edges between a BATCH-sized cell frame and a partner frame (the
+    * incremental cluster-maintenance input): plain cell-equi join +
+    * the same integer cos² ≥ τ² verify as [[semanticPairs]]. `within`
+    * = both frames are the same batch (id-ordered half to avoid
+    * doubles); otherwise roles are disjoint slices, no order guard.
+    * No tiling: the LEFT side is batch-sized by contract, so the
+    * bounded-tile scheme's task cap is not needed here. */
+  private[graft] def semanticPairsRole(newCells: DataFrame,
+      partnerCells: DataFrame, within: Boolean,
+      tauE2: Long = SemTauE2): DataFrame = {
+    val cond =
+      if (within) col("p.vec_id") < col("n.vec_id")
+      else lit(true)
+    newCells.alias("n").join(partnerCells.alias("p"),
+        col("n.cell") === col("p.cell") && cond)
+      .withColumn("dot", call_function("graft_q8dot", col("n.q8"), col("p.q8")))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * 10000L >=
+          lit(tauE2 * tauE2) * col("n.na2") * col("p.na2"))
+      .select(least(col("n.vec_id"), col("p.vec_id")).as("src"),
+        greatest(col("n.vec_id"), col("p.vec_id")).as("dst"))
+  }
+
+  /** Batch / existing q8-cell slices by the standard vec_id % 5
+    * convention — [[graft.operators.GraphOps.semanticClustersIncremental]]'s
+    * inputs. The existing slice is what [[buildVecIndex]] persists in
+    * production; here it is memoized per (session, store) like the
+    * other offline artifacts. */
+  private[graft] def batchCells(spark: SparkSession, sfDir: String): DataFrame =
+    q8CellFrame(spark, sfDir).filter(pmod(col("vec_id"), lit(5)) === 0)
+
+  private val existCellsMemo =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]
+
+  private[graft] def existCells(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSession = existCellsMemo.synchronized {
+      var m = existCellsMemo.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty
+        existCellsMemo.put(spark, m)
+      }
+      m
+    }
+    perSession.synchronized(perSession.getOrElseUpdate(sfDir,
+      q8CellFrame(spark, sfDir).filter(pmod(col("vec_id"), lit(5)) =!= 0)
+        .localCheckpoint()))
+  }
+
   /** Incremental SEMANTIC dedup — the nightly shape for the embedding
     * store, mirroring [[dedupIncremental]] for text: a NEW batch of
     * vectors (here the deterministic slice vec_id % 5 = 0; in

@@ -114,6 +114,14 @@ class GraphOpsSpec extends SparkSuite {
     assert(inc.nonEmpty && inc == full)
   }
 
+  test("semantic_clusters_incremental equals the full semantic recompute") {
+    val full = operators.GraphOps.semanticDedupT95(spark, sf).collect()
+      .map(_.toSeq).toSet
+    val inc = operators.GraphOps.semanticClustersIncremental(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(inc.nonEmpty && inc == full)
+  }
+
   test("reliable-checkpoint mode is bit-identical to localCheckpoint mode") {
     // cluster form: spark.graft.checkpointDir routes the fixpoint's
     // inter-round truncation through reliable df.checkpoint() files so an
