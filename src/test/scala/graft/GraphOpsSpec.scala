@@ -114,6 +114,52 @@ class GraphOpsSpec extends SparkSuite {
     assert(inc.nonEmpty && inc == full)
   }
 
+  test("componentsIncremental: randomized merge ≡ union-find over stored ∪ new") {
+    import spark.implicits._
+    // the engine's own contract: its output equals the components of
+    // (stored assignment viewed as comp→doc star edges) ∪ newEdges —
+    // randomized over seeds, with new edges touching stored clusters,
+    // bridging them, and introducing unseen nodes
+    for (seed <- Seq(1, 7, 42, 99, 123)) {
+      val rng = new scala.util.Random(seed)
+      val baseEdges = Seq.fill(30)(
+        (rng.nextInt(40).toLong + 1, rng.nextInt(40).toLong + 1))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      val baseComp = unionFindOf(baseEdges)
+      val stored = baseComp.toSeq.toDF("doc", "comp")
+      val newEdges = Seq.fill(25)(
+        (rng.nextInt(60).toLong + 1, rng.nextInt(60).toLong + 1))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      val storedStars = baseComp.toSeq
+        .filter { case (d, c) => d != c }.map { case (d, c) => (c, d) }
+      val expected = {
+        val all = unionFindOf(storedStars ++ newEdges)
+        // universe: every stored doc + every new-edge endpoint
+        (baseComp.keySet ++ newEdges.flatMap(e => Seq(e._1, e._2)))
+          .map(v => v -> all.getOrElse(v, v)).toMap
+      }
+      val got = operators.GraphOps.componentsIncremental(
+          stored, newEdges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
+  private def unionFindOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(v => v -> find(v)).toMap
+  }
+
   test("semantic_clusters_incremental equals the full semantic recompute") {
     val full = operators.GraphOps.semanticDedupT95(spark, sf).collect()
       .map(_.toSeq).toSet
