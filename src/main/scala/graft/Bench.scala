@@ -58,7 +58,7 @@ object Bench {
     "gopher_quality", "substring_dedup_spans", "gopher_repetition",
     "corpus_report", "fuzzy_dedup_audit", "q8_covariance",
     "embedding_pca_project", "dedup_clusters_incremental",
-    "semantic_clusters_incremental")
+    "semantic_clusters_incremental", "fuzzy_clusters_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -83,8 +83,8 @@ object Bench {
     // existing-corpus assignment — the nightly job's input artifact
     Seq("task_stats", "events_tumbling", "ann_ivf_probe",
       "token_count_bpe_trained", "embedding_pca_project",
-      "dedup_clusters_incremental",
-      "semantic_clusters_incremental").foreach { n =>
+      "dedup_clusters_incremental", "semantic_clusters_incremental",
+      "fuzzy_clusters_incremental").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>

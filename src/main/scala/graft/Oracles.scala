@@ -1990,6 +1990,16 @@ object Oracles {
           |LEFT JOIN fcomp c ON d.doc_id = c.doc_id
           |LEFT JOIN fcanon ON c.component = fcanon.component
           |ORDER BY d.doc_id""".stripMargin),
+      // incremental merge must EQUAL the full recompute — the oracle
+      // is fuzzy_dedup_canonical's full-graph chain verbatim
+      "fuzzy_clusters_incremental" -> qrx(
+        PolyMinhashPairsCte + FuzzyComponentsCte,
+        """SELECT d.doc_id, c.component,
+          |       (c.component IS NULL OR d.doc_id = fcanon.canon_id) AS kept
+          |FROM documents d
+          |LEFT JOIN fcomp c ON d.doc_id = c.doc_id
+          |LEFT JOIN fcanon ON c.component = fcanon.component
+          |ORDER BY d.doc_id""".stripMargin),
       "fuzzy_dedup_stats" -> qrx(PolyMinhashPairsCte + FuzzyComponentsCte +
         """, verdict AS (
           |  SELECT d.doc_id, d.source, d.n_chars,

@@ -168,6 +168,7 @@ object SparkEntry {
     "fuzzy_dedup_canonical" -> (GraphOps.fuzzyDedupCanonical _),
     "fuzzy_dedup_stats" -> (GraphOps.fuzzyDedupStats _),
     "fuzzy_dedup_audit" -> (GraphOps.fuzzyDedupAudit _),
+    "fuzzy_clusters_incremental" -> (GraphOps.fuzzyClustersIncremental _),
     "cross_source_dups" -> (SimilarityOps.crossSourceDups _),
     "dedup_incremental" -> (SimilarityOps.dedupIncremental _),
     // embedding-space (SemDeDup-style) dedup, integer-exact end to end

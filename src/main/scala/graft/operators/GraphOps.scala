@@ -527,6 +527,54 @@ object GraphOps {
     canonicalVerdict(docs, comp).orderBy("doc_id")
   }
 
+  /** Memoized EXISTING-corpus fuzzy cluster assignment (poly-MinHash
+    * pairs at est ≥ 0.5 among doc_id % 5 ≠ 0 docs — like the semantic
+    * memo, band/bucket signatures are per-document, so the
+    * existing-only pair graph is the full pair set restricted). */
+  private val storedFuzzyMemo =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]
+
+  private def storedFuzzyClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSession = storedFuzzyMemo.synchronized {
+      var m = storedFuzzyMemo.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty
+        storedFuzzyMemo.put(spark, m)
+      }
+      m
+    }
+    perSession.synchronized(perSession.getOrElseUpdate(sfDir, {
+      val existPairs = SimilarityOps.minhashPolyPairs(spark, sfDir)
+        .filter(col("est_jaccard_milli") >= 500 &&
+          col("a_id") % 5 =!= 0 && col("b_id") % 5 =!= 0)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      components(existPairs).localCheckpoint()
+    }))
+  }
+
+  /** FUZZY (MinHash) incremental cluster maintenance — completing the
+    * trilogy with [[dedupClustersIncremental]] (chunks) and
+    * [[semanticClustersIncremental]] (embeddings): the batch signs
+    * O(batch) documents, its bands probe the memoized existing banded
+    * index (production: the [[SimilarityOps.buildSigIndex]] parquet)
+    * and the batch's own bands, and the ≥0.5-estimate edges merge into
+    * the stored assignment via [[componentsIncremental]] — batch-sized
+    * fixpoint, one relabel join, no corpus-sized signing at query
+    * time. Output contract = [[fuzzyDedupCanonical]]'s verdict frame;
+    * the oracle is that query's full-recompute CTE chain. */
+  def fuzzyClustersIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val newB = SimilarityOps.batchBanded(spark, sfDir)
+    val cross = SimilarityOps.minhashPolyPairsRole(newB,
+      SimilarityOps.existBanded(spark, sfDir), within = false)
+    val inner = SimilarityOps.minhashPolyPairsRole(newB, newB, within = true)
+    val comp = componentsIncremental(storedFuzzyClusters(spark, sfDir),
+        cross.union(inner).distinct())
+      .select(col("doc").as("doc_id"), col("comp").as("component"))
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+    canonicalVerdict(docs, comp).orderBy("doc_id")
+  }
+
   /** The survivor PICK alone — (component, canon_id) by the
     * keep-the-longest rule, extracted so [[canonicalVerdict]] and the
     * audit report share one definition (the rule can never fork). */

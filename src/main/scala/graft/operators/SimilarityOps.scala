@@ -1052,11 +1052,70 @@ object SimilarityOps {
     * slice-equality is literally the same predicate. Shared with
     * BucketProbe's skew measurement. */
   private[graft] def polyBandedBuckets(spark: SparkSession, sfDir: String): DataFrame =
-    withPolySignature(spark,
-      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
-      col("text")).select(col("doc_id"), col("sig"))
+    polyBandedBucketsOf(spark,
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+
+  /** [[polyBandedBuckets]] over ANY (doc_id, text) frame — the
+    * incremental maintenance path signs only its batch slice. */
+  private[graft] def polyBandedBucketsOf(spark: SparkSession,
+      docs: DataFrame): DataFrame =
+    withPolySignature(spark, docs, col("text"))
+      .select(col("doc_id"), col("sig"))
       .select(col("doc_id"), col("sig"), posexplode(polyBandSlices))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+  /** ROLE-pair form of the poly-MinHash pair stage — qualifying
+    * (src, dst) edges between a BATCH-sized banded frame and a partner
+    * banded frame at est Jaccard ≥ 0.5 (the fuzzy clusters' edge
+    * threshold): same band/bucket equi-join and signature-agreement
+    * estimate as [[minhashPolyPairs]]. `within` = both frames are the
+    * batch (id-ordered half); cross-role needs only a ≠ guard. The
+    * estimate is computed per band-hit row (batch-sized frames — the
+    * carry-sigs-through-distinct trick is a corpus-scale concern). */
+  private[graft] def minhashPolyPairsRole(newBanded: DataFrame,
+      partnerBanded: DataFrame, within: Boolean): DataFrame = {
+    val cond =
+      if (within) col("a.doc_id") < col("b.doc_id")
+      else col("a.doc_id") =!= col("b.doc_id")
+    val matches = aggregate(
+      zip_with(col("a.sig"), col("b.sig"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    newBanded.alias("a").join(partnerBanded.alias("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && cond)
+      .withColumn("est", round(lit(1000.0) * matches / PolyPerms).cast("long"))
+      .filter(col("est") >= 500)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("src"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("dst"))
+      .distinct()
+  }
+
+  /** Batch / memoized-existing banded slices by the vec/doc % 5
+    * convention — the fuzzy maintenance inputs (production: the
+    * [[buildSigIndex]] parquet serves the existing side). */
+  private[graft] def batchBanded(spark: SparkSession, sfDir: String): DataFrame =
+    polyBandedBucketsOf(spark, Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text")))
+
+  private val existBandedMemo =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]
+
+  private[graft] def existBanded(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSession = existBandedMemo.synchronized {
+      var m = existBandedMemo.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty
+        existBandedMemo.put(spark, m)
+      }
+      m
+    }
+    perSession.synchronized(perSession.getOrElseUpdate(sfDir,
+      polyBandedBucketsOf(spark, Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 5 =!= 0).select(col("doc_id"), col("text")))
+        .localCheckpoint()))
+  }
 
   /** The pair stream behind [[minhashDedupPoly]], unsorted — the
     * composition form: downstream consumers (fuzzy_dedup_canonical's

@@ -160,6 +160,14 @@ class GraphOpsSpec extends SparkSuite {
     parent.keys.map(v => v -> find(v)).toMap
   }
 
+  test("fuzzy_clusters_incremental equals the full fuzzy recompute") {
+    val full = operators.GraphOps.fuzzyDedupCanonical(spark, sf).collect()
+      .map(_.toSeq).toSet
+    val inc = operators.GraphOps.fuzzyClustersIncremental(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(inc.nonEmpty && inc == full)
+  }
+
   test("semantic_clusters_incremental equals the full semantic recompute") {
     val full = operators.GraphOps.semanticDedupT95(spark, sf).collect()
       .map(_.toSeq).toSet
