@@ -2000,6 +2000,35 @@ object Oracles {
           |LEFT JOIN fcomp c ON d.doc_id = c.doc_id
           |LEFT JOIN fcanon ON c.component = fcanon.component
           |ORDER BY d.doc_id""".stripMargin),
+      // all three dedup families' verdicts joined in one frame —
+      // exact = md5 window, fuzzy = the f* chain, semantic = the s*
+      // chain (prefix-disjoint CTE namespaces compose in one
+      // WITH RECURSIVE list); no-vector docs default kept_semantic
+      "dedup_all_verdict" -> qrx(
+        PolyMinhashPairsCte + FuzzyComponentsCte +
+          SemanticPairsCte + SemanticComponentsCte +
+          """, exact_v AS (
+            |  SELECT doc_id,
+            |         doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS kept_exact
+            |  FROM documents
+            |), fuzzy_v AS (
+            |  SELECT d.doc_id,
+            |         (c.component IS NULL OR d.doc_id = fcanon.canon_id) AS kept_fuzzy
+            |  FROM documents d
+            |  LEFT JOIN fcomp c ON d.doc_id = c.doc_id
+            |  LEFT JOIN fcanon ON c.component = fcanon.component
+            |)""".stripMargin,
+        """SELECT e.doc_id, e.kept_exact, f.kept_fuzzy,
+          |       COALESCE(s.kept, TRUE) AS kept_semantic,
+          |       e.kept_exact AND f.kept_fuzzy AND COALESCE(s.kept, TRUE) AS kept,
+          |       CASE WHEN NOT e.kept_exact THEN 'exact'
+          |            WHEN NOT f.kept_fuzzy THEN 'fuzzy'
+          |            WHEN NOT COALESCE(s.kept, TRUE) THEN 'semantic'
+          |            ELSE 'none' END AS first_drop
+          |FROM exact_v e
+          |JOIN fuzzy_v f USING (doc_id)
+          |LEFT JOIN sverdict s USING (doc_id)
+          |ORDER BY doc_id""".stripMargin),
       "fuzzy_dedup_stats" -> qrx(PolyMinhashPairsCte + FuzzyComponentsCte +
         """, verdict AS (
           |  SELECT d.doc_id, d.source, d.n_chars,

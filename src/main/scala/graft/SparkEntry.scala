@@ -169,6 +169,7 @@ object SparkEntry {
     "fuzzy_dedup_stats" -> (GraphOps.fuzzyDedupStats _),
     "fuzzy_dedup_audit" -> (GraphOps.fuzzyDedupAudit _),
     "fuzzy_clusters_incremental" -> (GraphOps.fuzzyClustersIncremental _),
+    "dedup_all_verdict" -> (GraphOps.dedupAllVerdict _),
     "cross_source_dups" -> (SimilarityOps.crossSourceDups _),
     "dedup_incremental" -> (SimilarityOps.dedupIncremental _),
     // embedding-space (SemDeDup-style) dedup, integer-exact end to end

@@ -698,6 +698,42 @@ object GraphOps {
     canonicalVerdict(docs, comp)
   }
 
+  /** ALL-FAMILIES dedup verdict — the capstone composition: exact
+    * (identical text), fuzzy (MinHash text near-dup) and semantic
+    * (embedding near-dup) drop sets over the corpus in ONE
+    * hash-checked frame, with the per-doc reason a curation report
+    * publishes. Union-of-drops semantics (each detector judged on the
+    * full corpus, kept = kept by all three) — the parallel-detector
+    * form; the sequential-staged form is [[TextOps.pipelineCurate]]'s
+    * shape. A doc with no stored vector has no semantic evidence →
+    * kept_semantic true. Each stage reuses its family's verdict
+    * machinery verbatim (shared [[canonicalVerdict]] / components /
+    * pair stages — nothing re-derived), so this is one plan whose
+    * wide stages are exactly the three families' own. */
+  def dedupAllVerdict(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exact = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        (col("doc_id") === min("doc_id")
+          .over(Window.partitionBy(md5(col("text"))))).as("kept_exact"))
+    val fuzzy = fuzzyVerdict(spark, sfDir)
+      .select(col("doc_id"), col("kept").as("kept_fuzzy"))
+    val sem = semanticVerdict(spark, sfDir)
+      .select(col("doc_id"), col("kept").as("kept_semantic"))
+    exact.join(fuzzy, Seq("doc_id"))
+      .join(sem, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("kept_exact"), col("kept_fuzzy"),
+        coalesce(col("kept_semantic"), lit(true)).as("kept_semantic"))
+      .withColumn("kept",
+        col("kept_exact") && col("kept_fuzzy") && col("kept_semantic"))
+      .withColumn("first_drop",
+        when(!col("kept_exact"), "exact")
+          .when(!col("kept_fuzzy"), "fuzzy")
+          .when(!col("kept_semantic"), "semantic")
+          .otherwise("none"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source impact of the SEMANTIC dedup verdict — the embedding
     * twin of [[fuzzyDedupStats]], same report shape so a corpus owner
     * can read text-level and semantic-level duplication side by side.
