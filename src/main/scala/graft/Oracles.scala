@@ -1183,6 +1183,34 @@ object Oracles {
         |       n_gopher * 1000 // n_docs AS gopher_milli,
         |       n_dup_docs * 1000 // n_docs AS dup_milli
         |FROM crs ORDER BY source""".stripMargin),
+    // water-filling allocation mirrors RetrievalOps.tokenBudgetWaterfill
+    // window for window (sort (n_tokens, source); θ = first row whose
+    // fair share undercuts its own mass; NULL θ when nothing caps)
+    "token_budget_waterfill" -> qx(
+      """, wps AS (
+        |  SELECT source,
+        |         CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+        |              AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source
+        |), wtot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+        |         SUM(n_tokens) // 2 AS budget
+        |  FROM wps
+        |), wrank AS (
+        |  SELECT source, n_tokens, n_sources, budget,
+        |         ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS rn,
+        |         SUM(n_tokens) OVER (ORDER BY n_tokens, source) - n_tokens AS below
+        |  FROM wps CROSS JOIN wtot
+        |), wfair AS (
+        |  SELECT *, (budget - below) // (n_sources - rn + 1) AS fair FROM wrank
+        |), wtheta AS (
+        |  SELECT arg_min(fair, rn) AS theta FROM wfair WHERE fair < n_tokens
+        |)""".stripMargin,
+      """SELECT source, n_tokens,
+        |       CAST(LEAST(n_tokens, COALESCE(theta, n_tokens)) AS BIGINT) AS alloc,
+        |       n_tokens > COALESCE(theta, n_tokens) AS capped
+        |FROM wfair CROSS JOIN wtheta
+        |ORDER BY source""".stripMargin),
     // N-gram instance lists mirror TextOps.gopherRepetition's grams()
     // (full-length n-grams only; range(0, n-k+1) is empty for short
     // docs); ROW_NUMBER tie order (c DESC, g) is binary collation on

@@ -132,6 +132,7 @@ object SparkEntry {
     "bm25_search" -> (RetrievalOps.bm25Search _),
     "token_budget_mix" -> (RetrievalOps.tokenBudgetMix _),
     "token_budget_mix_bpe" -> (RetrievalOps.tokenBudgetMixBpe _),
+    "token_budget_waterfill" -> (RetrievalOps.tokenBudgetWaterfill _),
     "doc_pack_bpe" -> (TextOps.docPackBpe _),
     // runtime bloom-filter join pruning (plan-level; output = plain join)
     "bloom_prune_join" -> (JoinOps.bloomPruneJoin _),

@@ -119,6 +119,48 @@ object RetrievalOps {
   def tokenBudgetMixBpe(spark: SparkSession, sfDir: String): DataFrame =
     tokenBudgetMixBy(spark, sfDir, TextOps.bpeDocTokenCount(col("text")))
 
+  /** MAX-MIN FAIR (water-filling) budget allocation — the standard
+    * alternative to [[tokenBudgetMix]]'s temperature weights for
+    * multilingual/multi-source balancing: raise a common cap θ until
+    * the budget is spent; every source keeps min(n_tokens, θ), so
+    * small sources are never diluted and big sources absorb the cuts.
+    * Closed form, no iteration: sort sources by n_tokens asc, prefix
+    * sums, θ comes from the FIRST row whose fair share
+    * (budget − tokens_below) div remaining_sources undercuts its own
+    * n_tokens. Exact integer arithmetic throughout (floor division,
+    * deterministic (n_tokens, source) sort), so the oracle compare is
+    * exact; the floor-θ remainder (< #capped sources tokens) stays
+    * deliberately unallocated rather than re-spread by a tiebreak.
+    * The global window is over |sources| rows — a
+    * dim at any corpus scale (the worker_pctile justification); the
+    * only corpus-wide stage is the per-source token aggregation. */
+  def tokenBudgetWaterfill(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSource = Tables.documents(spark, sfDir)
+      .groupBy("source")
+      .agg(sum(Exprs.tokenCount(col("text")).cast("long")).as("n_tokens"))
+    val totals = perSource.agg(
+      count(lit(1)).as("n_sources"),
+      expr("sum(n_tokens) div 2").as("budget"))
+    val w = Window.orderBy("n_tokens", "source")
+    val ranked = perSource.crossJoin(broadcast(totals))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("below", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("fair",
+        expr("(budget - below) div (n_sources - rn + 1)"))
+    // θ = the first undercut row's fair share (rows before it fit
+    // fully under their own fair shares; rows from it on are capped)
+    val theta = ranked.filter(col("fair") < col("n_tokens"))
+      .agg(min_by(col("fair"), col("rn")).as("theta"))
+    ranked.crossJoin(broadcast(theta))
+      .select(col("source"), col("n_tokens"),
+        least(col("n_tokens"), coalesce(col("theta"), col("n_tokens")))
+          .as("alloc"),
+        (col("n_tokens") > coalesce(col("theta"), col("n_tokens")))
+          .as("capped"))
+      .orderBy("source")
+  }
+
   private def tokenBudgetMixBy(spark: SparkSession, sfDir: String,
       tokens: Column): DataFrame = {
     val perSource = Tables.documents(spark, sfDir)
