@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   * scale — the evidence behind the auto dispatch in
   * [[graft.operators.GraphOps.components]].
   *
-  * Measured at n=10k (this host): chain star 18.5 s / minlabel 7.0 s;
-  * star-forest star 1.4 s / minlabel 0.7 s; random star 3.1 s /
-  * minlabel 2.7 s — while the REAL dense near-dup pair graphs at the
+  * Measured at n=10k (this host, after the round-8 integer-DIV fix —
+  * the earlier star-forest rows ran an accidentally-empty graph):
+  * chain star 14.8 s / minlabel 6.1 s; star-forest (9999 real nodes)
+  * star 1.05 s / minlabel 0.66 s; random star 2.9 s / minlabel 2.5 s — while the REAL dense near-dup pair graphs at the
   * 10× probe run 4× FASTER under star contraction (22.5 s → 5.6 s).
   * The reading: min-label's pointer jumping telescopes label chains
   * that align with the graph (a pure path converges in O(log n)
@@ -34,8 +35,11 @@ object CcProbe {
 
     val chain = spark.range(1, n)
       .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    // integer DIV, not Column `/` (double division would evaluate the
+    // root expression exactly back to id and the src=!=dst filter would
+    // empty the graph — making the star-forest rows vacuous)
     val stars = spark.range(1, n)
-      .select(((col("id") - 1) / 100 * 100 + 1).as("src"), col("id").as("dst"))
+      .select(expr("(id - 1) DIV 100 * 100 + 1").as("src"), col("id").as("dst"))
       .filter(col("src") =!= col("dst"))
     val rnd = spark.range(1, n)
       .select((xxhash64(col("id")) % (n / 2)).as("a"),

@@ -54,25 +54,22 @@ object PcaOps {
 
   /** (components, offsets): per-component weight vectors (rows of the
     * top-K eigenbasis, sign-canonicalized) and the centering offsets
-    * Σᵢ w_ci·μᵢ. Memoized per (session, sfDir) — the training half. */
-  private val basisMemo =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, (Array[Array[Double]], Array[Double])]]
-
+    * Σᵢ w_ci·μᵢ. Memoized per (session, sfDir) — the training half
+    * (shared [[Memo]] contract). */
   private[graft] def pcaBasis(spark: SparkSession,
       sfDir: String): (Array[Array[Double]], Array[Double]) = {
-    val perSession = basisMemo.synchronized {
-      var m = basisMemo.get(spark)
-      if (m == null) {
-        m = scala.collection.mutable.Map.empty
-        basisMemo.put(spark, m)
-      }
-      m
-    }
-    perSession.synchronized(perSession.getOrElseUpdate(sfDir, {
+    Memo.cached(spark, s"pcaBasis:$sfDir") {
       val rows = q8Covariance(spark, sfDir).collect() // d(d+1)/2 rows — dim-sized
+      require(rows.nonEmpty,
+        s"pcaBasis: covariance frame over $sfDir is empty — no embeddings to train on")
       val d = rows.iterator.map(_.getInt(1)).max + 1
-      val n = rows.head.getLong(2).toDouble
+      // one shared n across entries: ragged embedding dimensions would
+      // give per-entry counts and a silently wrong covariance — fail
+      // loudly instead (the store contract is a single dimension)
+      val ns = rows.iterator.map(_.getLong(2)).toSet
+      require(ns.size == 1,
+        s"pcaBasis: ragged embedding dimensions in $sfDir — per-entry counts ${ns.mkString(", ")}")
+      val n = ns.head.toDouble
       val s1 = Array.ofDim[Double](d)
       rows.foreach { r =>
         if (r.getInt(0) == r.getInt(1)) s1(r.getInt(0)) = r.getLong(4).toDouble
@@ -96,7 +93,7 @@ object PcaOps {
       val offsets = comps.map(w =>
         w.zip(mean).foldLeft(0.0)((acc, p) => acc + p._1 * p._2))
       (comps, offsets)
-    }))
+    }
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns

@@ -184,6 +184,10 @@ class GraphOpsSpec extends SparkSuite {
       .map(_.toSeq).toSeq
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.conf.set("spark.graft.checkpointDir", dir)
+    // the memoized cluster artifact captured localCheckpoint mode —
+    // drop it so the reliable path actually re-runs the fixpoint
+    // (the documented Memo contract for mid-session config/data swaps)
+    operators.Memo.invalidate(spark)
     try {
       val reliable = operators.GraphOps.dedupClusters(spark, sf).collect()
         .map(_.toSeq).toSeq
@@ -197,6 +201,10 @@ class GraphOpsSpec extends SparkSuite {
           java.nio.file.Paths.get(actualDir))
         .filter(java.nio.file.Files.isRegularFile(_)).count()
       assert(wrote > 0, "reliable mode produced no checkpoint files")
-    } finally spark.conf.unset("spark.graft.checkpointDir")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      // don't leave reliable-mode artifacts memoized for later suites
+      operators.Memo.invalidate(spark)
+    }
   }
 }
