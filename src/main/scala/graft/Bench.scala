@@ -59,7 +59,9 @@ object Bench {
     "corpus_report", "fuzzy_dedup_audit", "q8_covariance",
     "embedding_pca_project", "dedup_clusters_incremental",
     "semantic_clusters_incremental", "fuzzy_clusters_incremental",
-    "dedup_all_verdict", "token_budget_waterfill")
+    "dedup_all_verdict", "token_budget_waterfill",
+    // round-8 surface: real MJPEG mux→demux→decode loop
+    "video_framesample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

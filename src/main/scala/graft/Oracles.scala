@@ -1696,6 +1696,20 @@ object Oracles {
         |       upper(md5(substr(text, CAST(frame_idx * 256 + 1 AS INT), 256))) AS frame_md5
         |FROM fr WHERE frame_idx % 4 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin),
+    // The Spark side renders JPEG frames, muxes a real MJPEG AVI,
+    // demuxes it back and reports the DECODED dimensions; the oracle
+    // replays the closed-form frame count / dims per doc_id — a codec
+    // or container defect (lost frame, wrong chunk bounds, mangled
+    // size) breaks the hash without DuckDB needing a codec.
+    "video_framesample" -> qx(
+      """, vf AS (
+        |  SELECT doc_id, unnest(range(0, 2 + doc_id % 4)) AS frame_idx
+        |  FROM documents WHERE doc_id % 50 = 7
+        |)""".stripMargin,
+      """SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |       CAST(32 + (doc_id % 3) * 16 AS BIGINT) AS width,
+        |       CAST(24 + (doc_id % 2) * 8 AS BIGINT) AS height
+        |FROM vf ORDER BY doc_id, frame_idx""".stripMargin),
   ) ++ aggSql
 
   private def aggSql: Map[String, String] = {

@@ -185,6 +185,7 @@ object SparkEntry {
     "multimodal_decode" -> (MultimodalOps.multimodalDecode _),
     "multimodal_resize" -> (MultimodalOps.multimodalResize _),
     "multimodal_framesample" -> (MultimodalOps.multimodalFrameSample _),
+    "video_framesample" -> (MultimodalOps.videoFrameSample _),
     // §2.10 UDAF + SQL surface + LB strategies + native expression
     "source_token_stats" -> (AggOps.sourceTokenStats _),
     "profile_orders" -> (AggOps.profileOrders _),

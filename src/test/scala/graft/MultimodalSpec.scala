@@ -227,6 +227,83 @@ class MultimodalSpec extends SparkSuite {
     assert(!got(4L).ok, "truncated moov must quarantine, not throw")
   }
 
+  // --- REAL video frame path (RIFF/AVI MJPEG demux + JDK JPEG codec) ---
+
+  test("muxMjpegAvi ∘ demuxAviFrames is the identity on the frame list") {
+    val frames = Seq(
+      Array.tabulate(301)(i => (i * 7).toByte),  // odd length → pad byte
+      Array.tabulate(40)(i => (i + 1).toByte),
+      Array.tabulate(1024)(i => (i * 3 + 1).toByte))
+    val avi = MultimodalOps.muxMjpegAvi(frames, 64, 48, fps = 5)
+    val back = MultimodalOps.demuxAviFrames(avi)
+    assert(back.isDefined, "well-formed AVI must demux")
+    val got = back.get.toSeq
+    assert(got.map(_._1) == Seq(0, 1, 2))
+    assert(got.map(_._2.toSeq) == frames.map(_.toSeq),
+      "frame payloads must survive the container round trip byte-exactly")
+    assert(MultimodalOps.demuxAviFrames("not an avi".getBytes).isEmpty)
+    assert(MultimodalOps.demuxAviFrames(avi.take(30)).isEmpty ||
+      MultimodalOps.demuxAviFrames(avi.take(30)).get.isEmpty,
+      "truncated container must not throw")
+  }
+
+  test("decodeVideoFrames decodes an engineered MJPEG AVI: dims, count, luma") {
+    val s = spark
+    import s.implicits._
+    val grays = Seq(40, 128, 250, 7)
+    val jpegs = grays.map(g => MultimodalOps.grayJpegFrame(48, 32, g))
+    val avi = MultimodalOps.muxMjpegAvi(jpegs, 48, 32)
+    val recs = Seq(
+      MultimodalOps.MediaRecord(1L, avi, "video/x-msvideo", avi.length.toLong),
+      MultimodalOps.MediaRecord(2L, "plain text payload".getBytes, "text/plain", 18L))
+    val got = MultimodalOps.decodeVideoFrames(recs.toDS(), stride = 1).collect()
+    val v1 = got.filter(_.doc_id == 1L).sortBy(_.frame_idx)
+    assert(v1.length == grays.length, "every muxed frame must decode")
+    v1.zip(grays).foreach { case (f, g) =>
+      assert(f.ok && f.width == 48 && f.height == 32)
+      // uniform gray survives JPEG DC quantization to within ~2 levels
+      assert(math.abs(f.mean_luma_milli - g * 1000L / 255) <= 8,
+        s"luma ${f.mean_luma_milli} too far from ${g * 1000 / 255}")
+    }
+    val v2 = got.filter(_.doc_id == 2L)
+    assert(v2.length == 1 && !v2.head.ok && v2.head.frame_idx == -1,
+      "non-AVI payload must quarantine as one ok=false row")
+  }
+
+  test("decodeVideoFrames: stride sampling and per-frame corrupt quarantine") {
+    val s = spark
+    import s.implicits._
+    val good = (0 until 6).map(g => MultimodalOps.grayJpegFrame(16, 16, g * 40))
+    val mixed = good.updated(2, "corrupt jpeg bytes!".getBytes)
+    val recs = Seq(
+      MultimodalOps.MediaRecord(1L,
+        MultimodalOps.muxMjpegAvi(good, 16, 16), "video/x-msvideo", 0L),
+      MultimodalOps.MediaRecord(2L,
+        MultimodalOps.muxMjpegAvi(mixed, 16, 16), "video/x-msvideo", 0L))
+    val got = MultimodalOps.decodeVideoFrames(recs.toDS(), stride = 2).collect()
+    val v1 = got.filter(_.doc_id == 1L).sortBy(_.frame_idx)
+    assert(v1.map(_.frame_idx).toSeq == Seq(0, 2, 4), "stride=2 samples 0,2,4")
+    assert(v1.forall(_.ok))
+    val v2 = got.filter(_.doc_id == 2L).sortBy(_.frame_idx)
+    assert(v2.map(f => f.frame_idx -> f.ok).toSeq ==
+      Seq(0 -> true, 2 -> false, 4 -> true),
+      "one corrupt frame quarantines alone; its siblings still decode")
+  }
+
+  test("video_framesample matches its closed-form frame plan") {
+    val s = spark
+    import s.implicits._
+    val got = MultimodalOps.videoFrameSample(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val want = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id")).as[Long].collect().toSeq
+      .filter(_ % 50 == 7).sorted.flatMap { id =>
+        (0L until (2 + id % 4)).map(i =>
+          (id, i, 32 + (id % 3) * 16, 24 + (id % 2) * 8))
+      }
+    assert(got == want)
+  }
+
   test("frame sampling yields every 4th 256-byte frame per document") {
     val s = spark
     import s.implicits._
