@@ -73,6 +73,7 @@ object SparkEntry {
     "embedding_pca_project" -> (PcaOps.embeddingPcaProject _),
     "ann_q8_topk" -> (SimilarityOps.annQ8Topk _),
     "ann_q8_lsh_topk" -> (SimilarityOps.annQ8LshTopk _),
+    "ann_ivf_pq_topk" -> (SimilarityOps.annIvfPqTopk _),
     "doc_pack" -> (TextOps.docPack _),
     "unigram_surprisal" -> (TextOps.unigramSurprisal _),
     "set_intersect" -> (JoinOps.setIntersect _),
