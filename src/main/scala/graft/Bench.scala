@@ -60,8 +60,9 @@ object Bench {
     "embedding_pca_project", "dedup_clusters_incremental",
     "semantic_clusters_incremental", "fuzzy_clusters_incremental",
     "dedup_all_verdict", "token_budget_waterfill",
-    // round-8 surface: real MJPEG mux→demux→decode loop + IVF-PQ
-    "video_framesample", "ann_ivf_pq_topk")
+    // round-8 surface: real MJPEG mux→demux→decode loop + IVF-PQ +
+    // bigram-LM quality filter
+    "video_framesample", "ann_ivf_pq_topk", "bigram_surprisal")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1187,6 +1187,33 @@ object Oracles {
         |         AS mean_sur_micro
         |FROM toks JOIN scored USING (tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // conditional bigram model: P(w2|w1) = c12/c1 (MLE, every scored
+    // bigram is in-corpus); one ln per distinct bigram, integer micros
+    "bigram_surprisal" -> qx(
+      """, ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), wsx AS (
+        |  SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+        |  FROM ws WHERE len(ws) >= 2
+        |), bi AS (
+        |  SELECT doc_id, ws[CAST(i AS INT)] AS w1,
+        |         ws[CAST(i AS INT) + 1] AS w2
+        |  FROM wsx
+        |), c12 AS (
+        |  SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2
+        |), c1 AS (
+        |  SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1
+        |), bscored AS (
+        |  SELECT w1, w2,
+        |         CAST(ROUND(1e6 * ln(CAST(c1 AS DOUBLE) / c12)) AS BIGINT)
+        |           AS sur_micro
+        |  FROM c12 JOIN c1 USING (w1)
+        |)""".stripMargin,
+      """SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       CAST(SUM(sur_micro) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+        |         AS mean_sur_micro
+        |FROM bi JOIN bscored USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "dedup_exact" -> q(
       """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin),

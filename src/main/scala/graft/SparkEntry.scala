@@ -76,6 +76,7 @@ object SparkEntry {
     "ann_ivf_pq_topk" -> (SimilarityOps.annIvfPqTopk _),
     "doc_pack" -> (TextOps.docPack _),
     "unigram_surprisal" -> (TextOps.unigramSurprisal _),
+    "bigram_surprisal" -> (TextOps.bigramSurprisal _),
     "set_intersect" -> (JoinOps.setIntersect _),
     "set_except" -> (JoinOps.setExcept _),
     "stats_rollup" -> (JoinOps.statsRollup _),

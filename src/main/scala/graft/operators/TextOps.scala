@@ -916,6 +916,51 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** BIGRAM-LM surprisal — the CCNet/KenLM-style quality filter real
+    * pipelines run (Wenzek 2020 score documents by LM perplexity; a
+    * conditional bigram model is its first-order form and catches
+    * word-ORDER garbage that [[unigramSurprisal]]'s bag-of-words score
+    * cannot): per token, surprisal = −ln P(w_i | w_{i−1}) with MLE
+    * conditional probabilities c(w1,w2)/c(w1) from the corpus itself
+    * (every scored bigram is observed, so MLE needs no smoothing —
+    * the out-of-corpus case needs the top-V + backoff variant noted
+    * below). Docs need ≥ 2 tokens.
+    *
+    * Exactness design mirrors the unigram form: ONE double `ln` per
+    * distinct bigram, rounded to integer micros on the model dim;
+    * per-doc aggregation is integer sum + integer DIV (surprisals are
+    * ≥ 0 since c12 ≤ c1, so truncation == floor in both engines).
+    *
+    * Scale: bigrams come from zip-with-shift on the token ARRAY — a
+    * pure per-row projection, no position window, no self-join; the
+    * model join is a shuffle hash join on the bigram key (a web-scale
+    * bigram table cannot broadcast; the production variant caps to
+    * top-V bigrams + a unigram-backoff default, restoring broadcast at
+    * any corpus size — same note as the unigram vocab). */
+  def bigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val bi = ws.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val scored = c12.join(c1, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        round(lit(1e6) * log(col("c1").cast("double") / col("c12")))
+          .cast("long").as("sur_micro"))
+    bi.join(scored, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("sur_micro").as("sum_sur_micro"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_sur_micro DIV n_bigrams").as("mean_sur_micro"))
+      .orderBy("doc_id")
+  }
+
   /** Chunk-level exact dedup (the C4/RefinedWeb line-dedup shape):
     * split each doc into 10-token chunks and find chunks repeated
     * anywhere in the corpus — boilerplate headers/footers that
