@@ -4,14 +4,15 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{SimilarityOps, TextOps}
 
-/** The 5 rows-only queries (no DuckDB oracle by design — xxhash64 /
+/** Rows-only queries (no DuckDB oracle by design — xxhash64 /
   * float-plane / deflate primitives the oracle engine lacks) must AGREE
   * with their hash-checked twins on overlap metrics, so "rows-only"
-  * can never drift silently (VERDICT r5 #6). The ANN rows-only pair
-  * (ann_lsh_topk, ann_ivf_topk) is pinned by ExprsSpec's recall tests
-  * against the hash-checked cosine_topk; this spec covers the dedup
-  * and compression rows. All inputs are deterministic (no RNG), so the
-  * measured agreement is a constant of the fixture — bounds are pinned
+  * can never drift silently (VERDICT r5 #6). Covered here: the dedup
+  * and compression rows plus ann_lsh_topk's explicit twin contract
+  * against ann_q8_lsh_topk (VERDICT r7 #5); ann_ivf_topk additionally
+  * carries ExprsSpec's recall pin against the hash-checked
+  * cosine_topk. All inputs are deterministic (no RNG), so the measured
+  * agreement is a constant of the fixture — bounds are pinned
   * comfortably below the measured values (recorded inline).
   */
 class TwinAgreementSpec extends SparkSuite {
@@ -19,6 +20,30 @@ class TwinAgreementSpec extends SparkSuite {
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("ann_lsh_topk (float planes) agrees with hash-checked ann_q8_lsh_topk") {
+    // both are banded sign-projection LSH over the SAME store answering
+    // the SAME cosine top-10 — the float-plane form is rows-only (a
+    // seeded Gaussian plane has no DuckDB replay), the integer-lattice
+    // q8 form is its hash-checked twin. Two contracts: (a) top-10 SETS
+    // substantially agree (measured 0.49 pair-set Jaccard on the
+    // fixture — different plane families admit different candidate
+    // sets, agreement is on the shared survivors), and (b) BOTH track
+    // the true cosine top-10 (recall ≥ 0.5 each, the ExprsSpec bound) —
+    // together these pin the rows-only query to a hash-checked anchor
+    // from two independent directions.
+    def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val float = topSet(SimilarityOps.annLshTopk(spark, sf))
+    val q8 = topSet(SimilarityOps.annQ8LshTopk(spark, sf))
+    val exact = topSet(SimilarityOps.cosineTopk(spark, sf))
+    assert(float.nonEmpty && q8.nonEmpty)
+    val jacc = (float & q8).size.toDouble / (float | q8).size
+    assert(jacc >= 0.4, s"ann_lsh_topk vs ann_q8_lsh_topk Jaccard = $jacc")
+    assert((exact & float).size.toDouble / exact.size >= 0.5)
+    assert((exact & q8).size.toDouble / exact.size >= 0.5)
+  }
 
   test("minhash_dedup (xxhash) agrees with hash-checked minhash_dedup_poly") {
     // both estimate the SAME 3-shingle Jaccard with 16/32 permutations;
