@@ -1266,6 +1266,41 @@ object Oracles {
         |         AND n_alpha_words * 5 >= n_words * 4
         |         AND n_stopwords >= 2 AS keep
         |FROM gq ORDER BY doc_id""".stripMargin),
+    // the catalog route: same Gopher rule bundle, one source partition
+    "catalog_documents_quality" -> qx(
+      """, gqc AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS wchars,
+        |    CAST((length(text) - length(replace(text, '#', '')))
+        |       + (length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_symbols,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |           t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+        |    CAST((CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' the ', '')) THEN 1 ELSE 0 END)
+        |       + (CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' be ', '')) THEN 1 ELSE 0 END)
+        |       + (CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' to ', '')) THEN 1 ELSE 0 END)
+        |       + (CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' of ', '')) THEN 1 ELSE 0 END)
+        |       + (CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' and ', '')) THEN 1 ELSE 0 END)
+        |       + (CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' that ', '')) THEN 1 ELSE 0 END)
+        |       + (CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' have ', '')) THEN 1 ELSE 0 END)
+        |       + (CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' with ', '')) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_stopwords
+        |  FROM documents WHERE source = 'src7'
+        |)""".stripMargin,
+      """SELECT doc_id, n_words, wchars * 1000 // n_words AS word_len_milli,
+        |       n_symbols, n_alpha_words, n_stopwords,
+        |       n_words BETWEEN 10 AND 10000
+        |         AND (wchars * 1000 // n_words) BETWEEN 3000 AND 10000
+        |         AND n_symbols * 10 <= n_words
+        |         AND n_alpha_words * 5 >= n_words * 4
+        |         AND n_stopwords >= 2 AS keep
+        |FROM gqc ORDER BY doc_id""".stripMargin),
+    "catalog_embeddings_stats" -> q(
+      """SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |       CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,
+        |       CAST(MAX(vec_id) AS BIGINT) AS max_vec_id
+        |FROM embeddings WHERE label IN (3, 4)
+        |GROUP BY label ORDER BY label""".stripMargin),
     // Per-doc flag expressions mirror TextOps.corpusReport term for
     // term (which itself inlines the quality_score / gopher_quality
     // keep rules, with the floor-division upper bound expanded to the

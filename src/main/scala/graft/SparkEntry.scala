@@ -29,6 +29,8 @@ object SparkEntry {
     "catalog_pending_tasks" -> (CatalogOps.catalogPendingTasks _),
     "catalog_topk_per_status" -> (CatalogOps.catalogTopkPerStatus _),
     "catalog_bucketed_join" -> (CatalogOps.catalogBucketedJoin _),
+    "catalog_documents_quality" -> (CatalogOps.catalogDocumentsQuality _),
+    "catalog_embeddings_stats" -> (CatalogOps.catalogEmbeddingsStats _),
     "worker_load" -> (WorkerOps.workerLoad _),
     "worker_metrics_long" -> (WorkerOps.workerMetricsLong _),
     "least_loaded_worker" -> (WorkerOps.leastLoadedWorker _),

@@ -117,4 +117,62 @@ object CatalogOps {
          |WHERE a.status = 1
          |GROUP BY a.worker_id ORDER BY a.worker_id""".stripMargin)
   }
+
+  // ---------------------------------------------------------------
+  // The LLM-corpus side of the catalog: documents/embeddings as
+  // managed partitioned tables (the warehouse layout a curation
+  // pipeline reads from, vs the raw-parquet fixture path)
+  // ---------------------------------------------------------------
+
+  val DocumentsManaged = s"$Database.documents_managed"
+  val EmbeddingsManaged = s"$Database.embeddings_managed"
+  private val corpusLoaded = scala.collection.mutable.Set[String]()
+
+  /** Create/refresh the managed corpus tables: documents PARTITIONED
+    * BY source, embeddings PARTITIONED BY label — the partition keys a
+    * curation run actually filters on (per-source quality/dedup
+    * reports; per-cluster embedding jobs). In production the key is
+    * (source, ingest_date); the fixture has no date column, so source
+    * alone carries the pruning story. Idempotent per JVM+sfDir, like
+    * [[ensureTasksTable]] — the write is the one-time ingest job. */
+  def ensureCorpusTables(spark: SparkSession, sfDir: String): Unit = synchronized {
+    if (!corpusLoaded.contains(sfDir)) {
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $Database")
+      Tables.documents(spark, sfDir)
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("source")
+        .saveAsTable(DocumentsManaged)
+      Tables.embeddings(spark, sfDir)
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("label")
+        .saveAsTable(EmbeddingsManaged)
+      corpusLoaded.clear()
+      corpusLoaded += sfDir
+    }
+  }
+
+  /** The Gopher quality gate routed through the CATALOG, restricted to
+    * one source — the per-source curation report shape: the source
+    * predicate is a metastore partition filter, so the scan touches
+    * exactly one partition's files (asserted in CatalogSpec) and the
+    * rule bundle itself is the SHARED [[TextOps.gopherQualityOf]]
+    * definition — same rules, different route. */
+  def catalogDocumentsQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureCorpusTables(spark, sfDir)
+    TextOps.gopherQualityOf(
+        spark.table(DocumentsManaged).filter(col("source") === "src7"))
+      .orderBy("doc_id")
+  }
+
+  /** Partition-pruned embedding-store stats — the routing metadata an
+    * embedding job reads before touching vectors (cardinality + id
+    * range of one label partition, pure SQL over the catalog). */
+  def catalogEmbeddingsStats(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureCorpusTables(spark, sfDir)
+    spark.sql(
+      s"""SELECT label, COUNT(*) AS n_vecs,
+         |       MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id
+         |FROM $EmbeddingsManaged WHERE label IN (3, 4)
+         |GROUP BY label ORDER BY label""".stripMargin)
+  }
 }

@@ -318,7 +318,15 @@ object TextOps {
     * RE2 read identically (the [[tokenCountBpe]] precedent).
     * Scale: single scan, no shuffle before the final sort — the whole
     * bundle adds zero wide stages to a 100 TB curation pass. */
-  def gopherQuality(spark: SparkSession, sfDir: String): DataFrame = {
+  def gopherQuality(spark: SparkSession, sfDir: String): DataFrame =
+    gopherQualityOf(Tables.documents(spark, sfDir)).orderBy("doc_id")
+
+  /** [[gopherQuality]] over ANY (doc_id, text) frame — the catalog
+    * path ([[CatalogOps.catalogDocumentsQuality]]) runs the same rule
+    * bundle on a partition-pruned managed-table scan, so the rules can
+    * never fork between the parquet and metastore routes. Unsorted
+    * (callers order their public output). */
+  private[graft] def gopherQualityOf(docs: DataFrame): DataFrame = {
     val nWords = Exprs.tokenCount(col("text")).cast("long")
     val wchars = length(translate(col("text"), " ", "")).cast("long")
     val nSymbols = (Exprs.occurrences(col("text"), "#") +
@@ -329,7 +337,7 @@ object TextOps {
     val nStops = stops.map(w =>
       when(Exprs.occurrences(padded, s" $w ") > 0, 1L).otherwise(0L))
       .reduce(_ + _)
-    Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"), nWords.as("n_words"), wchars.as("wchars"),
         nSymbols.as("n_symbols"), nAlpha.as("n_alpha_words"),
         nStops.as("n_stopwords"))
@@ -341,7 +349,6 @@ object TextOps {
           col("n_symbols") * 10 <= col("n_words") &&
           col("n_alpha_words") * 5 >= col("n_words") * 4 &&
           col("n_stopwords") >= 2L).as("keep"))
-      .orderBy("doc_id")
   }
 
   /** Gopher REPETITION rules (Rae et al. 2021, Appendix A1.1, the

@@ -89,4 +89,56 @@ class CatalogSpec extends SparkSuite {
     assert(scans.forall(_.partitionFilters.nonEmpty))
     assert(scans.forall(_.selectedPartitions.partitionCount == 1))
   }
+
+  private def prunedScans(df: org.apache.spark.sql.DataFrame)
+      : Seq[FileSourceScanExec] = {
+    df.collect()
+    // descend into AQE query stages (a stage's plan is not a TreeNode
+    // child, so a plain collect misses every scan past an exchange)
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collectWithSubqueries { case x => x }.flatMap {
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          qs +: allNodes(qs.plan)
+        case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+        case x => Seq(x)
+      }
+    allNodes(df.queryExecution.executedPlan)
+      .collect { case s: FileSourceScanExec => s }
+  }
+
+  test("catalog corpus tables: source/label partitions registered in the metastore") {
+    CatalogOps.ensureCorpusTables(spark, sf)
+    val docParts = spark.sql(s"SHOW PARTITIONS ${CatalogOps.DocumentsManaged}")
+      .collect().map(_.getString(0))
+    assert(docParts.length == 20 && docParts.forall(_.startsWith("source=")))
+    val embParts = spark.sql(s"SHOW PARTITIONS ${CatalogOps.EmbeddingsManaged}")
+      .collect().map(_.getString(0))
+    assert(embParts.nonEmpty && embParts.forall(_.startsWith("label=")))
+  }
+
+  test("catalog_documents_quality prunes to the one source partition") {
+    val df = CatalogOps.catalogDocumentsQuality(spark, sf)
+    val scans = prunedScans(df)
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "source predicate must be a metastore partition filter")
+    assert(scans.forall(_.selectedPartitions.partitionCount == 1),
+      "exactly one source partition's files may be read")
+    // and the rules agree with the parquet route on the same slice
+    val viaParquet = graft.operators.TextOps.gopherQuality(spark, sf)
+      .join(graft.sources.Tables.documents(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("source") === "src7")
+        .select("doc_id"), "doc_id")
+      .collect().map(_.toSeq).toSet
+    assert(df.collect().map(_.toSeq).toSet == viaParquet && viaParquet.nonEmpty)
+  }
+
+  test("catalog_embeddings_stats prunes to the two label partitions") {
+    val df = CatalogOps.catalogEmbeddingsStats(spark, sf)
+    val scans = prunedScans(df)
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.partitionFilters.nonEmpty))
+    assert(scans.forall(_.selectedPartitions.partitionCount == 2))
+  }
 }
