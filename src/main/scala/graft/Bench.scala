@@ -61,8 +61,9 @@ object Bench {
     "semantic_clusters_incremental", "fuzzy_clusters_incremental",
     "dedup_all_verdict", "token_budget_waterfill",
     // round-8 surface: real MJPEG mux→demux→decode loop + IVF-PQ +
-    // bigram-LM quality filter
-    "video_framesample", "ann_ivf_pq_topk", "bigram_surprisal")
+    // bigram-LM quality filter + the composed ingestion pipeline
+    "video_framesample", "ann_ivf_pq_topk", "bigram_surprisal",
+    "pipeline_ingest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2178,6 +2178,65 @@ object Oracles {
       // gets a verdict — dup of the existing corpus, dup of an earlier
       // new arrival, or unique. Short docs (< 3 words, no signature)
       // fall through both left joins to 'unique'.
+      // the composed ingestion pipeline: quality gate → boilerplate
+      // strip vs the existing chunk dictionary (C4 rule: any chunk
+      // already in the existing corpus) → near-dup probe (ematch from
+      // the incremental-dedup CTEs) → semantic probe (sematch over the
+      // shared cell frame) → per-doc verdict. Universe = quality-
+      // passing batch docs (doc_id % 5 = 0).
+      "pipeline_ingest" -> qx(IncrementalDedupCte + SemanticCellCte +
+        """, pincell AS (
+          |  SELECT * FROM scell WHERE vec_id % 5 = 0
+          |), piecell AS (
+          |  SELECT * FROM scell WHERE vec_id % 5 <> 0
+          |), pisem AS (
+          |  SELECT new_id, MIN(pid) AS exist_match FROM (
+          |    SELECT n.vec_id AS new_id, e.vec_id AS pid,
+          |           n.na2 AS n2, e.na2 AS p2,
+          |           CAST(SUM(n.q8[CAST(pos AS INT) + 1]
+          |                     * e.q8[CAST(pos AS INT) + 1]) AS BIGINT) AS dot
+          |    FROM pincell n JOIN piecell e ON n.cell = e.cell
+          |    CROSS JOIN sdims GROUP BY 1, 2, 3, 4)
+          |  WHERE dot > 0 AND dot*dot*10000 >= 900*n2*p2
+          |  GROUP BY new_id
+          |), piq AS (
+          |  SELECT doc_id, text,
+          |         length(text) - length(replace(text, ' ', '')) + 1 AS n_toks
+          |  FROM documents WHERE doc_id % 5 = 0
+          |), piqf AS (
+          |  SELECT doc_id, text FROM piq
+          |  WHERE n_toks BETWEEN 10 AND 10000
+          |    AND length(replace(text, ' ', '')) / n_toks <= 20
+          |), picf AS (
+          |  SELECT doc_id,
+          |         CAST(unnest(range(0, len(string_split(text, ' ')), 10)) AS INT) AS pos,
+          |         unnest(list_transform(range(0, len(string_split(text, ' ')), 10),
+          |           i -> array_to_string(string_split(text, ' ')[i+1:i+10], ' '))) AS chunk
+          |  FROM piqf
+          |), pidict AS (
+          |  SELECT DISTINCT md5(echunk) AS fp FROM (
+          |    SELECT unnest(list_transform(range(0, len(string_split(text, ' ')), 10),
+          |             i -> array_to_string(string_split(text, ' ')[i+1:i+10], ' '))) AS echunk
+          |    FROM documents WHERE doc_id % 5 <> 0)
+          |), pistrip AS (
+          |  SELECT doc_id,
+          |         string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+          |         CAST(COUNT(*) AS BIGINT) AS n_kept
+          |  FROM picf
+          |  WHERE md5(chunk) NOT IN (SELECT fp FROM pidict)
+          |  GROUP BY doc_id
+          |)""".stripMargin,
+        """SELECT q.doc_id, s.clean_text,
+          |       COALESCE(s.n_kept, 0) AS n_kept,
+          |       (em.exist_match IS NOT NULL) AS dup_text,
+          |       (sm.exist_match IS NOT NULL) AS dup_semantic,
+          |       (COALESCE(s.n_kept, 0) > 0 AND em.exist_match IS NULL
+          |          AND sm.exist_match IS NULL) AS kept
+          |FROM piqf q
+          |LEFT JOIN pistrip s ON q.doc_id = s.doc_id
+          |LEFT JOIN ematch em ON q.doc_id = em.new_id
+          |LEFT JOIN pisem sm ON q.doc_id = sm.new_id
+          |ORDER BY q.doc_id""".stripMargin),
       "dedup_incremental" -> qx(IncrementalDedupCte,
         """SELECT d.doc_id,
           |       CASE WHEN em.exist_match IS NOT NULL THEN 'dup_existing'

@@ -119,6 +119,7 @@ object SparkEntry {
     "ngram_jaccard" -> (TextOps.ngramJaccard _),
     "doc_contamination" -> (TextOps.docContamination _),
     "pipeline_curate" -> (TextOps.pipelineCurate _),
+    "pipeline_ingest" -> (graft.streaming.IngestPipeline.pipelineIngest _),
     "curation_funnel" -> (TextOps.curationFunnel _),
     "repetition_ratio" -> (TextOps.repetitionRatio _),
     "chunk_dedup" -> (TextOps.chunkDedup _),

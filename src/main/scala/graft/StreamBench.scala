@@ -21,7 +21,50 @@ object StreamBench {
     else if (args.headOption.contains("idxdup")) idxDupBench(args.drop(1))
     else if (args.headOption.contains("semdup")) semDupBench(args.drop(1))
     else if (args.headOption.contains("semshard")) semShardBench(args.drop(1))
+    else if (args.headOption.contains("ingest")) ingestBench(args.drop(1))
     else engineBench(args)
+
+  /** Composed-ingestion throughput: the full curation chain
+    * ([[graft.streaming.IngestPipeline]] — quality gate, dictionary
+    * strip, near-dup probe, semantic probe, idempotent landing) driven
+    * over the fixture's batch slice as a multi-micro-batch file
+    * stream. Reports docs/second through the WHOLE pipeline — the
+    * sustained-ingestion number a capacity plan needs. */
+  private def ingestBench(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.IngestPipeline
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val spark = GraftSession.builder(32).master("local[32]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val root = Files.createTempDirectory("graft-ingestbench").toString
+    val batch = sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+      .join(sources.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"), "left")
+    val n = batch.count()
+    batch.repartition(24).write.parquet(s"$root/in")
+    val art = IngestPipeline.buildArtifacts(spark,
+      sources.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 5 =!= 0).select(col("doc_id"), col("text")),
+      sources.Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") % 5 =!= 0).select(col("vec_id"), col("embedding")),
+      s"$root/art")
+    val arrivals = spark.readStream
+      .schema("doc_id LONG, text STRING, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "6").parquet(s"$root/in")
+    val t0 = System.nanoTime()
+    val q = IngestPipeline.start(spark, arrivals, art,
+      s"$root/out", s"$root/ckpt", Some(Trigger.AvailableNow()))
+    q.awaitTermination()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val landed = IngestPipeline.curatedRead(spark, s"$root/out")
+    val kept = landed.filter(col("kept")).count()
+    println(f"""{"metric":"ingest_docs_per_sec","value":${n / sec}%.1f,"docs":$n,"kept":$kept,"sec":$sec%.2f,"sf":"$sfDir"}""")
+    spark.stop()
+  }
 
   /** Hot-cell scaling of the sharded semantic stream: an engineered
     * WORST-CASE corpus (every vector in ONE cell — positive multiples

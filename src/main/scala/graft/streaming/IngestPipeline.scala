@@ -1,0 +1,150 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{Memo, SimilarityOps, TextOps}
+import graft.sources.Tables
+
+/** The COMPOSED streaming ingestion job — the whole curation chain a
+  * 100 TB pipeline runs on every arriving micro-batch, as ONE
+  * foreachBatch pipeline (the individual stages exist as standalone
+  * streams; this is the production composition):
+  *
+  *   quality gate            (shared [[TextOps.isQuality]] predicate)
+  *   → boilerplate strip     (probe of the STORED chunk-fp dictionary
+  *                            — the C4 rule: a chunk already seen in
+  *                            any existing doc is boilerplate)
+  *   → near-dup index probe  ([[NearDupStream.nearDupAgainstIndex]]
+  *                            vs the stored banded signature index)
+  *   → semantic index probe  ([[SemanticStream.semanticAgainstIndex]]
+  *                            vs the stored q8-cell vector index)
+  *   → idempotent landing    ([[MergeSink.mergeBatch]]: per-batch
+  *                            overwrite + commit marker = exactly-once
+  *                            with the checkpoint's batch-id ledger).
+  *
+  * Every stage probes a STORED artifact (built offline by
+  * [[buildArtifacts]] — the nightly index jobs), so the per-batch work
+  * is batch-sized: a stateless filter, three batch×index joins, one
+  * write. No stream state at all — throughput is bounded by the probe
+  * joins, not state growth, and the artifacts are the same ones the
+  * incremental batch queries maintain.
+  *
+  * The per-batch transform ([[curateBatch]]) is a plain batch
+  * DataFrame function shared VERBATIM by the stream (foreachBatch) and
+  * the batch query ([[pipelineIngest]], hash-checked against the
+  * DuckDB oracle) — and every stage verdict is row-local given the
+  * artifacts, so the stream's output is independent of how arrivals
+  * are batched: stream ≡ batch exactly (IngestPipelineSpec replays a
+  * multi-batch ingest and compares frames).
+  */
+object IngestPipeline {
+
+  /** Locations of the three stored artifacts a running ingest probes. */
+  final case class Artifacts(dictDir: String, sigDir: String, vecDir: String)
+
+  /** Build all three artifacts from the EXISTING corpus — the offline
+    * half (in production: nightly jobs appending to catalog tables;
+    * `docs` = (doc_id, text), `vecs` = (vec_id, embedding)). The
+    * chunk dictionary is the DISTINCT chunk-fp set (~16 B/chunk); the
+    * signature and vector indexes are the shared
+    * [[SimilarityOps.buildSigIndex]]/[[SimilarityOps.buildVecIndex]]
+    * artifacts the nightly dedup probes already read. */
+  def buildArtifacts(spark: SparkSession, docs: DataFrame, vecs: DataFrame,
+      baseDir: String): Artifacts = {
+    graft.GraftExtensions.register(spark)
+    val art = Artifacts(s"$baseDir/chunk_dict", s"$baseDir/sig_index",
+      s"$baseDir/vec_index")
+    docs.select(col("doc_id"),
+        call_function("graft_chunks", col("text"), lit(10)))
+      .select(md5(col("chunk")).as("fp")).distinct()
+      .write.mode("overwrite").parquet(art.dictDir)
+    SimilarityOps.buildSigIndex(spark, docs, art.sigDir)
+    SimilarityOps.buildVecIndex(spark, vecs, art.vecDir)
+    art
+  }
+
+  /** The per-batch curation transform — batch in, curated verdict
+    * frame out: (doc_id, clean_text, n_kept, dup_text, dup_semantic,
+    * kept) for every QUALITY-passing batch doc (clean_text null and
+    * n_kept 0 when every chunk was boilerplate). `batch` carries
+    * (doc_id, text, embedding); a null embedding skips the semantic
+    * probe (no vector → no semantic evidence, like dedup_all_verdict).
+    * Pure function of (batch, artifacts): the stream and the
+    * hash-checked batch query share it verbatim. */
+  def curateBatch(spark: SparkSession, batch: DataFrame,
+      art: Artifacts): DataFrame = {
+    val quality = batch.filter(TextOps.isQuality(col("text")))
+    val stripped = TextOps.stripAgainstDict(spark,
+      quality.select("doc_id", "text"),
+      spark.read.parquet(art.dictDir))
+    val textDup = NearDupStream
+      .nearDupAgainstIndex(spark, quality.select("doc_id", "text"), art.sigDir)
+      .select("doc_id").distinct()
+      .withColumn("dup_text", lit(true))
+    val semDup = SemanticStream.semanticAgainstIndex(spark,
+        quality.filter(col("embedding").isNotNull)
+          .select(col("doc_id").as("vec_id"), col("embedding")),
+        art.vecDir)
+      .select(col("vec_id").as("doc_id")).distinct()
+      .withColumn("dup_semantic", lit(true))
+    quality.select("doc_id")
+      .join(stripped, Seq("doc_id"), "left")
+      .join(textDup, Seq("doc_id"), "left")
+      .join(semDup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("dup_text"), lit(false)).as("dup_text"),
+        coalesce(col("dup_semantic"), lit(false)).as("dup_semantic"))
+      .withColumn("kept",
+        col("n_kept") > 0 && !col("dup_text") && !col("dup_semantic"))
+  }
+
+  /** Start the composed ingestion stream: every micro-batch runs the
+    * full curation chain and lands idempotently (retries overwrite
+    * their own batch partition only). `arrivals` is a streaming frame
+    * with (doc_id, text, embedding). */
+  def start(spark: SparkSession, arrivals: DataFrame, art: Artifacts,
+      outDir: String, checkpointDir: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : StreamingQuery = {
+    val w = arrivals.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: DataFrame, id: Long) =>
+        MergeSink.mergeBatch(curateBatch(spark, b, art), outDir, id))
+    trigger.fold(w)(w.trigger).start()
+  }
+
+  /** The curated landing, committed batches only (shared
+    * [[MergeSink.committedRead]] marker protocol); `batch` partition
+    * column dropped so the frame compares 1:1 with the batch query. */
+  def curatedRead(spark: SparkSession, outDir: String): DataFrame =
+    MergeSink.committedRead(spark, outDir).drop("batch")
+
+  /** The BATCH query form over the fixture — the day's batch
+    * (doc_id % 5 = 0, the standard convention) curated against
+    * artifacts built from the existing corpus (memoized per (session,
+    * store) like every stored artifact; production reads the nightly
+    * output). Hash-checked end to end: quality, strip, both dup
+    * probes and the final verdict all replay in DuckDB. */
+  def pipelineIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val art = Memo.cached(spark, s"ingestArtifacts:$sfDir") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ingest-art").toString
+      buildArtifacts(spark,
+        Tables.documents(spark, sfDir).filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"), col("text")),
+        Tables.embeddings(spark, sfDir).filter(col("vec_id") % 5 =!= 0)
+          .select(col("vec_id"), col("embedding")),
+        dir)
+    }
+    val batch = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+      .join(Tables.embeddings(spark, sfDir)
+          .select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"), "left")
+    curateBatch(spark, batch, art).orderBy("doc_id")
+  }
+}

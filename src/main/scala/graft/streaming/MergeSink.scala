@@ -64,7 +64,19 @@ object MergeSink {
     * that read re-lists with linear backoff (5 attempts, ~2 s total:
     * the rewrite it is waiting out is one micro-batch's files), then
     * rethrows if the log still has no readable committed batch. */
-  def compactedRead(spark: SparkSession, logDir: String): DataFrame = {
+  def compactedRead(spark: SparkSession, logDir: String): DataFrame =
+    committedRead(spark, logDir)
+      .groupBy("user_id", "event_type")
+      .agg(max("event_id").as("last_event_id"),
+        max_by(col("cents"), col("event_id")).as("last_cents"),
+        count(lit(1)).as("n_versions"))
+
+  /** The committed-batches view of a [[mergeBatch]] log, factored so
+    * every sink built on the marker protocol (the CDC compaction
+    * above, [[IngestPipeline]]'s curated landing) shares one reader:
+    * only marker-carrying batch dirs are read; the result carries the
+    * `batch` partition column. */
+  def committedRead(spark: SparkSession, logDir: String): DataFrame = {
     val base = new org.apache.hadoop.fs.Path(logDir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     val MaxAttempts = 5
@@ -93,9 +105,5 @@ object MergeSink {
       }
     }
     result
-      .groupBy("user_id", "event_type")
-      .agg(max("event_id").as("last_event_id"),
-        max_by(col("cents"), col("event_id")).as("last_cents"),
-        count(lit(1)).as("n_versions"))
   }
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{IngestPipeline, MergeSink}
+
+/** The composed streaming ingestion job (quality → boilerplate strip →
+  * near-dup probe → semantic probe → idempotent landing) must produce
+  * EXACTLY the batch query's frame when the same batch slice is
+  * replayed across several micro-batches — every stage verdict is
+  * row-local given the stored artifacts, so batching cannot change
+  * the answer. The batch form itself is hash-checked by the DuckDB
+  * oracle (pipeline_ingest); this spec pins stream ≡ batch and the
+  * landing's retry idempotency.
+  */
+class IngestPipelineSpec extends SparkSuite {
+
+  test("composed stream over 3 micro-batches ≡ the hash-checked batch query") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batchDocs = sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+      .join(sources.Tables.embeddings(spark, sf)
+          .select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"), "left")
+      .orderBy("doc_id")
+      .as[(Long, String, Option[Seq[Float]])].collect()
+    assert(batchDocs.nonEmpty)
+    val chunks = batchDocs.grouped((batchDocs.length / 3).max(1)).toSeq
+    assert(chunks.length >= 3, "need a multi-batch replay")
+
+    val base = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val art = IngestPipeline.buildArtifacts(spark,
+      sources.Tables.documents(spark, sf).filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("text")),
+      sources.Tables.embeddings(spark, sf).filter(col("vec_id") % 5 =!= 0)
+        .select(col("vec_id"), col("embedding")),
+      s"$base/artifacts")
+
+    val input = MemoryStream[(Long, String, Option[Seq[Float]])]
+    val q = IngestPipeline.start(spark,
+      input.toDF().toDF("doc_id", "text", "embedding"),
+      art, s"$base/out", s"$base/ckpt")
+    try {
+      chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val streamed = IngestPipeline.curatedRead(spark, s"$base/out")
+      .collect().map(_.toSeq).toSet
+    val batch = IngestPipeline.pipelineIngest(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty && streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; " +
+        s"batch-only: ${(batch -- streamed).take(3)}")
+    // the pipeline exercises every arm on the fixture
+    val frame = IngestPipeline.pipelineIngest(spark, sf)
+    assert(frame.filter(col("dup_text")).count() > 0, "no near-dup arm hit")
+    assert(frame.filter(!col("kept")).count() > 0 &&
+      frame.filter(col("kept")).count() > 0)
+  }
+
+  test("a retried micro-batch overwrites only its own landing partition") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-ingest2").toString
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "v")
+      .write.mode("overwrite").parquet(s"$base/ignore") // warm dirs
+    val b0 = Seq((10L, "x")).toDF("doc_id", "v")
+    val b1 = Seq((20L, "y")).toDF("doc_id", "v")
+    MergeSink.mergeBatch(b0, s"$base/log", 0L)
+    MergeSink.mergeBatch(b1, s"$base/log", 1L)
+    val before = MergeSink.committedRead(spark, s"$base/log")
+      .collect().map(_.toSeq).toSet
+    // retry of batch 0 with identical content must be a no-op view-wise
+    MergeSink.mergeBatch(b0, s"$base/log", 0L)
+    val after = MergeSink.committedRead(spark, s"$base/log")
+      .collect().map(_.toSeq).toSet
+    assert(after == before && before.size == 2)
+  }
+}
