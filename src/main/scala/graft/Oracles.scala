@@ -153,6 +153,109 @@ object Oracles {
       |  GROUP BY new_id
       |)""".stripMargin
 
+  /** IVF-PQ oracle SQL — shared by the fused query and the
+    * stored-index probe (bit-identical by IvfPqSpec). */
+  private lazy val IvfPqSql: String =
+    qx(
+      """, q8 AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x ->
+        |           CASE WHEN mx = 0 THEN 0
+        |                ELSE CAST(floor(CAST(x AS DOUBLE) * 127 / mx + 0.5) AS BIGINT)
+        |           END) AS q8
+        |  FROM (SELECT vec_id, embedding,
+        |               list_max(list_transform(embedding,
+        |                 x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |        FROM embeddings)
+        |), dims AS (
+        |  SELECT unnest(range(0, (SELECT MAX(len(embedding)) FROM embeddings))) AS pos
+        |), planes AS (
+        |  SELECT unnest(range(0, 16)) AS p
+        |), sig AS (
+        |  SELECT vec_id, p,
+        |         CASE WHEN SUM(q8[CAST(pos AS INT) + 1] *
+        |                ((p*2654435761 + pos*40503) % 1001 - 500)) >= 0
+        |              THEN 1 ELSE 0 END AS bit
+        |  FROM q8 CROSS JOIN dims CROSS JOIN planes
+        |  GROUP BY vec_id, p
+        |), bandkey AS (
+        |  SELECT vec_id, CAST(p // 4 AS INT) AS band,
+        |         SUM(bit * CASE CAST(p % 4 AS INT)
+        |               WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END) AS key
+        |  FROM sig GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+        |  FROM bandkey q JOIN bandkey c ON q.band = c.band AND q.key = c.key
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+        |), seeds AS (
+        |  SELECT q8, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k
+        |  FROM q8 ORDER BY vec_id LIMIT 16
+        |), subs AS (
+        |  SELECT unnest(range(0, 16)) AS j
+        |), subd AS (
+        |  SELECT unnest(range(0, 4)) AS sd
+        |), ks AS (
+        |  SELECT unnest(range(0, 16)) AS k
+        |), coded0 AS (
+        |  SELECT vec_id, j, k FROM (
+        |    SELECT v.vec_id, j, s.k,
+        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id, j ORDER BY
+        |             SUM((v.q8[CAST(j*4+sd AS INT)+1] - s.q8[CAST(j*4+sd AS INT)+1])
+        |               * (v.q8[CAST(j*4+sd AS INT)+1] - s.q8[CAST(j*4+sd AS INT)+1])),
+        |             s.k) AS rn
+        |    FROM q8 v CROSS JOIN subs CROSS JOIN seeds s CROSS JOIN subd
+        |    GROUP BY v.vec_id, j, s.k)
+        |  WHERE rn = 1
+        |), cw1 AS (
+        |  SELECT g.j, g.k, g.sd,
+        |         COALESCE(CAST(floor(CAST(m.s AS DOUBLE) / m.n) AS BIGINT),
+        |                  s0.q8[CAST(g.j*4+g.sd AS INT)+1]) AS c
+        |  FROM (SELECT j, k, sd FROM subs CROSS JOIN ks CROSS JOIN subd) g
+        |  JOIN seeds s0 ON s0.k = g.k
+        |  LEFT JOIN (
+        |    SELECT cd.j, cd.k, sd,
+        |           SUM(v.q8[CAST(cd.j*4+sd AS INT)+1]) AS s, COUNT(*) AS n
+        |    FROM coded0 cd JOIN q8 v ON v.vec_id = cd.vec_id CROSS JOIN subd
+        |    GROUP BY 1, 2, 3) m
+        |    ON m.j = g.j AND m.k = g.k AND m.sd = g.sd
+        |), coded AS (
+        |  SELECT vec_id, j, k FROM (
+        |    SELECT v.vec_id, w.j, w.k,
+        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id, w.j ORDER BY
+        |             SUM((v.q8[CAST(w.j*4+w.sd AS INT)+1] - w.c)
+        |               * (v.q8[CAST(w.j*4+w.sd AS INT)+1] - w.c)), w.k) AS rn
+        |    FROM q8 v CROSS JOIN cw1 w
+        |    GROUP BY v.vec_id, w.j, w.k)
+        |  WHERE rn = 1
+        |), pqpairs AS (
+        |  SELECT cand.query_id, cand.vec_id,
+        |         CAST(SUM(a.q8[CAST(w.j*4+w.sd AS INT)+1] * w.c) AS BIGINT) AS adc_dot
+        |  FROM cand
+        |  JOIN q8 a ON a.vec_id = cand.query_id
+        |  JOIN coded cd ON cd.vec_id = cand.vec_id
+        |  JOIN cw1 w ON w.j = cd.j AND w.k = cd.k
+        |  GROUP BY 1, 2
+        |), short AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dot DESC, vec_id) AS adc_rank FROM pqpairs)
+        |  WHERE adc_rank <= 64
+        |), exactp AS (
+        |  SELECT s.query_id, s.vec_id,
+        |         CAST(SUM(a.q8[CAST(pos AS INT)+1]
+        |                   * b.q8[CAST(pos AS INT)+1]) AS BIGINT) AS dot
+        |  FROM short s
+        |  JOIN q8 a ON a.vec_id = s.query_id
+        |  JOIN q8 b ON b.vec_id = s.vec_id
+        |  CROSS JOIN dims
+        |  GROUP BY 1, 2
+        |)""".stripMargin,
+      """SELECT query_id, vec_id, CAST(rank AS INT) AS rank, dot FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY dot DESC, vec_id) AS rank FROM exactp)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+
+
   /** Recursive connected components + longest-text survivor over the
     * poly-MinHash pairs at est-Jaccard ≥ 0.5 — shared by the
     * fuzzy_dedup_canonical and fuzzy_dedup_stats oracles (appended
@@ -732,104 +835,8 @@ object Oracles {
     // IVFPQ+refine shape). Subspace width hardcoded 4 (= 64-dim
     // fixture / PqM=16); the Spark side derives it and rejects
     // non-divisible dims.
-    "ann_ivf_pq_topk" -> qx(
-      """, q8 AS (
-        |  SELECT vec_id,
-        |         list_transform(embedding, x ->
-        |           CASE WHEN mx = 0 THEN 0
-        |                ELSE CAST(floor(CAST(x AS DOUBLE) * 127 / mx + 0.5) AS BIGINT)
-        |           END) AS q8
-        |  FROM (SELECT vec_id, embedding,
-        |               list_max(list_transform(embedding,
-        |                 x -> abs(CAST(x AS DOUBLE)))) AS mx
-        |        FROM embeddings)
-        |), dims AS (
-        |  SELECT unnest(range(0, (SELECT MAX(len(embedding)) FROM embeddings))) AS pos
-        |), planes AS (
-        |  SELECT unnest(range(0, 16)) AS p
-        |), sig AS (
-        |  SELECT vec_id, p,
-        |         CASE WHEN SUM(q8[CAST(pos AS INT) + 1] *
-        |                ((p*2654435761 + pos*40503) % 1001 - 500)) >= 0
-        |              THEN 1 ELSE 0 END AS bit
-        |  FROM q8 CROSS JOIN dims CROSS JOIN planes
-        |  GROUP BY vec_id, p
-        |), bandkey AS (
-        |  SELECT vec_id, CAST(p // 4 AS INT) AS band,
-        |         SUM(bit * CASE CAST(p % 4 AS INT)
-        |               WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END) AS key
-        |  FROM sig GROUP BY 1, 2
-        |), cand AS (
-        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
-        |  FROM bandkey q JOIN bandkey c ON q.band = c.band AND q.key = c.key
-        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
-        |), seeds AS (
-        |  SELECT q8, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k
-        |  FROM q8 ORDER BY vec_id LIMIT 16
-        |), subs AS (
-        |  SELECT unnest(range(0, 16)) AS j
-        |), subd AS (
-        |  SELECT unnest(range(0, 4)) AS sd
-        |), ks AS (
-        |  SELECT unnest(range(0, 16)) AS k
-        |), coded0 AS (
-        |  SELECT vec_id, j, k FROM (
-        |    SELECT v.vec_id, j, s.k,
-        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id, j ORDER BY
-        |             SUM((v.q8[CAST(j*4+sd AS INT)+1] - s.q8[CAST(j*4+sd AS INT)+1])
-        |               * (v.q8[CAST(j*4+sd AS INT)+1] - s.q8[CAST(j*4+sd AS INT)+1])),
-        |             s.k) AS rn
-        |    FROM q8 v CROSS JOIN subs CROSS JOIN seeds s CROSS JOIN subd
-        |    GROUP BY v.vec_id, j, s.k)
-        |  WHERE rn = 1
-        |), cw1 AS (
-        |  SELECT g.j, g.k, g.sd,
-        |         COALESCE(CAST(floor(CAST(m.s AS DOUBLE) / m.n) AS BIGINT),
-        |                  s0.q8[CAST(g.j*4+g.sd AS INT)+1]) AS c
-        |  FROM (SELECT j, k, sd FROM subs CROSS JOIN ks CROSS JOIN subd) g
-        |  JOIN seeds s0 ON s0.k = g.k
-        |  LEFT JOIN (
-        |    SELECT cd.j, cd.k, sd,
-        |           SUM(v.q8[CAST(cd.j*4+sd AS INT)+1]) AS s, COUNT(*) AS n
-        |    FROM coded0 cd JOIN q8 v ON v.vec_id = cd.vec_id CROSS JOIN subd
-        |    GROUP BY 1, 2, 3) m
-        |    ON m.j = g.j AND m.k = g.k AND m.sd = g.sd
-        |), coded AS (
-        |  SELECT vec_id, j, k FROM (
-        |    SELECT v.vec_id, w.j, w.k,
-        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id, w.j ORDER BY
-        |             SUM((v.q8[CAST(w.j*4+w.sd AS INT)+1] - w.c)
-        |               * (v.q8[CAST(w.j*4+w.sd AS INT)+1] - w.c)), w.k) AS rn
-        |    FROM q8 v CROSS JOIN cw1 w
-        |    GROUP BY v.vec_id, w.j, w.k)
-        |  WHERE rn = 1
-        |), pqpairs AS (
-        |  SELECT cand.query_id, cand.vec_id,
-        |         CAST(SUM(a.q8[CAST(w.j*4+w.sd AS INT)+1] * w.c) AS BIGINT) AS adc_dot
-        |  FROM cand
-        |  JOIN q8 a ON a.vec_id = cand.query_id
-        |  JOIN coded cd ON cd.vec_id = cand.vec_id
-        |  JOIN cw1 w ON w.j = cd.j AND w.k = cd.k
-        |  GROUP BY 1, 2
-        |), short AS (
-        |  SELECT query_id, vec_id FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-        |      ORDER BY adc_dot DESC, vec_id) AS adc_rank FROM pqpairs)
-        |  WHERE adc_rank <= 64
-        |), exactp AS (
-        |  SELECT s.query_id, s.vec_id,
-        |         CAST(SUM(a.q8[CAST(pos AS INT)+1]
-        |                   * b.q8[CAST(pos AS INT)+1]) AS BIGINT) AS dot
-        |  FROM short s
-        |  JOIN q8 a ON a.vec_id = s.query_id
-        |  JOIN q8 b ON b.vec_id = s.vec_id
-        |  CROSS JOIN dims
-        |  GROUP BY 1, 2
-        |)""".stripMargin,
-      """SELECT query_id, vec_id, CAST(rank AS INT) AS rank, dot FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-        |    ORDER BY dot DESC, vec_id) AS rank FROM exactp)
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    "ann_ivf_pq_topk" -> IvfPqSql,
+    "ann_ivf_pq_probe" -> IvfPqSql,
     // floor(x+0.5) spelled explicitly: the engines' native double→int
     // casts disagree (Spark truncates, DuckDB rounds); floor is exact
     // in both. floor-e6 for the scale for the same reason.

@@ -29,6 +29,19 @@ object PqProbe {
     // synthetic (high-entropy — PQ's worst case) store; one unrolled
     // Lloyd round + exact refine of the ADC top-64 reached 0.68
     // against the 0.74 pruning ceiling (pqVsLsh 0.92).
+    // stage timing: fused (store-side band+encode in-plan) vs stored-
+    // index probe (bands+codes read from parquet)
+    def t(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"PQPROBE $tag%-12s ${(System.nanoTime() - t0) / 1e9}%6.2f s ($n rows)")
+    }
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-pqp").toString
+    t("indexBuild") { operators.SimilarityOps.buildIvfPqIndex(spark, sfDir, idxDir); 0L }
+    t("fused") { operators.SimilarityOps.annIvfPqTopk(spark, sfDir).count() }
+    t("fused2") { operators.SimilarityOps.annIvfPqTopk(spark, sfDir).count() }
+    t("probe") { operators.SimilarityOps.annIvfPqProbe(spark, sfDir, idxDir).count() }
+    t("probe2") { operators.SimilarityOps.annIvfPqProbe(spark, sfDir, idxDir).count() }
     spark.stop()
   }
 }

@@ -76,6 +76,7 @@ object SparkEntry {
     "ann_q8_topk" -> (SimilarityOps.annQ8Topk _),
     "ann_q8_lsh_topk" -> (SimilarityOps.annQ8LshTopk _),
     "ann_ivf_pq_topk" -> (SimilarityOps.annIvfPqTopk _),
+    "ann_ivf_pq_probe" -> (SimilarityOps.annIvfPqProbeQuery _),
     "doc_pack" -> (TextOps.docPack _),
     "unigram_surprisal" -> (TextOps.unigramSurprisal _),
     "bigram_surprisal" -> (TextOps.bigramSurprisal _),
