@@ -65,7 +65,7 @@ object Bench {
     // like ann_ivf_probe's) + bigram-LM quality filter + the composed
     // ingestion pipeline
     "video_framesample", "ann_ivf_pq_probe", "bigram_surprisal",
-    "pipeline_ingest")
+    "pipeline_ingest", "quality_lda")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1194,6 +1194,59 @@ object Oracles {
         |         AS mean_sur_micro
         |FROM toks JOIN scored USING (tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // Fisher LDA trained IN-ORACLE: exact integer sufficient
+    // statistics, then the 2×2 cofactor solve with the operation
+    // order mirrored from TextOps.ldaTrain term for term — IEEE
+    // doubles from identical integer inputs through identical ops are
+    // bit-identical cross-engine (the bm25 precedent); score rounded
+    // to integer micros
+    "quality_lda" -> qx(
+      """, lf AS (
+        |  SELECT doc_id, lang = 'en' AS is_en,
+        |    CAST(length(replace(text, ' ', '')) * 1000
+        |        // (length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS x1,
+        |    CAST(CAST((length(' '||text||' ')
+        |               - length(replace(' '||text||' ', ' the ', ''))) / 5 AS BIGINT) * 1000
+        |        // (length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS x2
+        |  FROM documents
+        |), lstat AS (
+        |  SELECT is_en, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+        |         CAST(SUM(x1*x1) AS BIGINT) AS s11,
+        |         CAST(SUM(x1*x2) AS BIGINT) AS s12,
+        |         CAST(SUM(x2*x2) AS BIGINT) AS s22
+        |  FROM lf GROUP BY 1
+        |), lm AS (
+        |  SELECT a.n AS n0, b.n AS n1,
+        |    CAST(a.s1 AS DOUBLE)/a.n AS m10, CAST(a.s2 AS DOUBLE)/a.n AS m20,
+        |    CAST(b.s1 AS DOUBLE)/b.n AS m11, CAST(b.s2 AS DOUBLE)/b.n AS m21,
+        |    a.s1 AS s1_0, a.s2 AS s2_0, a.s11 AS s11_0, a.s12 AS s12_0, a.s22 AS s22_0,
+        |    b.s1 AS s1_1, b.s2 AS s2_1, b.s11 AS s11_1, b.s12 AS s12_1, b.s22 AS s22_1
+        |  FROM (SELECT * FROM lstat WHERE NOT is_en) a,
+        |       (SELECT * FROM lstat WHERE is_en) b
+        |), lp AS (
+        |  SELECT m10, m20, m11, m21,
+        |    ((CAST(s11_0 AS DOUBLE) - CAST(s1_0 AS DOUBLE)*m10)
+        |     + (CAST(s11_1 AS DOUBLE) - CAST(s1_1 AS DOUBLE)*m11)) / (n0 + n1 - 2) AS p11,
+        |    ((CAST(s12_0 AS DOUBLE) - CAST(s1_0 AS DOUBLE)*m20)
+        |     + (CAST(s12_1 AS DOUBLE) - CAST(s1_1 AS DOUBLE)*m21)) / (n0 + n1 - 2) AS p12,
+        |    ((CAST(s22_0 AS DOUBLE) - CAST(s2_0 AS DOUBLE)*m20)
+        |     + (CAST(s22_1 AS DOUBLE) - CAST(s2_1 AS DOUBLE)*m21)) / (n0 + n1 - 2) AS p22
+        |  FROM lm
+        |), lw AS (
+        |  SELECT m10, m20, m11, m21,
+        |    (p22*(m11 - m10) - p12*(m21 - m20)) / (p11*p22 - p12*p12) AS w1,
+        |    (p11*(m21 - m20) - p12*(m11 - m10)) / (p11*p22 - p12*p12) AS w2
+        |  FROM lp
+        |), lwt AS (
+        |  SELECT w1, w2,
+        |         (w1*(m10 + m11) + w2*(m20 + m21)) / 2 AS thr
+        |  FROM lw
+        |)""".stripMargin,
+      """SELECT doc_id, is_en, x1, x2,
+        |       CAST(ROUND(1e6 * ((w1*x1 + w2*x2) - thr)) AS BIGINT) AS score_micro,
+        |       CAST(ROUND(1e6 * ((w1*x1 + w2*x2) - thr)) AS BIGINT) > 0 AS pred_en
+        |FROM lf CROSS JOIN lwt ORDER BY doc_id""".stripMargin),
     // conditional bigram model: P(w2|w1) = c12/c1 (MLE, every scored
     // bigram is in-corpus); one ln per distinct bigram, integer micros
     "bigram_surprisal" -> qx(

@@ -946,6 +946,34 @@ object SimilarityOps {
       .write.mode("overwrite").parquet(s"$indexDir/codebook")
   }
 
+  /** Append new vectors to a [[buildIvfPqIndex]]-persisted index
+    * WITHOUT retraining — the per-ingestion-batch maintenance op,
+    * completing the PQ lifecycle like [[ivfIndexInsert]] does for IVF:
+    * encode the batch with the STORED codebook (codebooks drift only
+    * at the next scheduled rebuild — classic PQ add) and append the
+    * batch's band and code rows; only the band partitions the batch
+    * lands in are touched. `newVecs` carries (vec_id, embedding). */
+  def ivfPqIndexInsert(spark: SparkSession, newVecs: DataFrame,
+      indexDir: String): Unit = {
+    val cb = readPqCodebook(spark, indexDir)
+    val q8new = q8CellOf(spark, newVecs).select("vec_id", "q8")
+    latticeBandedOf(q8new)
+      .write.mode("append").partitionBy("band").parquet(s"$indexDir/bands")
+    q8new.select(col("vec_id"), pqCodesCol(cb).as("codes"))
+      .write.mode("append").parquet(s"$indexDir/codes")
+  }
+
+  /** The stored codebook as driver arrays (PqM·PqK rows — dim-sized),
+    * shared by the probe and the insert path. */
+  private def readPqCodebook(spark: SparkSession,
+      indexDir: String): Array[Array[Array[Long]]] = {
+    val cbRows = spark.read.parquet(s"$indexDir/codebook").collect()
+    val cb = Array.ofDim[Array[Long]](PqM, PqK)
+    cbRows.foreach(r =>
+      cb(r.getAs[Int]("j"))(r.getAs[Int]("k")) = r.getSeq[Long](2).toArray)
+    cb
+  }
+
   /** [[annIvfPqProbe]] as a (spark, sfDir) QUERY — the headline form
     * of the IVF-PQ family, mirroring [[annIvfPqProbeQuery]]'s IVF
     * sibling: the index is built ONCE per (session, store) into a temp
@@ -980,10 +1008,7 @@ object SimilarityOps {
       indexDir: String): DataFrame = {
     // codebook from the index, not the corpus — the index is
     // self-contained (PqM·PqK rows, dim-sized driver collect)
-    val cbRows = spark.read.parquet(s"$indexDir/codebook").collect()
-    val cb = Array.ofDim[Array[Long]](PqM, PqK)
-    cbRows.foreach(r =>
-      cb(r.getAs[Int]("j"))(r.getAs[Int]("k")) = r.getSeq[Long](2).toArray)
+    val cb = readPqCodebook(spark, indexDir)
     val bands = spark.read.parquet(s"$indexDir/bands")
       .select(col("vec_id"), col("band").cast("int").as("band"), col("key"))
     val codes = spark.read.parquet(s"$indexDir/codes")

@@ -461,6 +461,90 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** TRAINED quality/routing classifier — closed-form Fisher LDA over
+    * surface features, the trained-linear-filter shape real pipelines
+    * run (GPT-3's LR quality classifier; fastText lang-ID): label =
+    * `lang = 'en'` (the corpus's own routing column), features =
+    * mean-word-length millis and 'the'-rate millis. Training is ONE
+    * distributed aggregation of EXACT integer sufficient statistics
+    * (n, Σx, Σx², Σx₁x₂ per class — int64-exact to ~10⁹ docs at these
+    * feature magnitudes; widen to decimal past that), then a driver
+    * 2×2 solve (dim-sized, like the PCA/IVF collects):
+    * w = Σ_pooled⁻¹(μ₁−μ₀), threshold = w·(μ₀+μ₁)/2. Scoring is one
+    * pure scan with w as plan literals.
+    *
+    * Hash-checked END TO END including training: the sufficient
+    * statistics are exact integers, and every double step (means,
+    * pooled covariance, cofactor solve, threshold, score) is written
+    * with ONE fixed operation order mirrored by the oracle SQL — IEEE
+    * doubles from identical inputs through identical ops are
+    * bit-identical cross-engine (the bm25 precedent), and the output
+    * is rounded to integer micros.
+    *
+    * Fixture honesty: the synthetic corpus's text carries NO language
+    * signal (marker words like ' der ' never occur; 'the'-rate is flat
+    * across langs — measured), so fixture accuracy is chance. The
+    * QUERY therefore checks the estimator's arithmetic; the
+    * separation property is proven on an engineered corpus in
+    * LdaSpec (accuracy ≥ 0.9) against an independent plain-Scala
+    * reference. */
+  def qualityLda(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = ldaFeatures(Tables.documents(spark, sfDir))
+    val (w1, w2, thr) = Memo.cached(spark, s"ldaModel:$sfDir")(ldaTrain(feats))
+    feats
+      .withColumn("score_micro",
+        round(lit(1e6) *
+          ((lit(w1) * col("x1") + lit(w2) * col("x2")) - lit(thr)))
+          .cast("long"))
+      .withColumn("pred_en", col("score_micro") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id, is_en, x1, x2) feature frame — one narrow scan; shared
+    * by training and scoring so the features cannot fork. */
+  private def ldaFeatures(docs: DataFrame): DataFrame = {
+    val nWords = Exprs.tokenCount(col("text")).cast("long")
+    val wchars = length(translate(col("text"), " ", "")).cast("long")
+    val theHits = Exprs.occurrences(padded, " the ").cast("long")
+    docs
+      .select(col("doc_id"), (col("lang") === "en").as("is_en"),
+        nWords.as("n_words"), wchars.as("wchars"), theHits.as("the_hits"))
+      .withColumn("x1", expr("wchars * 1000 div n_words"))
+      .withColumn("x2", expr("the_hits * 1000 div n_words"))
+      .select("doc_id", "is_en", "x1", "x2")
+  }
+
+  /** The closed-form solve from the distributed integer statistics.
+    * EVERY double expression here has a fixed operation order mirrored
+    * verbatim by the oracle SQL — do not refactor the arithmetic. */
+  private[graft] def ldaTrain(feats: DataFrame): (Double, Double, Double) = {
+    val stats = feats.groupBy("is_en").agg(
+        count(lit(1)).as("n"), sum("x1").as("s1"), sum("x2").as("s2"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"))
+      .collect()
+    require(stats.length == 2,
+      "ldaTrain: both classes must be present in the corpus")
+    val by = stats.map(r => r.getBoolean(0) -> r).toMap
+    def d(b: Boolean, i: Int): Double = by(b).getLong(i).toDouble
+    val (n0, s10, s20, s110, s120, s220) =
+      (d(false, 1), d(false, 2), d(false, 3), d(false, 4), d(false, 5), d(false, 6))
+    val (n1, s11, s21, s111, s121, s221) =
+      (d(true, 1), d(true, 2), d(true, 3), d(true, 4), d(true, 5), d(true, 6))
+    val m10 = s10 / n0; val m20 = s20 / n0
+    val m11 = s11 / n1; val m21 = s21 / n1
+    val p11 = ((s110 - s10 * m10) + (s111 - s11 * m11)) / (n0 + n1 - 2)
+    val p12 = ((s120 - s10 * m20) + (s121 - s11 * m21)) / (n0 + n1 - 2)
+    val p22 = ((s220 - s20 * m20) + (s221 - s21 * m21)) / (n0 + n1 - 2)
+    val det = p11 * p22 - p12 * p12
+    require(det != 0.0, "ldaTrain: singular pooled covariance")
+    val w1 = (p22 * (m11 - m10) - p12 * (m21 - m20)) / det
+    val w2 = (p11 * (m21 - m20) - p12 * (m11 - m10)) / det
+    val thr = (w1 * (m10 + m11) + w2 * (m20 + m21)) / 2
+    (w1, w2, thr)
+  }
+
   /** Corpus word frequency: explode tokens → count → top 50 with a
     * total order (the generator/explode surface as a first-class
     * oracle-checked query; TakeOrdered, no global sort). */
