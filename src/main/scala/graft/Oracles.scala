@@ -1274,6 +1274,53 @@ object Oracles {
         |         AS mean_sur_micro
         |FROM bi JOIN bscored USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // top-V capped model + stupid backoff (α = 0.4 → ln(2.5·total/f))
+    "bigram_surprisal_topv" -> qx(
+      """, ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), wsx AS (
+        |  SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+        |  FROM ws WHERE len(ws) >= 2
+        |), bi AS (
+        |  SELECT doc_id, ws[CAST(i AS INT)] AS w1,
+        |         ws[CAST(i AS INT) + 1] AS w2
+        |  FROM wsx
+        |), c12 AS (
+        |  SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2
+        |), c1 AS (
+        |  SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1
+        |), topv AS (
+        |  SELECT w1, w2, c12 FROM (
+        |    SELECT w1, w2, c12,
+        |           ROW_NUMBER() OVER (ORDER BY c12 DESC, w1, w2) AS rn
+        |    FROM c12)
+        |  WHERE rn <= 512
+        |), tscored AS (
+        |  SELECT t.w1, t.w2,
+        |         CAST(ROUND(1e6 * ln(CAST(c1 AS DOUBLE) / t.c12)) AS BIGINT)
+        |           AS sur_micro
+        |  FROM topv t JOIN c1 USING (w1)
+        |), toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), vocab AS (
+        |  SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok
+        |), vtotal AS (
+        |  SELECT SUM(freq) AS total_toks FROM vocab
+        |), uniscored AS (
+        |  SELECT tok AS w2,
+        |         CAST(ROUND(1e6 * ln(2.5 * CAST(total_toks AS DOUBLE) / freq))
+        |           AS BIGINT) AS uni_sur_micro
+        |  FROM vocab CROSS JOIN vtotal
+        |)""".stripMargin,
+      """SELECT bi.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       CAST(SUM(CASE WHEN t.sur_micro IS NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_backoff,
+        |       CAST(SUM(COALESCE(t.sur_micro, u.uni_sur_micro)) AS BIGINT)
+        |         // CAST(COUNT(*) AS BIGINT) AS mean_sur_micro
+        |FROM bi
+        |LEFT JOIN tscored t ON t.w1 = bi.w1 AND t.w2 = bi.w2
+        |JOIN uniscored u ON u.w2 = bi.w2
+        |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin),
     "dedup_exact" -> q(
       """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin),

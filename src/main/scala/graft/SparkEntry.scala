@@ -80,6 +80,7 @@ object SparkEntry {
     "doc_pack" -> (TextOps.docPack _),
     "unigram_surprisal" -> (TextOps.unigramSurprisal _),
     "bigram_surprisal" -> (TextOps.bigramSurprisal _),
+    "bigram_surprisal_topv" -> (TextOps.bigramSurprisalTopV _),
     "quality_lda" -> (TextOps.qualityLda _),
     "set_intersect" -> (JoinOps.setIntersect _),
     "set_except" -> (JoinOps.setExcept _),

@@ -1029,15 +1029,7 @@ object TextOps {
     * top-V bigrams + a unigram-backoff default, restoring broadcast at
     * any corpus size — same note as the unigram vocab). */
   def bigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
-    val ws = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 2)
-    val bi = ws.select(col("doc_id"),
-        explode(zip_with(
-          slice(col("ws"), lit(1), size(col("ws")) - 1),
-          slice(col("ws"), lit(2), size(col("ws")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bi = bigramsOf(Tables.documents(spark, sfDir))
     val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
     val scored = c12.join(c1, Seq("w1"))
@@ -1051,6 +1043,65 @@ object TextOps {
         expr("sum_sur_micro DIV n_bigrams").as("mean_sur_micro"))
       .orderBy("doc_id")
   }
+
+  /** (doc_id, w1, w2) bigram stream via zip-with-shift on the token
+    * array — per-row projection, shared by both bigram scorers. */
+  private def bigramsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** The WEB-SCALE form of [[bigramSurprisal]], made concrete: the
+    * model is capped to the top-[[BigramTopV]] = 512 bigrams (sized so
+    * the cap BINDS on the fixture's 916-bigram closed vocabulary —
+    * the backoff arm must actually run; rank by count,
+    * ties by (w1, w2) — the table a production run broadcasts at ANY
+    * corpus size) and out-of-table bigrams BACK OFF to the unigram
+    * model with the stupid-backoff discount (Brants et al. 2007,
+    * α = 0.4): sur = −ln(0.4·P_uni(w2)) = ln(2.5·total/freq(w2)).
+    * Same integer-micro discipline; reports the backoff count so a
+    * corpus owner can size V against the observed OOV rate. The
+    * uncapped form stays as the exact reference; this is the plan
+    * that survives a vocabulary too large to broadcast. */
+  def bigramSurprisalTopV(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val bi = bigramsOf(docs)
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val topv = c12.orderBy(desc("c12"), asc("w1"), asc("w2"))
+      .limit(BigramTopV)
+      .join(c1, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        round(lit(1e6) * log(col("c1").cast("double") / col("c12")))
+          .cast("long").as("sur_micro"))
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+    val total = vocab.agg(sum("freq").as("total_toks"))
+    val uni = vocab.crossJoin(broadcast(total))
+      .select(col("tok").as("w2"),
+        round(lit(1e6) *
+          log(lit(2.5) * col("total_toks").cast("double") / col("freq")))
+          .cast("long").as("uni_sur_micro"))
+    bi.join(broadcast(topv), Seq("w1", "w2"), "left")
+      .join(uni, Seq("w2"))
+      .select(col("doc_id"),
+        coalesce(col("sur_micro"), col("uni_sur_micro")).as("tok_sur"),
+        col("sur_micro").isNull.cast("long").as("oov"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("oov").as("n_backoff"),
+        sum("tok_sur").as("ssum"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_backoff"),
+        expr("ssum DIV n_bigrams").as("mean_sur_micro"))
+      .orderBy("doc_id")
+  }
+
+  private val BigramTopV = 512
 
   /** Chunk-level exact dedup (the C4/RefinedWeb line-dedup shape):
     * split each doc into 10-token chunks and find chunks repeated
