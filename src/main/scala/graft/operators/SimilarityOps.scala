@@ -964,15 +964,21 @@ object SimilarityOps {
   }
 
   /** The stored codebook as driver arrays (PqM·PqK rows — dim-sized),
-    * shared by the probe and the insert path. */
+    * shared by the probe and the insert path. Memoized per (session,
+    * indexDir): the collect is a whole Spark job, and paying it on
+    * every search is pure fixed overhead (a production searcher loads
+    * the codebook once at startup). Staleness: [[Memo]] — a REBUILT
+    * index at the same path needs invalidate (an inserted batch does
+    * not touch the codebook by contract). */
   private def readPqCodebook(spark: SparkSession,
-      indexDir: String): Array[Array[Array[Long]]] = {
-    val cbRows = spark.read.parquet(s"$indexDir/codebook").collect()
-    val cb = Array.ofDim[Array[Long]](PqM, PqK)
-    cbRows.foreach(r =>
-      cb(r.getAs[Int]("j"))(r.getAs[Int]("k")) = r.getSeq[Long](2).toArray)
-    cb
-  }
+      indexDir: String): Array[Array[Array[Long]]] =
+    Memo.cached(spark, s"pqCodebookAt:$indexDir") {
+      val cbRows = spark.read.parquet(s"$indexDir/codebook").collect()
+      val cb = Array.ofDim[Array[Long]](PqM, PqK)
+      cbRows.foreach(r =>
+        cb(r.getAs[Int]("j"))(r.getAs[Int]("k")) = r.getSeq[Long](2).toArray)
+      cb
+    }
 
   /** [[annIvfPqProbe]] as a (spark, sfDir) QUERY — the headline form
     * of the IVF-PQ family, mirroring [[annIvfPqProbeQuery]]'s IVF
