@@ -153,6 +153,29 @@ object Oracles {
       |  GROUP BY new_id
       |)""".stripMargin
 
+  /** Max-min fair (water-filling) allocation CTEs — shared by the
+    * plan query and its sampling executor. */
+  private val WaterfillCte: String =
+    """, wps AS (
+      |  SELECT source,
+      |         CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+      |              AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |), wtot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+      |         SUM(n_tokens) // 2 AS budget
+      |  FROM wps
+      |), wrank AS (
+      |  SELECT source, n_tokens, n_sources, budget,
+      |         ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS rn,
+      |         SUM(n_tokens) OVER (ORDER BY n_tokens, source) - n_tokens AS below
+      |  FROM wps CROSS JOIN wtot
+      |), wfair AS (
+      |  SELECT *, (budget - below) // (n_sources - rn + 1) AS fair FROM wrank
+      |), wtheta AS (
+      |  SELECT arg_min(fair, rn) AS theta FROM wfair WHERE fair < n_tokens
+      |)""".stripMargin
+
   /** IVF-PQ oracle SQL — shared by the fused query and the
     * stored-index probe (bit-identical by IvfPqSpec). */
   private lazy val IvfPqSql: String =
@@ -1462,31 +1485,36 @@ object Oracles {
     // water-filling allocation mirrors RetrievalOps.tokenBudgetWaterfill
     // window for window (sort (n_tokens, source); θ = first row whose
     // fair share undercuts its own mass; NULL θ when nothing caps)
-    "token_budget_waterfill" -> qx(
-      """, wps AS (
-        |  SELECT source,
-        |         CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
-        |              AS BIGINT) AS n_tokens
-        |  FROM documents GROUP BY source
-        |), wtot AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
-        |         SUM(n_tokens) // 2 AS budget
-        |  FROM wps
-        |), wrank AS (
-        |  SELECT source, n_tokens, n_sources, budget,
-        |         ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS rn,
-        |         SUM(n_tokens) OVER (ORDER BY n_tokens, source) - n_tokens AS below
-        |  FROM wps CROSS JOIN wtot
-        |), wfair AS (
-        |  SELECT *, (budget - below) // (n_sources - rn + 1) AS fair FROM wrank
-        |), wtheta AS (
-        |  SELECT arg_min(fair, rn) AS theta FROM wfair WHERE fair < n_tokens
-        |)""".stripMargin,
+    "token_budget_waterfill" -> qx(WaterfillCte,
       """SELECT source, n_tokens,
         |       CAST(LEAST(n_tokens, COALESCE(theta, n_tokens)) AS BIGINT) AS alloc,
         |       n_tokens > COALESCE(theta, n_tokens) AS capped
         |FROM wfair CROSS JOIN wtheta
         |ORDER BY source""".stripMargin),
+    // the waterfill plan EXECUTED: deterministic Lehmer/xor-shift
+    // acceptance (sampling seed differs from shard_plan's — decisions
+    // independent); keep iff u*src_tokens < alloc*65536, all BIGINT
+    "mix_sample" -> qx(WaterfillCte +
+      """, wall AS (
+        |  SELECT source, n_tokens AS src_tokens,
+        |         CAST(LEAST(n_tokens, COALESCE(theta, n_tokens)) AS BIGINT) AS alloc
+        |  FROM wfair CROSS JOIN wtheta
+        |), mh AS (
+        |  SELECT doc_id, source,
+        |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |         CAST(xor(h4, h4 >> 11) % 65536 AS BIGINT) AS u FROM (
+        |    SELECT doc_id, source, text,
+        |           (xor(h2, h2 >> 13) * 69621) % 2147483647 AS h4 FROM (
+        |      SELECT doc_id, source, text,
+        |             (xor(h0, h0 >> 16) * 48271) % 2147483647 AS h2 FROM (
+        |        SELECT doc_id, source, text,
+        |               (doc_id * 2654435761 + 77003177) % 2147483647 AS h0
+        |        FROM documents)))
+        |)""".stripMargin,
+      """SELECT m.doc_id, m.source, m.n_tokens, m.u
+        |FROM mh m JOIN wall w USING (source)
+        |WHERE m.u * w.src_tokens < w.alloc * 65536
+        |ORDER BY m.doc_id""".stripMargin),
     // N-gram instance lists mirror TextOps.gopherRepetition's grams()
     // (full-length n-grams only; range(0, n-k+1) is empty for short
     // docs); ROW_NUMBER tie order (c DESC, g) is binary collation on

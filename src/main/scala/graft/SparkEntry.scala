@@ -82,6 +82,7 @@ object SparkEntry {
     "bigram_surprisal" -> (TextOps.bigramSurprisal _),
     "bigram_surprisal_topv" -> (TextOps.bigramSurprisalTopV _),
     "quality_lda" -> (TextOps.qualityLda _),
+    "mix_sample" -> (RetrievalOps.mixSample _),
     "set_intersect" -> (JoinOps.setIntersect _),
     "set_except" -> (JoinOps.setExcept _),
     "stats_rollup" -> (JoinOps.statsRollup _),

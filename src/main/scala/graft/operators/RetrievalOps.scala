@@ -161,6 +161,39 @@ object RetrievalOps {
       .orderBy("source")
   }
 
+  /** EXECUTE the [[tokenBudgetWaterfill]] mixture plan — the sampling
+    * pass that MATERIALIZES the planned corpus: every doc of source s
+    * is kept with probability alloc(s)/n_tokens(s), decided by a
+    * deterministic integer hash (the shard_plan Lehmer/xor-shift
+    * chain under a DIFFERENT seed — sampling must be independent of
+    * shard assignment): keep ⟺ u·src_tokens < alloc·2¹⁶ with
+    * u = h mod 2¹⁶, all int64-exact (u·src_tokens ≤ 6.5e16 at
+    * 10¹²-token sources — inside int64 at any real corpus). RNG-free
+    * and content-keyed like split_assign, so the realized mixture is
+    * reproducible and stable under re-runs; expected realized tokens
+    * per source = the plan's alloc. One scan + one broadcast join of
+    * the |sources|-row plan — zero extra wide stages. */
+  def mixSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val seed = 77003177L
+    def fold(c: Column, k: Int): Column = c.bitwiseXOR(shiftright(c, k))
+    val rates = tokenBudgetWaterfill(spark, sfDir)
+      .select(col("source"), col("n_tokens").as("src_tokens"), col("alloc"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        Exprs.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("h0",
+        pmod(col("doc_id") * lit(2654435761L) + lit(seed), lit(2147483647L)))
+      .withColumn("h2", pmod(fold(col("h0"), 16) * lit(48271L),
+        lit(2147483647L)))
+      .withColumn("h4", pmod(fold(col("h2"), 13) * lit(69621L),
+        lit(2147483647L)))
+      .withColumn("u", pmod(fold(col("h4"), 11), lit(65536L)))
+      .join(broadcast(rates), Seq("source"))
+      .filter(col("u") * col("src_tokens") < col("alloc") * lit(65536L))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("u"))
+      .orderBy("doc_id")
+  }
+
   private def tokenBudgetMixBy(spark: SparkSession, sfDir: String,
       tokens: Column): DataFrame = {
     val perSource = Tables.documents(spark, sfDir)

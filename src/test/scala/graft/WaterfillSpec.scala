@@ -60,4 +60,45 @@ class WaterfillSpec extends SparkSuite {
       assert(closed == referenceAlloc(ns, b), s"ns=$ns b=$b")
     }
   }
+
+  test("mix_sample realizes the waterfill plan") {
+    import org.apache.spark.sql.functions._
+    val plan = operators.RetrievalOps.tokenBudgetWaterfill(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    val kept = operators.RetrievalOps.mixSample(spark, sf)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("realized"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val perSourceDocs = graft.sources.Tables.documents(spark, sf)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plan.nonEmpty && kept.nonEmpty)
+    plan.foreach { case (src, (nTokens, alloc, capped)) =>
+      if (!capped) {
+        // rate 1 ⟹ EXACT: u·n < n·2¹⁶ always — every doc survives
+        assert(kept.get(src).map(_._1).contains(perSourceDocs(src)),
+          s"uncapped $src must keep all docs")
+        assert(kept(src)._2 == nTokens)
+      }
+    }
+    // per-source realized values at fixture scale (2-3 docs/source)
+    // carry huge sampling variance; the LAW-OF-LARGE-NUMBERS contracts
+    // are aggregate: capped sources collectively track their allocs,
+    // and somewhere at least one doc was actually dropped
+    val capped = plan.filter(_._2._3)
+    assert(capped.nonEmpty, "fixture plan caps no source — budget too big")
+    val cappedAlloc = capped.values.map(_._2).sum
+    val cappedRealized = capped.keys
+      .map(s => kept.get(s).map(_._2).getOrElse(0L)).sum
+    assert(math.abs(cappedRealized - cappedAlloc).toDouble / cappedAlloc <= 0.25,
+      s"capped realized $cappedRealized vs alloc $cappedAlloc")
+    val totalDocs = perSourceDocs.values.sum
+    val keptDocs = kept.values.map(_._1).sum
+    assert(keptDocs < totalDocs, "sampling dropped nothing")
+    val budget = plan.values.map(_._2).sum // Σ alloc ≤ B by construction
+    val totalRealized = kept.values.map(_._2).sum
+    assert(math.abs(totalRealized - budget).toDouble / budget <= 0.2,
+      s"total realized $totalRealized vs planned $budget")
+  }
 }
