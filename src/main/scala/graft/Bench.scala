@@ -65,7 +65,8 @@ object Bench {
     // like ann_ivf_probe's) + bigram-LM quality filter + the composed
     // ingestion pipeline
     "video_framesample", "ann_ivf_pq_probe", "bigram_surprisal",
-    "pipeline_ingest", "quality_lda")
+    "pipeline_ingest", "quality_lda", "bigram_surprisal_topv",
+    "mix_sample", "catalog_documents_quality", "semantic_dedup_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2451,6 +2451,27 @@ object Oracles {
       // the max-est incident pair (tie → smallest partner) — mirrors
       // GraphOps.fuzzyDedupAudit; fcomp/fcanon come from the shared
       // components CTE, undp re-thresholds pest exactly like fund
+      // the semantic-family twin of fuzzy_dedup_audit: same dropped-doc
+      // report over the s* chain, evidence = max-cos² incident pair
+      "semantic_dedup_audit" -> qrx(SemanticPairsCte + SemanticComponentsCte +
+        """, sundp AS (
+          |  SELECT a_id AS doc_id, b_id AS partner, cos2_e6 FROM spairs
+          |  UNION ALL
+          |  SELECT b_id, a_id, cos2_e6 FROM spairs
+          |), sbestp AS (
+          |  SELECT doc_id, partner AS best_partner, cos2_e6 AS best_cos2_e6
+          |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+          |          ORDER BY cos2_e6 DESC, partner) AS rn
+          |        FROM sundp)
+          |  WHERE rn = 1
+          |)""".stripMargin,
+        """SELECT c.doc_id, c.component, s.canon_id,
+          |       b.best_partner, b.best_cos2_e6
+          |FROM scomp c
+          |JOIN scanon s USING (component)
+          |JOIN sbestp b USING (doc_id)
+          |WHERE c.doc_id <> s.canon_id
+          |ORDER BY c.doc_id""".stripMargin),
       "fuzzy_dedup_audit" -> qrx(PolyMinhashPairsCte + FuzzyComponentsCte +
         """, undp AS (
           |  SELECT a_id AS doc_id, b_id AS partner, est_jaccard_milli

@@ -83,6 +83,7 @@ object SparkEntry {
     "bigram_surprisal_topv" -> (TextOps.bigramSurprisalTopV _),
     "quality_lda" -> (TextOps.qualityLda _),
     "mix_sample" -> (RetrievalOps.mixSample _),
+    "semantic_dedup_audit" -> (GraphOps.semanticDedupAudit _),
     "set_intersect" -> (JoinOps.setIntersect _),
     "set_except" -> (JoinOps.setExcept _),
     "stats_rollup" -> (JoinOps.statsRollup _),

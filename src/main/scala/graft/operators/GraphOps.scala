@@ -599,6 +599,39 @@ object GraphOps {
       .orderBy("doc_id")
   }
 
+  /** AUDIT of the SEMANTIC dedup verdict — the embedding-family twin
+    * of [[fuzzyDedupAudit]], same report contract: one row per DROPPED
+    * doc with its cluster, the canonical that replaced it (shared
+    * [[canonicalPick]] rule) and the strongest evidence — the incident
+    * pair with the highest integer cos² (tie → smallest partner).
+    * Reads the MEMOIZED pair frame and component assignment, so the
+    * report costs its own joins, not the family chain. */
+  def semanticDedupAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = SimilarityOps.semanticPairsShared(spark, sfDir)
+    val comp = semanticComponents(spark, sfDir, SimilarityOps.SemTauE2)
+    val docs = Tables.embeddings(spark, sfDir).select(col("vec_id"))
+      .join(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("n_chars")),
+        col("vec_id") === col("doc_id"))
+      .select(col("doc_id"), col("n_chars"))
+    val canon = canonicalPick(docs, comp)
+    val und = pairs.select(col("a_id").as("doc_id"),
+        col("b_id").as("partner"), col("cos2_e6"))
+      .union(pairs.select(col("b_id").as("doc_id"),
+        col("a_id").as("partner"), col("cos2_e6")))
+    val best = und.groupBy("doc_id")
+      .agg(max_by(col("partner"),
+          struct(col("cos2_e6"), (-col("partner")).as("np")))
+        .as("best_partner"),
+        max("cos2_e6").as("best_cos2_e6"))
+    comp.join(canon, Seq("component"))
+      .filter(col("doc_id") =!= col("canon_id"))
+      .join(best, Seq("doc_id"))
+      .select(col("doc_id"), col("component"), col("canon_id"),
+        col("best_partner"), col("best_cos2_e6"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end FUZZY dedup — the whole near-dup pipeline as one
     * hash-checked query: poly-MinHash banded LSH pairs (est Jaccard ≥
     * 0.5) → connected components over the pair graph (shared
