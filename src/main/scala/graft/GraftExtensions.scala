@@ -109,6 +109,14 @@ object GraftExtensions {
     (FunctionIdentifier("graft_q8dot"),
       new ExpressionInfo(classOf[Q8Dot].getName, "graft_q8dot"),
       (children: Seq[Expression]) => Q8Dot(children(0), children(1))),
+    (FunctionIdentifier("graft_pqencode"),
+      new ExpressionInfo(classOf[graft.functions.PqEncode].getName, "graft_pqencode"),
+      (children: Seq[Expression]) => graft.functions.PqEncode(
+        children(0), children(1), litInt("graft_pqencode", children(2)))),
+    (FunctionIdentifier("graft_pqadc"),
+      new ExpressionInfo(classOf[graft.functions.PqAdcTables].getName, "graft_pqadc"),
+      (children: Seq[Expression]) => graft.functions.PqAdcTables(
+        children(0), children(1), litInt("graft_pqadc", children(2)))),
     templateFn("graft_status_name", 1,
       """CASE WHEN arg0 = 0 THEN 'pending' WHEN arg0 = 1 THEN 'processing'
         |     WHEN arg0 = 2 THEN 'completed' WHEN arg0 = 3 THEN 'failed'

@@ -793,46 +793,32 @@ object SimilarityOps {
       cb1
     }
 
+  /** The codebook as a foldable array<array<bigint>> literal in
+    * (j·PqK + k) order — the form [[graft.functions.PqKernel]] takes
+    * (broadcast by value with the plan, like the PCA basis). */
+  private def pqCbLit(cb: Array[Array[Array[Long]]]): Column =
+    typedlit(cb.flatten.map(_.toSeq).toSeq)
+
   /** PQ ENCODE as a Column over `q8`: per subspace j the code is
-    * argmin_k ‖sub_j − cw_jk‖² (integer L2, tie → min k via the
-    * lexicographic struct-min). Codewords ride in as literals, and the
-    * per-codeword L2 is UNROLLED into element_at arithmetic — Catalyst
-    * HOF lambdas (zip_with/aggregate) are interpreted, and PqM·PqK
-    * of them per row measured as the whole query's hot spot at the
-    * 10× probe (the recorded HOF-trap pattern); the unrolled form is
-    * plain codegen'd expressions. */
-  private def pqCodesCol(cb: Array[Array[Array[Long]]]): Column = {
-    val sub = cb(0)(0).length
-    array((0 until PqM).map { j =>
-      val scored = (0 until PqK).map { k =>
-        val d2 = (0 until sub).map { d =>
-          val x = coalesce(element_at(col("q8"), j * sub + d + 1), lit(0L))
-          val diff = x - lit(cb(j)(k)(d))
-          diff * diff
-        }.reduce(_ + _)
-        struct(d2.as("d2"), lit(k.toLong).as("k"))
-      }
-      array_min(array(scored: _*)).getField("k")
-    }: _*)
-  }
+    * argmin_k ‖sub_j − cw_jk‖² (integer L2, tie → min k) — the NATIVE
+    * [[graft.functions.PqEncode]] kernel. History of this column (the
+    * full HOF-trap arc, measured at the 10× probe): zip_with/aggregate
+    * lambdas were interpreted (~6 s over the store); unrolling into
+    * element_at arithmetic put it back in codegen on paper but the
+    * PqM·PqK-term tree blew janino's 64 KB method limit ("Code grows
+    * beyond 64 KB"), silently dropping the WHOLE STAGE out of codegen;
+    * the native kernel is one method call in the generated code and
+    * one tight compiled loop per row. */
+  private def pqCodesCol(cb: Array[Array[Array[Long]]]): Column =
+    call_function("graft_pqencode", col("q8"), pqCbLit(cb), lit(PqK))
 
   /** Per-query ADC lookup tables as a Column over `q8`:
     * adc(j)(k) = ⟨query sub_j, cw_jk⟩ — PqM × PqK longs per query,
     * computed once per query row; scoring a candidate is then PqM
-    * table lookups + adds, never a dim-length dot. Unrolled like
-    * [[pqCodesCol]] (query rows are few, but the expression is shared
-    * discipline — no interpreted lambdas anywhere in the PQ path). */
-  private def pqAdcCol(cb: Array[Array[Array[Long]]]): Column = {
-    val sub = cb(0)(0).length
-    array((0 until PqM).map { j =>
-      array((0 until PqK).map { k =>
-        (0 until sub).map { d =>
-          coalesce(element_at(col("q8"), j * sub + d + 1), lit(0L)) *
-            lit(cb(j)(k)(d))
-        }.reduce(_ + _)
-      }: _*)
-    }: _*)
-  }
+    * table lookups + adds, never a dim-length dot. Native kernel
+    * ([[graft.functions.PqAdcTables]]) for the same 64 KB reason. */
+  private def pqAdcCol(cb: Array[Array[Array[Long]]]): Column =
+    call_function("graft_pqadc", col("q8"), pqCbLit(cb), lit(PqK))
 
   /** ADC score: Σ_j adc(j)(codes(j)) as a Column over (`adc`, `codes`). */
   private def pqAdcDot: Column =
