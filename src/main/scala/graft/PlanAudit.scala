@@ -16,6 +16,22 @@ object PlanAudit {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = GraftSession.builder(8).master("local[8]").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Codegen-failure counter (round-8 lesson): a stage whose generated
+    // code janino rejects ("Code grows beyond 64 KB" etc.) silently
+    // falls back to interpreted — the plan LOOKS codegen'd and is not.
+    // Count CodeGenerator ERROR events so the audit flags it itself.
+    val codegenFailures = new java.util.concurrent.atomic.AtomicInteger
+    val appender = new org.apache.logging.log4j.core.appender.AbstractAppender(
+      "graft-codegen-audit", null,
+      org.apache.logging.log4j.core.layout.PatternLayout.createDefaultLayout(),
+      false, org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        if (e.getMessage.getFormattedMessage.contains("Failed to compile"))
+          codegenFailures.incrementAndGet()
+    }
+    appender.start()
+    org.apache.logging.log4j.LogManager.getRootLogger
+      .asInstanceOf[org.apache.logging.log4j.core.Logger].addAppender(appender)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -68,6 +84,11 @@ object PlanAudit {
         case e: Throwable => println(s"AUDIT $name ERROR ${e.getMessage}")
       }
     }
+    println(s"AUDIT-CODEGEN failures=${codegenFailures.get()}" +
+      (if (codegenFailures.get() > 0)
+        " <- stages silently fell back to interpreted; find the query" +
+          " via 'Failed to compile' in stderr"
+      else ""))
     spark.stop()
   }
 }
