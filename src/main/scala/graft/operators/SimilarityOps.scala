@@ -972,11 +972,11 @@ object SimilarityOps {
     * dir (production: the scheduled [[buildIvfPqIndex]] job) and every
     * invocation runs only the probe plan. Same oracle as the fused
     * query — the two are bit-identical by IvfPqSpec, so both are
-    * hash-checked. Measured at the 10× probe: fused ~7 s (store-side
-    * banding + near-full-store candidate encode — the 4-bit bands
-    * admit most of the store, so in-plan encoding cannot be
-    * candidate-cheap) vs ~2 s probe; the difference is exactly the
-    * offline half. */
+    * hash-checked. Measured at the 10× probe (after the native PQ
+    * kernels): fused 2.7 s — store-side banding + candidate encode
+    * in-plan, the 4-bit bands admit most of the store so encoding
+    * cannot be candidate-cheap — vs 1.5 s probe; the difference is
+    * exactly the offline half. */
   def annIvfPqProbeQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = Memo.cached(spark, s"ivfPqIndexDir:$sfDir") {
       val d = java.nio.file.Files
