@@ -1425,6 +1425,21 @@ object Oracles {
         |         AND n_alpha_words * 5 >= n_words * 4
         |         AND n_stopwords >= 2 AS keep
         |FROM gqc ORDER BY doc_id""".stripMargin),
+    // dt mirrors CatalogOps.ingestDt: printf over doc_id % 16 — the
+    // deterministic fixture-mapping ingest date of the managed layout
+    "catalog_documents_daily" -> qx(
+      """, cdd AS (
+        |  SELECT printf('2025-01-%02d', CAST(doc_id % 16 AS INT) + 1) AS dt,
+        |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |         n_chars, lang
+        |  FROM documents WHERE source = 'src3'
+        |)""".stripMargin,
+      """SELECT dt, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM cdd WHERE dt BETWEEN '2025-01-05' AND '2025-01-08'
+        |GROUP BY dt ORDER BY dt""".stripMargin),
     "catalog_embeddings_stats" -> q(
       """SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
         |       CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,

@@ -55,7 +55,47 @@ object PlanAudit {
         val all = allNodes(plan)
         val cartesian = all.count(_.isInstanceOf[CartesianProductExec])
         val windows = all.collect { case w: WindowExec => w }
-        val unpartWindows = windows.count(_.partitionSpec.isEmpty)
+        // Adjudicate unpartitioned windows (round-8 judge item): a
+        // global window whose input is DOMINATED BY AN AGGREGATE is a
+        // dim-sized step (|groups| rows — token_budget_waterfill's
+        // |sources|-row ranking, the PCA-driver-solve convention), not
+        // a scale risk; flag UNPART_WINDOW only when the window input
+        // is potentially corpus-sized. "Dominated" = walking the
+        // window's stream side — through unary nodes and the
+        // non-broadcast side of joins (a broadcast side is bounded or
+        // it could not have been planned as a broadcast of an
+        // aggregate; the idiom here is crossJoin(broadcast(1-row
+        // stats))) — reaches an aggregate or global limit before any
+        // leaf scan or generator.
+        def unwrap(p: SparkPlan): SparkPlan = p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            unwrap(q.plan)
+          case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+            unwrap(r.child)
+          case other => other
+        }
+        def isBroadcastSide(p: SparkPlan): Boolean = unwrap(p) match {
+          case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => true
+          case _: org.apache.spark.sql.execution.adaptive.BroadcastQueryStageExec =>
+            true
+          case _ => false
+        }
+        def boundedInput(p: SparkPlan): Boolean = unwrap(p) match {
+          case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+          case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+          case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+          case j if j.children.length == 2 =>
+            val stream = j.children.filterNot(isBroadcastSide)
+            // pure-broadcast cross of bounded frames (stream empty) is
+            // bounded by construction of the broadcast sides
+            stream.forall(boundedInput)
+          case leaf if leaf.children.isEmpty => false
+          case u => u.children.forall(boundedInput)
+        }
+        val unpart = windows.filter(_.partitionSpec.isEmpty)
+        val (boundedWins, riskyWins) = unpart.partition(w => boundedInput(w.child))
+        val unpartWindows = riskyWins.size
         val exchanges = all.collect { case e: ShuffleExchangeExec => e }
         val singleParts = exchanges.count(_.outputPartitioning.numPartitions == 1)
         // repeated scans of one big table = a branch Catalyst could not
@@ -73,6 +113,10 @@ object PlanAudit {
         val flags = Seq(
           if (cartesian > 0) Some(s"CARTESIAN=$cartesian") else None,
           if (unpartWindows > 0) Some(s"UNPART_WINDOW=$unpartWindows") else None,
+          // informational, not a failure: the window input is an
+          // aggregate-dominated dim-sized frame (see adjudication above)
+          if (boundedWins.nonEmpty)
+            Some(s"BOUNDED_WINDOW=${boundedWins.size}") else None,
           if (singleParts > 0) Some(s"SINGLE_PART_EXCH=$singleParts") else None,
           if (multiScan.nonEmpty)
             Some(multiScan.map { case (t, n) => s"MULTI_SCAN($t)=$n" }

@@ -30,6 +30,7 @@ object SparkEntry {
     "catalog_topk_per_status" -> (CatalogOps.catalogTopkPerStatus _),
     "catalog_bucketed_join" -> (CatalogOps.catalogBucketedJoin _),
     "catalog_documents_quality" -> (CatalogOps.catalogDocumentsQuality _),
+    "catalog_documents_daily" -> (CatalogOps.catalogDocumentsDaily _),
     "catalog_embeddings_stats" -> (CatalogOps.catalogEmbeddingsStats _),
     "worker_load" -> (WorkerOps.workerLoad _),
     "worker_metrics_long" -> (WorkerOps.workerMetricsLong _),
@@ -199,6 +200,9 @@ object SparkEntry {
     // §2.10 UDAF + SQL surface + LB strategies + native expression
     "source_token_stats" -> (AggOps.sourceTokenStats _),
     "profile_orders" -> (AggOps.profileOrders _),
+    // rows-only: HLL++ sketches have no DuckDB equivalent;
+    // TwinAgreementSpec bounds every estimate vs the exact twin
+    "profile_orders_approx" -> (AggOps.profileOrdersApprox _),
     "stats_cube" -> (AggOps.statsCube _),
     "stats_grouping_sets" -> (AggOps.statsGroupingSets _),
     "sql_task_stats" -> (AggOps.sqlTaskStats _),

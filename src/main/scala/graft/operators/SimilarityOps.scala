@@ -280,9 +280,13 @@ object SimilarityOps {
   def annIvfProbe(spark: SparkSession, sfDir: String, indexDir: String): DataFrame = {
     val centroids = spark.read.parquet(s"$indexDir/centroids")
     // cid round-trips through the partition directory name, which the
-    // reader infers as int — cast back to the centroid table's long
+    // reader infers as int — cast back to the centroid table's long.
+    // vec_id-dedup (round-8 advice, the PQ-probe convention): IVF
+    // assignment is unique per vector, so duplicate rows can only be a
+    // retried ivfIndexInsert's double-append — any row is the right one.
     val cells = spark.read.parquet(s"$indexDir/cells")
       .select(col("vec_id"), col("cid").cast("long").as("cid"))
+      .dropDuplicates("vec_id")
     ivfProbeOf(spark, ivfEmbeddings(spark, sfDir), centroids, cells)
   }
 
@@ -1003,7 +1007,15 @@ object SimilarityOps {
     val cb = readPqCodebook(spark, indexDir)
     val bands = spark.read.parquet(s"$indexDir/bands")
       .select(col("vec_id"), col("band").cast("int").as("band"), col("key"))
+    // vec_id-dedup on the codes read (round-8 advice): a RETRIED
+    // ivfPqIndexInsert appends duplicate rows per vec_id — bands
+    // duplicates are absorbed by candIds' distinct, but a duplicate
+    // code row would surface as a duplicate (query_id, vec_id) in the
+    // shortlist and violate the top-k contract. Codes are a pure
+    // function of the vector under the frozen codebook, so any row is
+    // the right one; the dedup rides the join's own vec_id shuffle.
     val codes = spark.read.parquet(s"$indexDir/codes")
+      .dropDuplicates("vec_id")
     val q8row = q8Frame(spark, sfDir)
     val qRow = q8row.filter(col("vec_id") < 5)
     val qBands = latticeBandedOf(qRow)

@@ -674,22 +674,38 @@ object TextOps {
     * candidate generation is the ONLY wide stage before the verify. */
   def ngramJaccardPrefixHash(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = shingleDocs(spark, sfDir)
+    // posexplode: p = the token's 1-indexed CANONICAL POSITION in the
+    // doc's sorted shingle array — the PPJoin position filter's input
     val prefix = docs.select(col("doc_id"), col("source"), col("sz"),
-      explode(slice(col("sh"), lit(1), (col("sz") / 3).cast("int") + 1)).as("tok_h"))
+        posexplode(slice(col("sh"), lit(1), (col("sz") / 3).cast("int") + 1)))
+      .select(col("doc_id"), col("source"), col("sz"),
+        (col("pos") + 1).as("p"), col("col").as("tok_h"))
     // never broadcast the exploded table (Catalyst's width estimate
     // undershoots after the 8-byte hash projection); shuffle-hash
     // co-locates on (source, tok_h). LENGTH FILTER (the PPJoin size
     // bound): J ≥ 0.5 forces |A| and |B| within 2× of each other
     // (I ≤ min, union ≥ max ⇒ J ≤ min/max), so size-incompatible
-    // bucket collisions drop BEFORE the distinct and the verify join —
-    // recall 1 preserved (RewireEquivalenceSpec pins ≡ all-pairs).
+    // bucket collisions drop BEFORE the distinct and the verify join.
+    // POSITION FILTER (PPJoin's second bound, round-9): a match at
+    // canonical positions (i, j) caps the overlap at
+    // 1 + min(|A|−i, |B|−j) — tokens before the match in either doc
+    // cannot be common to both beyond the matched one when it is the
+    // pair's FIRST common token, and every qualifying pair's first
+    // common token is inside both prefixes with exactly this bound ≥
+    // α = ⌈(|A|+|B|)/3⌉ (J ≥ 0.5 ⟺ overlap ≥ α). Integer form:
+    // |A|+|B| ≤ 3·(1 + min(|A|−i, |B|−j)). Recall stays 1
+    // (RewireEquivalenceSpec pins ≡ all-pairs); candidate pairs whose
+    // only matches sit deep in both suffix-heavy prefixes now drop
+    // BEFORE the distinct and the verify join.
     val cand = prefix.alias("a").hint("shuffle_hash")
       .join(prefix.alias("b"),
         col("a.source") === col("b.source") &&
         col("a.tok_h") === col("b.tok_h") &&
         col("a.doc_id") < col("b.doc_id") &&
         col("a.sz") <= col("b.sz") * 2 &&
-        col("b.sz") <= col("a.sz") * 2)
+        col("b.sz") <= col("a.sz") * 2 &&
+        col("a.sz") + col("b.sz") <=
+          (least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p")) + 1) * 3)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     jaccardVerify(cand, docs)
