@@ -1425,11 +1425,12 @@ object Oracles {
         |         AND n_alpha_words * 5 >= n_words * 4
         |         AND n_stopwords >= 2 AS keep
         |FROM gqc ORDER BY doc_id""".stripMargin),
-    // dt mirrors CatalogOps.ingestDt: printf over doc_id % 16 — the
-    // deterministic fixture-mapping ingest date of the managed layout
+    // dt mirrors CatalogOps.ingestDt: printf over (doc_id // 20) % 16 —
+    // the deterministic fixture-mapping ingest date of the managed
+    // layout, coprime to source = doc_id % 20 so the grid fills
     "catalog_documents_daily" -> qx(
       """, cdd AS (
-        |  SELECT printf('2025-01-%02d', CAST(doc_id % 16 AS INT) + 1) AS dt,
+        |  SELECT printf('2025-01-%02d', CAST((doc_id // 20) % 16 AS INT) + 1) AS dt,
         |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
         |         n_chars, lang
         |  FROM documents WHERE source = 'src3'

@@ -90,6 +90,11 @@ object PlanAudit {
             // pure-broadcast cross of bounded frames (stream empty) is
             // bounded by construction of the broadcast sides
             stream.forall(boundedInput)
+          // row-EXPANDING nodes break the bound: a global window over
+          // explode(collect_list(...)) above an aggregate is
+          // potentially corpus-sized again (round-9 advice — the walk
+          // must stop at generators, per the adjudication rule above)
+          case _: org.apache.spark.sql.execution.GenerateExec => false
           case leaf if leaf.children.isEmpty => false
           case u => u.children.forall(boundedInput)
         }

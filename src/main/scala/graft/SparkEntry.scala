@@ -201,7 +201,9 @@ object SparkEntry {
     "source_token_stats" -> (AggOps.sourceTokenStats _),
     "profile_orders" -> (AggOps.profileOrders _),
     // rows-only: HLL++ sketches have no DuckDB equivalent;
-    // TwinAgreementSpec bounds every estimate vs the exact twin
+    // TwinAgreementSpec ("profile_orders_approx tracks …") pins every
+    // non-estimate column bit-identical to the hash-checked exact twin
+    // and every distinct estimate within the published rsd envelope
     "profile_orders_approx" -> (AggOps.profileOrdersApprox _),
     "stats_cube" -> (AggOps.statsCube _),
     "stats_grouping_sets" -> (AggOps.statsGroupingSets _),

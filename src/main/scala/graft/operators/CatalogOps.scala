@@ -23,31 +23,37 @@ object CatalogOps {
   val Database = "graft"
   val TasksTable = s"$Database.tasks_managed"
 
-  /** One ingest per (SESSION, group, sfDir) — content is deterministic
-    * per sfDir, and the shared table names mean only one sfDir is
-    * resident per group at a time. SESSION-scoped via [[Memo]] (round-8
-    * advice: a JVM-global guard let a NEW SparkSession — the fixture
-    * refresh convention, or one with a different warehouse — skip the
-    * ingest and read missing/stale tables). The holder maps
-    * group → last-ingested sfDir, so switching sfDir re-ingests and
-    * switching BACK re-ingests too (the table holds the other sfDir's
-    * rows in between). */
-  private def ingestOnce(spark: SparkSession, group: String, sfDir: String)(
-      ingest: => Unit): Unit = {
-    val state = Memo.cached(spark, "catalogIngestState")(
-      scala.collection.mutable.Map.empty[String, String])
-    state.synchronized {
-      if (!state.get(group).contains(sfDir)) {
+  /** Last-ingested sfDir per table GROUP — JVM-GLOBAL, because the
+    * resource it guards (the named managed tables) is JVM/metastore-
+    * global: a per-session guard let session A keep "resident" after
+    * session B overwrote the same table with a different sfDir's rows
+    * (round-9 advice). All ingests serialize on this map's monitor, so
+    * two sessions can never run saveAsTable(overwrite) on the same
+    * tables concurrently. */
+  private val ingestState = scala.collection.mutable.Map.empty[String, String]
+
+  /** One ingest per (group, sfDir) against the SHARED metastore tables.
+    * The guard matches the shared resource: skip only when the
+    * JVM-global state says this group already holds `sfDir` AND the
+    * probe table is actually visible to THIS session's catalog (a new
+    * session with a fresh warehouse — the round-8 bug — fails the
+    * probe and re-ingests). Switching sfDir re-ingests, and switching
+    * BACK re-ingests too (the tables held the other sfDir's rows in
+    * between). */
+  private def ingestOnce(spark: SparkSession, group: String, sfDir: String,
+      probeTable: String)(ingest: => Unit): Unit =
+    ingestState.synchronized {
+      if (!ingestState.get(group).contains(sfDir) ||
+          !spark.catalog.tableExists(probeTable)) {
         ingest
-        state(group) = sfDir
+        ingestState(group) = sfDir
       }
     }
-  }
 
   /** Create/refresh the managed status-partitioned tasks table from
     * the sfDir fixture. Idempotent per session+sfDir. */
   def ensureTasksTable(spark: SparkSession, sfDir: String): String = {
-    ingestOnce(spark, "tasks", sfDir) {
+    ingestOnce(spark, "tasks", sfDir, TasksTable) {
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $Database")
       Tables.tasks(spark, sfDir)
         .write.mode("overwrite")
@@ -101,7 +107,7 @@ object CatalogOps {
     * 100 TB this is THE repeated-join layout: pay the bucketed write
     * once, skip the fact-table shuffle on every subsequent join. */
   def ensureBucketedTables(spark: SparkSession, sfDir: String): Unit =
-    ingestOnce(spark, "bucketed", sfDir) {
+    ingestOnce(spark, "bucketed", sfDir, WorkersBucketed) {
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $Database")
       Tables.assignedTasks(spark, sfDir)
         .select("id", "status", "priority", "worker_id")
@@ -144,9 +150,16 @@ object CatalogOps {
     * production ingest stamps the arrival date). 16 daily partitions
     * ("2025-01-01".."2025-01-16") as a plain yyyy-MM-dd STRING — the
     * lakehouse dt-string convention, so the partition value needs no
-    * date-type round-trip through metastore/oracle. */
+    * date-type round-trip through metastore/oracle. Derived as
+    * `(doc_id div 20) % 16` — COPRIME to the fixture's source
+    * derivation (source = doc_id % 20), so the (source, dt) grid fills
+    * completely: every source delivers on every date (round-9 verdict:
+    * the earlier `doc_id % 16` shared a factor of 4 with the source
+    * key, leaving each source on only 4 of the 16 dates and the daily
+    * report degenerate at one populated day). */
   private[graft] def ingestDt: org.apache.spark.sql.Column =
-    format_string("2025-01-%02d", (col("doc_id") % 16).cast("int") + 1)
+    format_string("2025-01-%02d",
+      (floor(col("doc_id") / 20) % 16).cast("int") + 1)
 
   /** Create/refresh the managed corpus tables: documents PARTITIONED
     * BY (source, dt) — the two-level production key: per-source
@@ -156,7 +169,7 @@ object CatalogOps {
     * label (per-cluster embedding jobs). Idempotent per session+sfDir
     * ([[ingestOnce]]) — the write is the one-time ingest job. */
   def ensureCorpusTables(spark: SparkSession, sfDir: String): Unit =
-    ingestOnce(spark, "corpus", sfDir) {
+    ingestOnce(spark, "corpus", sfDir, DocumentsManaged) {
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $Database")
       Tables.documents(spark, sfDir)
         .withColumn("dt", ingestDt)
@@ -187,8 +200,10 @@ object CatalogOps {
     * source over a 4-day window — the "what did source X deliver this
     * week" query a corpus operator runs every morning. Both predicates
     * are metastore partition filters on the (source, dt) layout, so the
-    * scan touches exactly the 4 matching leaf directories (asserted
-    * partition-for-partition in CatalogSpec through the AQE stages). */
+    * scan touches exactly the 4 matching leaf directories — pinned by
+    * CatalogSpec's "catalog_documents_daily prunes to the 4-day
+    * window" test (exactly-4-leaf scan through the AQE stages, and 4
+    * populated result days). */
   def catalogDocumentsDaily(spark: SparkSession, sfDir: String): DataFrame = {
     ensureCorpusTables(spark, sfDir)
     spark.table(DocumentsManaged)

@@ -45,14 +45,100 @@ private[graft] object Memo {
 
   /** ONE-SHOT build cell: `getOrElseUpdate` on the session map elects a
     * single winning cell per key while holding the map lock only for
-    * the (cheap, by-name) insertion; the build itself runs under the
-    * CELL's own lazy-val monitor, outside the map lock — losing
-    * threads' cells are discarded UNBUILT, so a lost race costs a
-    * closure allocation, never a duplicate Spark job or an orphaned
-    * localCheckpoint's executor blocks (the round-8 advice item). */
+    * the (cheap, by-name) insertion; the build itself runs with NO
+    * monitor held (builds nest — a stored cluster assignment composes
+    * a shared pair frame, itself memoized) — losing threads' cells are
+    * discarded UNBUILT, so a lost race costs a closure allocation,
+    * never a duplicate Spark job or an orphaned localCheckpoint's
+    * executor blocks (the round-8 advice item).
+    *
+    * DEADLOCK FAIL-FAST (round-9 advice): nested `cached()` builds
+    * must form an ACYCLIC dependency order. Current builds nest
+    * hierarchically (pair frame ← cluster assignment ← index dir), so
+    * a cycle cannot occur today — but nothing in the call graph
+    * enforces that, and under the old lazy-val scheme thread 1 inside
+    * cell A's monitor calling cached(B) while thread 2 inside cell B
+    * calls cached(A) would block both FOREVER. [[WaitGraph]] therefore
+    * tracks builder/waiter edges and a thread about to wait on a cell
+    * whose builder is (transitively) waiting on a cell this thread is
+    * building gets an IllegalStateException naming the cycle instead
+    * of a silent hang. */
   private final class Cell[T](build: => T) {
     @volatile private[Memo] var built = false
-    lazy val value: T = { val v = build; built = true; v }
+    @volatile private[Memo] var owner: Thread = null
+    private var result: AnyRef = null
+
+    def value: T = {
+      if (built) return result.asInstanceOf[T]
+      val me = Thread.currentThread()
+      while (true) {
+        if (WaitGraph.claimOrWait(this, me)) {
+          // this thread won the build
+          try {
+            val v = build
+            this.synchronized {
+              result = v.asInstanceOf[AnyRef]; built = true; this.notifyAll()
+            }
+            WaitGraph.releaseOwner(this, me)
+            return v
+          } catch {
+            case t: Throwable =>
+              this.synchronized(this.notifyAll())
+              WaitGraph.releaseOwner(this, me)
+              throw t
+          }
+        } else {
+          // another thread is building: block (bounded — a failed
+          // builder clears `owner` and waiters re-compete)
+          this.synchronized { if (!built && (owner ne null)) this.wait(100) }
+          WaitGraph.clearWait(me)
+          if (built) return result.asInstanceOf[T]
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+  }
+
+  /** Global builder/waiter graph for [[Cell]] builds: claim a cell's
+    * build or register a wait edge, failing fast on a cross-thread
+    * cycle (me → cellA's builder → cellB → … → me). All state changes
+    * run under one lock, so the cycle walk sees a consistent
+    * snapshot. */
+  private object WaitGraph {
+    private val waitingOn =
+      scala.collection.mutable.Map.empty[Thread, Cell[_]]
+
+    /** True = `me` owns the build. False = another thread does and
+      * `me`'s wait edge is registered (after passing the cycle
+      * check). */
+    def claimOrWait(cell: Cell[_], me: Thread): Boolean = synchronized {
+      if (cell.built) return false
+      cell.owner match {
+        case null => cell.owner = me; true
+        case `me` => throw new IllegalStateException(
+          "re-entrant Memo build: a cached() build requires its own cell")
+        case other =>
+          var t: Thread = other
+          var hops = 0
+          while ((t ne null) && hops < 1024) {
+            if (t eq me) throw new IllegalStateException(
+              s"Memo deadlock averted: cyclic cached() nesting — thread " +
+                s"${me.getName} waits on a cell whose builder chain waits " +
+                s"back on ${me.getName}'s own build; nested cached() " +
+                "builds must be acyclic (see Cell's scaladoc)")
+            t = waitingOn.get(t).map(_.owner).orNull
+            hops += 1
+          }
+          waitingOn(me) = cell
+          false
+      }
+    }
+
+    def releaseOwner(cell: Cell[_], me: Thread): Unit = synchronized {
+      if (cell.owner eq me) cell.owner = null
+    }
+
+    def clearWait(me: Thread): Unit = synchronized { waitingOn.remove(me) }
   }
 
   private def perSession(spark: SparkSession)
@@ -111,10 +197,11 @@ private[graft] object Memo {
       } catch { case _: Throwable => () }
 
   /** Memoize any driver-side artifact (basis arrays, trained tables).
-    * Exactly-once per (session, key): the winner cell's lazy val runs
-    * the build outside the session-map lock (builds NEST — a stored
-    * cluster assignment composes a shared pair frame, itself memoized —
-    * and each nested build locks its own cell, never the map). */
+    * Exactly-once per (session, key): the winner cell runs the build
+    * with no lock held (builds NEST — a stored cluster assignment
+    * composes a shared pair frame, itself memoized). Nested builds
+    * must be ACYCLIC; a cyclic nesting fails fast with
+    * IllegalStateException instead of deadlocking (see [[Cell]]). */
   def cached[T](spark: SparkSession, key: String)(build: => T): T = {
     val m = perSession(spark)
     val cell = m.synchronized(

@@ -107,24 +107,31 @@ class CatalogSpec extends SparkSuite {
       .collect { case s: FileSourceScanExec => s }
   }
 
-  test("catalog corpus tables: source/label partitions registered in the metastore") {
+  test("catalog corpus tables: (source, dt) / label partitions registered in the metastore") {
     CatalogOps.ensureCorpusTables(spark, sf)
     val docParts = spark.sql(s"SHOW PARTITIONS ${CatalogOps.DocumentsManaged}")
       .collect().map(_.getString(0))
-    assert(docParts.length == 20 && docParts.forall(_.startsWith("source=")))
+    // two-level (source, dt) layout; dt coprime to source, so the full
+    // 20 sources × 16 dates grid populates
+    assert(docParts.length == 20 * 16, s"got ${docParts.length} leaves")
+    assert(docParts.forall(p => p.startsWith("source=") && p.contains("/dt=2025-01-")))
+    val bySource = docParts.groupBy(_.split("/")(0))
+    assert(bySource.size == 20 && bySource.values.forall(_.length == 16),
+      "every source must deliver on all 16 dates")
     val embParts = spark.sql(s"SHOW PARTITIONS ${CatalogOps.EmbeddingsManaged}")
       .collect().map(_.getString(0))
     assert(embParts.nonEmpty && embParts.forall(_.startsWith("label=")))
   }
 
-  test("catalog_documents_quality prunes to the one source partition") {
+  test("catalog_documents_quality prunes to the one source's partitions") {
     val df = CatalogOps.catalogDocumentsQuality(spark, sf)
     val scans = prunedScans(df)
     assert(scans.nonEmpty)
     assert(scans.forall(_.partitionFilters.nonEmpty),
       "source predicate must be a metastore partition filter")
-    assert(scans.forall(_.selectedPartitions.partitionCount == 1),
-      "exactly one source partition's files may be read")
+    // one source = 16 dt leaves under the two-level (source, dt) layout
+    assert(scans.forall(_.selectedPartitions.partitionCount == 16),
+      "exactly one source's 16 dt leaves may be read")
     // and the rules agree with the parquet route on the same slice
     val viaParquet = graft.operators.TextOps.gopherQuality(spark, sf)
       .join(graft.sources.Tables.documents(spark, sf)
@@ -132,6 +139,26 @@ class CatalogSpec extends SparkSuite {
         .select("doc_id"), "doc_id")
       .collect().map(_.toSeq).toSet
     assert(df.collect().map(_.toSeq).toSet == viaParquet && viaParquet.nonEmpty)
+  }
+
+  test("catalog_documents_daily prunes to the 4-day window and fills all 4 days") {
+    val df = CatalogOps.catalogDocumentsDaily(spark, sf)
+    val scans = prunedScans(df)
+    assert(scans.nonEmpty)
+    // BOTH predicates (source equality + dt range) must be metastore
+    // partition filters on the (source, dt) layout: src3 × 4 dates =
+    // exactly 4 leaf directories read, through the AQE stages
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "source + dt predicates must be metastore partition filters")
+    assert(scans.forall(_.selectedPartitions.partitionCount == 4),
+      s"exactly the 4 (src3, dt) leaves may be read; got " +
+        scans.map(_.selectedPartitions.partitionCount).mkString(","))
+    // the decorrelated dt (coprime to source) makes the window
+    // non-degenerate: every day of the window is populated
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("2025-01-05", "2025-01-06", "2025-01-07", "2025-01-08"))
+    assert(rows.forall(_.getLong(1) > 0), "every window day must have docs")
   }
 
   test("catalog_embeddings_stats prunes to the two label partitions") {

@@ -111,6 +111,30 @@ class TwinAgreementSpec extends SparkSuite {
     assert(polyRecall >= 0.7, s"poly simhash recall of J≥0.9 pairs = $polyRecall")
   }
 
+  test("profile_orders_approx tracks the hash-checked exact profile within HLL++ rsd") {
+    // identical single-scan shape, count_distinct swapped for
+    // approx_count_distinct: everything EXCEPT the distinct estimate
+    // must be bit-identical to the exact twin, and each per-column
+    // estimate must land within HyperLogLog++'s published error
+    // envelope (default rsd 0.05; 3σ = 15% relative error bound).
+    val exact = operators.AggOps.profileOrders(spark, sf).collect()
+      .map(r => r.getString(1) -> r).toMap
+    val approx = operators.AggOps.profileOrdersApprox(spark, sf).collect()
+    assert(approx.length == exact.size && approx.nonEmpty)
+    approx.foreach { r =>
+      val e = exact(r.getString(1))
+      // exact columns: ord, n_rows, n_nulls, min_v, max_v
+      for (i <- Seq(0, 2, 3, 5, 6))
+        assert(r.get(i) == e.get(i),
+          s"${r.getString(1)} col $i: approx ${r.get(i)} != exact ${e.get(i)}")
+      val (est, act) = (r.getLong(4).toDouble, e.getLong(4).toDouble)
+      val relErr = math.abs(est - act) / act
+      assert(relErr <= 0.15,
+        s"${r.getString(1)} n_distinct: approx $est vs exact $act " +
+          f"(relative error $relErr%.4f > 0.15)")
+    }
+  }
+
   test("compression_ratio orders with the hash-checked repetition_ratio") {
     // deflate must see the redundancy the exact 3-token repeat counter
     // sees: the most-repetitive quartile's mean zratio is materially
