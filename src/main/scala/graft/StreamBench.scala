@@ -275,7 +275,16 @@ object StreamBench {
 
   private def engineBench(args: Array[String]): Unit = {
     val nTasks = args.headOption.map(_.toInt).getOrElse(50000)
+    // optional 2nd arg: state-store provider ("rocksdb" | "hdfs",
+    // default hdfs) — the per-store events/s comparison row
+    val provider = args.drop(1).headOption.getOrElse("hdfs") match {
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case _ =>
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    }
     val spark = GraftSession.builder(32).master("local[32]").getOrCreate()
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
     spark.sparkContext.setLogLevel("ERROR")
     val root = Files.createTempDirectory("graft-streambench").toString
     val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
@@ -310,7 +319,8 @@ object StreamBench {
     val sec = (System.nanoTime() - t0) / 1e9
     val nTransitions = spark.read.parquet(out).count()
     val nEvents = nTasks * 3L
-    println(f"""{"metric":"stream_events_per_sec","value":${nEvents / sec}%.0f,"events":$nEvents,"transitions":$nTransitions,"sec":$sec%.2f}""")
+    val store = provider.split("\\.").last.stripSuffix("StateStoreProvider")
+    println(f"""{"metric":"stream_events_per_sec","value":${nEvents / sec}%.0f,"events":$nEvents,"transitions":$nTransitions,"store":"$store","sec":$sec%.2f}""")
     require(nTransitions == nEvents, s"expected $nEvents transitions, got $nTransitions")
     spark.stop()
   }

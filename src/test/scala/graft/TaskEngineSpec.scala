@@ -7,8 +7,28 @@ import graft.streaming.TaskEngine
 import graft.streaming.TaskEngine._
 
 /** ST2/ST3/ST5/ST9 lifecycle semantics — pure function + end-to-end
-  * through MemoryStream micro-batches. */
+  * through MemoryStream micro-batches. The streaming tests run ONCE
+  * PER STATE-STORE PROVIDER (default HDFS-backed and RocksDB): a
+  * production deployment picks RocksDB when keyed state outgrows
+  * executor heap (per-task state lives in native memory + local SST
+  * files, with changelog checkpointing), and the engine's semantics
+  * must be provider-independent. */
 class TaskEngineSpec extends SparkSuite {
+
+  private val providers = Seq(
+    "hdfs" -> "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    "rocksdb" -> "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  private def withProvider(cls: String)(body: => Unit): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, cls)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 
   test("pure step: happy path submit→assign→complete") {
     val s0 = step(None, TaskEvent("t1", "submit", null, 1)).get
@@ -50,13 +70,15 @@ class TaskEngineSpec extends SparkSuite {
     assert(tr.workerId == "w9" && tr.to == Pending)
   }
 
-  test("streaming: lifecycle across micro-batches via MemoryStream") {
+  for ((tag, cls) <- providers)
+  test(s"streaming: lifecycle across micro-batches via MemoryStream [$tag]") {
+    withProvider(cls) {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[TaskEvent]
     val q = TaskEngine.transitions(spark, input.toDS())
-      .writeStream.format("memory").queryName("transitions")
+      .writeStream.format("memory").queryName(s"transitions_$tag")
       .outputMode(OutputMode.Append).start()
     try {
       input.addData(TaskEvent("a", "submit", null, 1), TaskEvent("b", "submit", null, 1))
@@ -66,7 +88,7 @@ class TaskEngineSpec extends SparkSuite {
       // batch 3: a completes; b fails (retry 1) — state carried between batches
       input.addData(TaskEvent("a", "complete", null, 3), TaskEvent("b", "fail", null, 3))
       q.processAllAvailable()
-      val out = spark.table("transitions").as[TaskTransition].collect()
+      val out = spark.table(s"transitions_$tag").as[TaskTransition].collect()
       assert(out.count(_.to == Processing) == 2)
       assert(out.exists(t => t.taskId == "a" && t.to == Completed))
       val bFail = out.find(t => t.taskId == "b" && t.to == Delayed).get
@@ -75,13 +97,16 @@ class TaskEngineSpec extends SparkSuite {
       input.addData(TaskEvent("c", "submit", null, 1),
         TaskEvent("c", "assign", "w3", 2), TaskEvent("c", "complete", null, 3))
       q.processAllAvailable()
-      val c = spark.table("transitions").as[TaskTransition]
+      val c = spark.table(s"transitions_$tag").as[TaskTransition]
         .filter(_.taskId == "c").collect().sortBy(_.to)
       assert(c.map(_.to).toSet == Set(Pending, Processing, Completed))
     } finally q.stop()
+    }
   }
 
-  test("end-to-end pipeline: event stream → state machine → per-batch stats sink") {
+  for ((tag, cls) <- providers)
+  test(s"end-to-end pipeline: event stream → state machine → per-batch stats sink [$tag]") {
+    withProvider(cls) {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -112,5 +137,37 @@ class TaskEngineSpec extends SparkSuite {
       assert(counts(Completed) == 10L)
       assert(counts(Delayed) == 10L) // first failure → retry, not FAILED
     } finally q.stop()
+    }
+  }
+
+  test("transformWithState engine requires the RocksDB provider (pinned Spark contract)") {
+    // the TWS engine (TaskEngineTws) cannot be dual-provider: Spark
+    // rejects transformWithState on the HDFS-backed store — state
+    // variables/timers need RocksDB's column families. Pin that here so
+    // the provider matrix is explicit: fMGWS runs on both (above), TWS
+    // on RocksDB only (TaskEngineTwsSpec / StreamingE2ESpec).
+    withProvider(
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider") {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[TaskEvent]
+      val err = intercept[Exception] {
+        val q = graft.streaming.TaskEngineTws
+          .transitions(spark, input.toDS(), backoffScaleMs = 1L)
+          .writeStream.format("memory").queryName("tws_hdfs_reject")
+          .outputMode(OutputMode.Append).start()
+        try {
+          input.addData(TaskEvent("t1", "submit", null, 1))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(err).exists(m =>
+        m.contains("RocksDB") || m.contains("STATE_STORE")),
+        s"expected a state-store provider rejection, got: $err")
+    }
   }
 }
