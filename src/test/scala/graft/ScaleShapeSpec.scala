@@ -33,6 +33,45 @@ class ScaleShapeSpec extends SparkSuite {
       salted.map(r => (r.getString(0), r.getLong(1))))
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // the 100 TB shuffle-join reducer: when a dim side carries a
+    // selective predicate, Catalyst's InjectRuntimeFilter builds a
+    // bloom over the dim's join keys (a scalar subquery aggregate) and
+    // pushes might_contain(key) into the FACT side's scan — rows that
+    // cannot join are dropped before the shuffle, so the exchanged
+    // volume scales with the dim's selectivity, not the fact's size.
+    // The fixture is far below the production thresholds, so the
+    // thresholds are lowered to force the same plan shape here.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val o = Tables.orders(spark, sf)
+        .filter(col("o_totalprice") > lit(500000.0)) // selective dim slice
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val l = Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty"), count(lit(1)).as("n"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
+        s"expected a runtime bloom filter on the probe scan:\n$plan")
+      // and the filtered plan computes the same answer
+      val expected = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf).filter(col("o_totalprice") > lit(500000.0)),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(sum(col("l_quantity")), count(lit(1))).head()
+      assert(j.head() == expected)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val exact = graft.operators.EventOps.eventUserStats(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
