@@ -23,37 +23,61 @@ object CatalogOps {
   val Database = "graft"
   val TasksTable = s"$Database.tasks_managed"
 
-  /** Last-ingested sfDir per table GROUP — JVM-GLOBAL, because the
-    * resource it guards (the named managed tables) is JVM/metastore-
-    * global: a per-session guard let session A keep "resident" after
-    * session B overwrote the same table with a different sfDir's rows
-    * (round-9 advice). All ingests serialize on this map's monitor, so
-    * two sessions can never run saveAsTable(overwrite) on the same
-    * tables concurrently. */
-  private val ingestState = scala.collection.mutable.Map.empty[String, String]
+  /** Last-ingested (sfDir, generation) per table GROUP — JVM-GLOBAL,
+    * because the resource it guards (the named managed tables) is
+    * JVM/metastore-global: a per-session guard let session A keep
+    * "resident" after session B overwrote the same table with a
+    * different sfDir's rows (round-9 advice). All ingests serialize on
+    * this map's monitor, so two sessions can never run
+    * saveAsTable(overwrite) on the same tables concurrently. */
+  private case class IngestGen(sfDir: String, gen: Long)
+  private val ingestState = scala.collection.mutable.Map.empty[String, IngestGen]
 
   /** One ingest per (group, sfDir) against the SHARED metastore tables.
     * The guard matches the shared resource: skip only when the
     * JVM-global state says this group already holds `sfDir` AND the
-    * probe table is actually visible to THIS session's catalog (a new
+    * tables are actually visible to THIS session's catalog (a new
     * session with a fresh warehouse — the round-8 bug — fails the
     * probe and re-ingests). Switching sfDir re-ingests, and switching
     * BACK re-ingests too (the tables held the other sfDir's rows in
-    * between). */
+    * between).
+    *
+    * The GENERATION handles the second shared-state hazard: each
+    * session caches a table's FILE LISTING in its relation cache, so
+    * after another session's overwrite a stale session would read
+    * replaced file names (FAILED_READ_FILE). Every ingest bumps the
+    * group's generation; a session seeing a generation newer than the
+    * one it last observed refreshes the group's tables (metadata-only,
+    * drops the cached listing) before reading. Steady state — same
+    * session, same sfDir, no interleaved ingest — touches nothing. */
   private def ingestOnce(spark: SparkSession, group: String, sfDir: String,
-      probeTable: String)(ingest: => Unit): Unit =
+      tables: Seq[String])(ingest: => Unit): Unit = {
+    val seen = Memo.cached(spark, "catalogSeenGen")(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long])
     ingestState.synchronized {
-      if (!ingestState.get(group).contains(sfDir) ||
-          !spark.catalog.tableExists(probeTable)) {
+      val cur = ingestState.get(group)
+      val needsIngest = !cur.exists(_.sfDir == sfDir) ||
+        !tables.forall(spark.catalog.tableExists)
+      if (needsIngest) {
         ingest
-        ingestState(group) = sfDir
+        val gen = cur.map(_.gen).getOrElse(0L) + 1L
+        ingestState(group) = IngestGen(sfDir, gen)
+        tables.foreach(spark.catalog.refreshTable)
+        seen.put(group, gen)
+      } else {
+        val gen = ingestState(group).gen
+        if (Option(seen.get(group)).forall(_.longValue != gen)) {
+          tables.foreach(spark.catalog.refreshTable)
+          seen.put(group, gen)
+        }
       }
     }
+  }
 
   /** Create/refresh the managed status-partitioned tasks table from
     * the sfDir fixture. Idempotent per session+sfDir. */
   def ensureTasksTable(spark: SparkSession, sfDir: String): String = {
-    ingestOnce(spark, "tasks", sfDir, TasksTable) {
+    ingestOnce(spark, "tasks", sfDir, Seq(TasksTable)) {
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $Database")
       Tables.tasks(spark, sfDir)
         .write.mode("overwrite")
@@ -107,7 +131,8 @@ object CatalogOps {
     * 100 TB this is THE repeated-join layout: pay the bucketed write
     * once, skip the fact-table shuffle on every subsequent join. */
   def ensureBucketedTables(spark: SparkSession, sfDir: String): Unit =
-    ingestOnce(spark, "bucketed", sfDir, WorkersBucketed) {
+    ingestOnce(spark, "bucketed", sfDir,
+        Seq(AssignedBucketed, WorkersBucketed)) {
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $Database")
       Tables.assignedTasks(spark, sfDir)
         .select("id", "status", "priority", "worker_id")
@@ -169,7 +194,8 @@ object CatalogOps {
     * label (per-cluster embedding jobs). Idempotent per session+sfDir
     * ([[ingestOnce]]) — the write is the one-time ingest job. */
   def ensureCorpusTables(spark: SparkSession, sfDir: String): Unit =
-    ingestOnce(spark, "corpus", sfDir, DocumentsManaged) {
+    ingestOnce(spark, "corpus", sfDir,
+        Seq(DocumentsManaged, EmbeddingsManaged)) {
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $Database")
       Tables.documents(spark, sfDir)
         .withColumn("dt", ingestDt)

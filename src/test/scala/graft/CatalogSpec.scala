@@ -218,4 +218,30 @@ class CatalogSpec extends SparkSuite {
     assert(scans.forall(_.partitionFilters.nonEmpty))
     assert(scans.forall(_.selectedPartitions.partitionCount == 2))
   }
+
+  test("ingest guard is metastore-global: another session's sfDir switch forces re-ingest") {
+    // the round-9 advice scenario: the managed tables are shared
+    // across sessions, so after session B overwrites them with a
+    // DIFFERENT sfDir's rows, session A's next catalog query must
+    // re-ingest its own sfDir — never silently read B's rows while
+    // a stale per-session guard says "resident". (Runs last-ish in
+    // the suite; the final call below restores the suite's sfDir.)
+    val other = "/root/testdata/sf0.01"
+    val sessionA = spark.newSession()
+    val sessionB = spark.newSession()
+    def stats(s: org.apache.spark.sql.SparkSession, dir: String) =
+      CatalogOps.catalogTaskStats(s, dir).collect().map(_.toSeq).toSeq
+    def direct(s: org.apache.spark.sql.SparkSession, dir: String) =
+      TaskOps.taskStats(s, dir).collect().map(_.toSeq).toSeq
+    val a1 = stats(sessionA, sf)
+    assert(a1 == direct(sessionA, sf))
+    val b = stats(sessionB, other)
+    assert(b == direct(sessionB, other), "B must see its own sfDir's rows")
+    assert(b != a1, "fixture SFs must differ for this test to mean anything")
+    // A again, same sfDir as before — the guard must detect B's switch
+    val a2 = stats(sessionA, sf)
+    assert(a2 == a1, "A must re-ingest its sfDir, not read B's rows")
+    // leave the shared tables holding the suite's sfDir for later tests
+    assert(stats(spark, sf) == a1)
+  }
 }
