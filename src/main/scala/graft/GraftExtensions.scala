@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CompressionRatio, CosineSimilarity, MinHashSig, PolyMinHashSig, PolySimHash, Q8CellSig, Q8Dot, Q8MomentsGen, RollingFp, SimHash64, TokenChunksGen, TokenChunksPosGen, TokenNGramsGen, TokenShingles}
+import graft.functions.{CompressionRatio, CosineSimilarity, MinHashSig, PolyMinHashSig, PolySimHash, Q8CellSig, Q8Dot, Q8MomentsGen, RollingFp, SimHash64, SortedInterCount, TokenChunksGen, TokenChunksPosGen, TokenNGramsGen, TokenShingles}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for the SQL surface. Use either at session build time
@@ -109,6 +109,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_q8dot"),
       new ExpressionInfo(classOf[Q8Dot].getName, "graft_q8dot"),
       (children: Seq[Expression]) => Q8Dot(children(0), children(1))),
+    (FunctionIdentifier("graft_sorted_icount"),
+      new ExpressionInfo(classOf[SortedInterCount].getName, "graft_sorted_icount"),
+      (children: Seq[Expression]) => SortedInterCount(children(0), children(1))),
     (FunctionIdentifier("graft_pqencode"),
       new ExpressionInfo(classOf[graft.functions.PqEncode].getName, "graft_pqencode"),
       (children: Seq[Expression]) => graft.functions.PqEncode(

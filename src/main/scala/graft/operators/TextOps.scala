@@ -621,8 +621,9 @@ object TextOps {
     * exact verify, so the output is identical to the naive all-pairs
     * join (asserted in RewireEquivalenceSpec for both paths).
     * Verification joins candidate ids back to per-doc shingle-hash
-    * ARRAYS (one ~8·|sh|-byte row per doc, no explode) and computes
-    * the exact intersection with a codegen'd array_intersect. */
+    * ARRAYS (one ~8·|sh|-byte row per doc, no explode) and counts the
+    * exact intersection with the native sorted merge scan
+    * (`graft_sorted_icount` — no per-pair hash set). */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     // strategy pick: parquet metadata count (no data scan), memoized
     // per JVM (one driver round-trip per table, not per query). The
@@ -654,20 +655,27 @@ object TextOps {
   /** Exact Jaccard verify of candidate (a_id, b_id) pairs against the
     * compact array form; docs is same cardinality as documents —
     * shuffle join on ids (AQE may broadcast at fixture scale; at
-    * 100 TB it must shuffle). */
-  private def jaccardVerify(cand: DataFrame, docs: DataFrame): DataFrame =
+    * 100 TB it must shuffle). The intersection count is the native
+    * merge-scan [[graft.functions.SortedInterCount]] — the shingle
+    * arrays are sorted+distinct by construction, so this equals
+    * `size(array_intersect(...))` without the per-pair hash set and
+    * intersection-array allocation (the verify stage runs once per
+    * CANDIDATE, the widest row count in the pipeline). */
+  private def jaccardVerify(cand: DataFrame, docs: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(cand.sparkSession)
     cand
       .join(docs.select(col("doc_id").as("a_id"), col("sh").as("sha"),
         col("sz").as("a_sz")), Seq("a_id"))
       .join(docs.select(col("doc_id").as("b_id"), col("sh").as("shb"),
         col("sz").as("b_sz")), Seq("b_id"))
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("inter", call_function("graft_sorted_icount", col("sha"), col("shb")))
       .filter(lit(2) * col("inter") >= col("a_sz") + col("b_sz") - col("inter"))
       .select(col("a_id"), col("b_id"),
         round(lit(1000.0) * col("inter") /
           (col("a_sz") + col("b_sz") - col("inter"))).cast("long")
           .as("jaccard_milli"))
       .orderBy("a_id", "b_id")
+  }
 
   /** Hash-canonical-order prefix filter (small-corpus path): the
     * prefix is a narrow `slice` of the hash-sorted shingle array —

@@ -98,6 +98,31 @@ class ExprsSpec extends SparkSuite {
       }
   }
 
+  test("graft_sorted_icount equals size(array_intersect) on sorted distinct arrays") {
+    // the verify-stage kernel's contract: on ASC-sorted duplicate-free
+    // long arrays the merge count must equal array_intersect's size —
+    // checked on scalacheck-style deterministic random arrays plus the
+    // edge shapes (empty, disjoint, identical, subset)
+    graft.GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(20251014L)
+    def arr(n: Int): Seq[Long] =
+      Seq.fill(n)(rnd.nextLong() % 1000).distinct.sorted
+    val cases = Seq(
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq.empty[Long], arr(5)),
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      (Seq(1L, 2L, 3L, 9L), Seq(2L, 9L))) ++
+      Seq.fill(200)((arr(rnd.nextInt(40)), arr(rnd.nextInt(40))))
+    val s = spark
+    import s.implicits._
+    val got = cases.toDF("a", "b")
+      .select(call_function("graft_sorted_icount", col("a"), col("b")).as("m"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
   test("graft SQL functions are registered for pure-SQL users") {
     GraftExtensions.register(spark)
     val row = spark.sql(
