@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CompressionRatio, CosineSimilarity, MinHashSig, PolyMinHashSig, PolySimHash, Q8CellSig, Q8Dot, Q8MomentsGen, RollingFp, SimHash64, SortedInterCount, TokenChunksGen, TokenChunksPosGen, TokenNGramsGen, TokenShingles}
+import graft.functions.{CompressionRatio, CosineSimilarity, MinHashSig, PolyMinHashSig, PolySimHash, Q8CellSig, Q8Dot, Q8MomentsGen, RollingFp, SigMatchCount, SimHash64, SortedInterCount, TokenChunksGen, TokenChunksPosGen, TokenNGramsGen, TokenShingles}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for the SQL surface. Use either at session build time
@@ -112,6 +112,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_sorted_icount"),
       new ExpressionInfo(classOf[SortedInterCount].getName, "graft_sorted_icount"),
       (children: Seq[Expression]) => SortedInterCount(children(0), children(1))),
+    (FunctionIdentifier("graft_sigmatch"),
+      new ExpressionInfo(classOf[SigMatchCount].getName, "graft_sigmatch"),
+      (children: Seq[Expression]) => SigMatchCount(children(0), children(1))),
     (FunctionIdentifier("graft_pqencode"),
       new ExpressionInfo(classOf[graft.functions.PqEncode].getName, "graft_pqencode"),
       (children: Seq[Expression]) => graft.functions.PqEncode(

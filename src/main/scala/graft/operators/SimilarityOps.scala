@@ -444,12 +444,14 @@ object SimilarityOps {
   }
 
   def minhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
     val banded = xxhashBandedBuckets(spark, sfDir)
     val a = banded.alias("a")
     val b = banded.alias("b")
-    val est = aggregate(
-      zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x).cast("double") / MinhashPerms
+    // native fused agreement count (graft_sigmatch): the HOF
+    // zip_with/aggregate form ran interpreted per candidate pair
+    val est = call_function("graft_sigmatch", col("sa"), col("sb"))
+      .cast("double") / MinhashPerms
     // the distinct carries the two signatures with the pair ids: wider
     // shuffle rows, but the signature pipeline is computed exactly
     // twice (once per join side). An ids-only distinct + signature
@@ -1380,13 +1382,12 @@ object SimilarityOps {
     * carry-sigs-through-distinct trick is a corpus-scale concern). */
   private[graft] def minhashPolyPairsRole(newBanded: DataFrame,
       partnerBanded: DataFrame, within: Boolean): DataFrame = {
+    graft.GraftExtensions.register(newBanded.sparkSession)
     val cond =
       if (within) col("a.doc_id") < col("b.doc_id")
       else col("a.doc_id") =!= col("b.doc_id")
-    val matches = aggregate(
-      zip_with(col("a.sig"), col("b.sig"),
-        (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x)
+    val matches =
+      call_function("graft_sigmatch", col("a.sig"), col("b.sig"))
     newBanded.alias("a").join(partnerBanded.alias("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") && cond)
@@ -1414,12 +1415,11 @@ object SimilarityOps {
     * component build) join or aggregate these pairs, so a sort here
     * would be dead work the optimizer may not always remove. */
   private[graft] def minhashPolyPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
     val banded = polyBandedBuckets(spark, sfDir)
     val a = banded.alias("a")
     val b = banded.alias("b")
-    val matches = aggregate(
-      zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x)
+    val matches = call_function("graft_sigmatch", col("sa"), col("sb"))
     a.join(b,
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&

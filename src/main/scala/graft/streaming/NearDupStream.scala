@@ -194,9 +194,10 @@ object NearDupStream {
       .select(col("doc_id"), col("sig"),
         posexplode(SimilarityOps.polyBandSlices))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val est = round(lit(1000.0) * aggregate(
-      zip_with(col("sn"), col("sp"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x) / SimilarityOps.PolyPerms).cast("long")
+    graft.GraftExtensions.register(spark)
+    val est = round(lit(1000.0) *
+      call_function("graft_sigmatch", col("sn"), col("sp")) /
+      SimilarityOps.PolyPerms).cast("long")
     nband.alias("n").join(eband.alias("e"),
         col("n.band") === col("e.band") && col("n.bucket") === col("e.bucket"))
       .select(col("n.doc_id").as("doc_id"), col("e.doc_id").as("matched_id"),

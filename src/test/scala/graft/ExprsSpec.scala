@@ -123,6 +123,28 @@ class ExprsSpec extends SparkSuite {
     got.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
   }
 
+  test("graft_sigmatch equals the zip_with/aggregate agreement count") {
+    // the est-Jaccard kernel's contract vs the HOF form it replaced,
+    // incl. unequal lengths (zip_with null-pads; both count 0 there)
+    graft.GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(77L)
+    def arr(n: Int): Seq[Long] = Seq.fill(n)(rnd.nextLong() % 5)
+    val cases = Seq(
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(1L, 2L, 3L), Seq(1L, 9L, 3L)),
+      (Seq(1L, 2L), Seq(1L, 2L, 3L))) ++
+      Seq.fill(200)((arr(32), arr(32)))
+    val s = spark
+    import s.implicits._
+    val got = cases.toDF("a", "b")
+      .select(call_function("graft_sigmatch", col("a"), col("b")).as("m"),
+        aggregate(zip_with(col("a"), col("b"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
   test("graft SQL functions are registered for pure-SQL users") {
     GraftExtensions.register(spark)
     val row = spark.sql(
