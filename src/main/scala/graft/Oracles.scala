@@ -1441,6 +1441,17 @@ object Oracles {
         |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
         |FROM cdd WHERE dt BETWEEN '2025-01-05' AND '2025-01-08'
         |GROUP BY dt ORDER BY dt""".stripMargin),
+    "catalog_dt_rollup" -> qx(
+      """, cdr AS (
+        |  SELECT source, n_chars, lang
+        |  FROM documents
+        |  WHERE printf('2025-01-%02d', CAST((doc_id // 20) % 16 AS INT) + 1)
+        |        = '2025-01-03'
+        |)""".stripMargin,
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM cdr GROUP BY source ORDER BY source""".stripMargin),
     "catalog_embeddings_stats" -> q(
       """SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
         |       CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,

@@ -31,6 +31,7 @@ object SparkEntry {
     "catalog_bucketed_join" -> (CatalogOps.catalogBucketedJoin _),
     "catalog_documents_quality" -> (CatalogOps.catalogDocumentsQuality _),
     "catalog_documents_daily" -> (CatalogOps.catalogDocumentsDaily _),
+    "catalog_dt_rollup" -> (CatalogOps.catalogDtRollup _),
     "catalog_embeddings_stats" -> (CatalogOps.catalogEmbeddingsStats _),
     "worker_load" -> (WorkerOps.workerLoad _),
     "worker_metrics_long" -> (WorkerOps.workerMetricsLong _),

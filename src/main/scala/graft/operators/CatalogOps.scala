@@ -244,6 +244,24 @@ object CatalogOps {
       .orderBy("dt")
   }
 
+  /** The THIRD pruning axis of the (source, dt) key — dt-only: "what
+    * did EVERY source deliver on day X", the cross-source morning
+    * report. The dt equality is a metastore partition filter selecting
+    * exactly one leaf per source (20 of 320 — pinned in CatalogSpec),
+    * completing the catalog demo matrix: source-only
+    * ([[catalogDocumentsQuality]]), source+dt ([[catalogDocumentsDaily]]),
+    * dt-only (here). */
+  def catalogDtRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureCorpusTables(spark, sfDir)
+    spark.table(DocumentsManaged)
+      .filter(col("dt") === "2025-01-03")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        count_distinct(col("lang")).as("n_langs"))
+      .orderBy("source")
+  }
+
   /** Partition-pruned embedding-store stats — the routing metadata an
     * embedding job reads before touching vectors (cardinality + id
     * range of one label partition, pure SQL over the catalog). */

@@ -161,6 +161,19 @@ class CatalogSpec extends SparkSuite {
     assert(rows.forall(_.getLong(1) > 0), "every window day must have docs")
   }
 
+  test("catalog_dt_rollup prunes to one leaf per source (the dt-only axis)") {
+    val df = CatalogOps.catalogDtRollup(spark, sf)
+    val scans = prunedScans(df)
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "dt predicate must be a metastore partition filter")
+    assert(scans.forall(_.selectedPartitions.partitionCount == 20),
+      "exactly one dt leaf per source may be read")
+    val rows = df.collect()
+    assert(rows.length == 20 && rows.forall(_.getLong(1) > 0),
+      "every source delivers on the rollup day (coprime dt)")
+  }
+
   test("dynamic partition overwrite backfills exactly one (source, dt) leaf, idempotently") {
     // the production nightly-backfill shape on the two-level layout:
     // recompute ONE day of ONE source from upstream and INSERT
