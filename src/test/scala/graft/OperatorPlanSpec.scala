@@ -118,7 +118,10 @@ class OperatorPlanSpec extends SparkSuite {
   test("ngram_jaccard prefix path has no cartesian and verifies on arrays") {
     val plan = executedPlanString(graft.operators.TextOps.ngramJaccard(spark, sf))
     assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
-    assert(plan.contains("array_intersect"), s"array verify missing:\n$plan")
+    // round 10: the verify's intersection count is the native
+    // sorted-merge kernel, not array_intersect
+    assert(plan.contains("sortedintercount") || plan.contains("graft_sorted_icount"),
+      s"native array verify missing:\n$plan")
   }
 
   test("topk_per_worker gets map-side WindowGroupLimit (bounded top-k before the shuffle)") {
