@@ -32,9 +32,36 @@ class StarContractSpec extends SparkSuite {
     parent.keys.map(v => v -> find(v)).toMap
   }
 
-  private def run(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+  /** Run `body` with the small-graph fast path DISABLED, so these
+    * tests keep exercising the distributed fixpoint (every engineered
+    * graph here is far below the production threshold). */
+  private def distributed[T](body: => T): T = {
+    spark.conf.set("spark.graft.smallGraphEdges", "0")
+    try body finally spark.conf.unset("spark.graft.smallGraphEdges")
+  }
+
+  private def run(pairs: Seq[(Long, Long)]): Map[Long, Long] = distributed {
     operators.GraphOps.starContractComponents(edgesDf(pairs)).collect()
       .map(r => r.getAs[Long]("doc") -> r.getAs[Long]("comp")).toMap
+  }
+
+  test("small-graph fast path equals the distributed fixpoint on every family") {
+    // the driver union-find (edgeCount <= spark.graft.smallGraphEdges,
+    // default on) must be bit-identical to the fixpoint: same node
+    // set, same comp = component-min labels
+    val path = (1L until 60L).map(i => (i, i + 1))
+    val cycle = (1L until 40L).map(i => (i, i + 1)) :+ (1L, 40L)
+    val clique = for { a <- 100L to 110L; b <- (a + 1) to 110L } yield (a, b)
+    val rng = new scala.util.Random(13)
+    val random = Seq.fill(300)((rng.nextInt(150).toLong + 1,
+      rng.nextInt(150).toLong + 1)).filter { case (a, b) => a != b }
+    val messy = Seq((5L, 2L), (2L, 5L), (3L, 3L), (7L, 9L))
+    for (g <- Seq(path, cycle, clique, random, messy)) {
+      val fast = operators.GraphOps.starContractComponents(edgesDf(g))
+        .collect().map(r => r.getAs[Long]("doc") -> r.getAs[Long]("comp")).toMap
+      assert(fast == run(g), s"fast path diverged on ${g.take(3)}...")
+    }
+  }
 
   test("star contraction equals union-find on engineered topologies") {
     val path = (1L until 60L).map(i => (i, i + 1)) // diameter 59
