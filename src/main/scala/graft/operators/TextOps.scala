@@ -731,19 +731,29 @@ object TextOps {
       .agg(count(lit(1)).as("tok_df"))
     val prefix = toks
       .join(dfreq, Seq("source", "tok_h"))
-      .withColumn("rn", row_number().over(
+      .withColumn("p", row_number().over(
         Window.partitionBy("doc_id").orderBy(asc("tok_df"), asc("tok_h"))))
-      .filter(col("rn") <= (col("sz") / 3).cast("int") + 1)
-      .select("doc_id", "source", "sz", "tok_h")
+      .filter(col("p") <= (col("sz") / 3).cast("int") + 1)
+      .select("doc_id", "source", "sz", "p", "tok_h")
     // same PPJoin length filter as the hash path: J ≥ 0.5 ⇒ sizes
-    // within 2×, pruning bucket collisions before distinct + verify
+    // within 2×, pruning bucket collisions before distinct + verify.
+    // POSITION FILTER (round 10 — the hash path gained it in round 9;
+    // the first-common-token theorem only needs a total order SHARED
+    // by both docs, and (tok_df asc, tok_h asc) within a source is
+    // one): a match at canonical positions (p_a, p_b) caps the
+    // overlap at 1 + min(|A|−p_a, |B|−p_b) when it is the pair's
+    // first common token, and every qualifying pair's first common
+    // token passes |A|+|B| ≤ 3·(1 + min(|A|−p_a, |B|−p_b)). Recall
+    // stays 1 (RewireEquivalenceSpec pins this path ≡ all-pairs too).
     val cand = prefix.alias("a").hint("shuffle_hash")
       .join(prefix.alias("b"),
         col("a.source") === col("b.source") &&
         col("a.tok_h") === col("b.tok_h") &&
         col("a.doc_id") < col("b.doc_id") &&
         col("a.sz") <= col("b.sz") * 2 &&
-        col("b.sz") <= col("a.sz") * 2)
+        col("b.sz") <= col("a.sz") * 2 &&
+        col("a.sz") + col("b.sz") <=
+          (least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p")) + 1) * 3)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     jaccardVerify(cand, docs)
