@@ -449,22 +449,25 @@ object SimilarityOps {
     val a = banded.alias("a")
     val b = banded.alias("b")
     // native fused agreement count (graft_sigmatch): the HOF
-    // zip_with/aggregate form ran interpreted per candidate pair
-    val est = call_function("graft_sigmatch", col("sa"), col("sb"))
-      .cast("double") / MinhashPerms
-    // the distinct carries the two signatures with the pair ids: wider
-    // shuffle rows, but the signature pipeline is computed exactly
-    // twice (once per join side). An ids-only distinct + signature
-    // rejoin re-derives the pipeline 4x — measured 10x slower.
+    // zip_with/aggregate form ran interpreted per candidate pair.
+    // The estimate is computed PER BAND-HIT ROW, before the distinct:
+    // it is deterministic per pair, so distinct over (ids, est) ==
+    // distinct over ids, and the distinct's shuffle rows shrink from
+    // ids + 2×32-long signatures (~0.5 KB) to 3 longs — at corpus
+    // scale the distinct exchange is this query's widest stage. (The
+    // old trade — carry both signatures through the distinct — dated
+    // from the interpreted-HOF est, which was worth computing only
+    // once per pair; the native count is cheap enough to run up to
+    // once per band collision.)
+    val est = call_function("graft_sigmatch",
+      col("a.signature"), col("b.signature")).cast("double") / MinhashPerms
     a.join(b,
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.signature").as("sa"), col("b.signature").as("sb"))
+        round(est * 1000).cast("long").as("est_jaccard_milli"))
       .distinct()
-      .withColumn("est_jaccard_milli", round(est * 1000).cast("long"))
-      .select("a_id", "b_id", "est_jaccard_milli")
       .orderBy("a_id", "b_id")
   }
 
@@ -1419,17 +1422,18 @@ object SimilarityOps {
     val banded = polyBandedBuckets(spark, sfDir)
     val a = banded.alias("a")
     val b = banded.alias("b")
-    val matches = call_function("graft_sigmatch", col("sa"), col("sb"))
+    // est per band-hit row, BEFORE the distinct (deterministic per
+    // pair — see minhashDedup's note): the distinct exchanges 3 longs
+    // per row instead of ids + two 32-long signatures
+    val matches = call_function("graft_sigmatch", col("a.sig"), col("b.sig"))
     a.join(b,
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.sig").as("sa"), col("b.sig").as("sb"))
+        round(lit(1000.0) * matches / PolyPerms).cast("long")
+          .as("est_jaccard_milli"))
       .distinct()
-      .withColumn("est_jaccard_milli",
-        round(lit(1000.0) * matches / PolyPerms).cast("long"))
-      .select("a_id", "b_id", "est_jaccard_milli")
   }
 
   /** MEMOIZED [[minhashPolyPairs]] — the shared fuzzy pair frame.
