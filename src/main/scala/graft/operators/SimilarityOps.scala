@@ -508,11 +508,14 @@ object SimilarityOps {
         col("a.band") === col("b.band") &&
         col("a.chunk") === col("b.chunk") &&
         col("a.doc_id") < col("b.doc_id"))
+      // hamming per band-hit row (deterministic per pair) and the ≤8
+      // radius filter BEFORE the pair distinct: non-qualifying bucket
+      // collisions never reach the exchange
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
       .filter(col("hamming") <= 8)
+      .distinct()
       .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
       .orderBy("a_id", "b_id")
   }
@@ -1496,11 +1499,13 @@ object SimilarityOps {
         col("a.band") === col("b.band") &&
         col("a.chunk") === col("b.chunk") &&
         col("a.doc_id") < col("b.doc_id"))
+      // hamming + radius filter before the pair distinct — see
+      // simhashDedup's note
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
       .filter(col("hamming") <= 2)
+      .distinct()
       .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
       .orderBy("a_id", "b_id")
   }
@@ -1630,20 +1635,23 @@ object SimilarityOps {
     * oracle) and [[dedupIncrementalProbe]] (index read from parquet). */
   private def dedupIncrementalBanded(spark: SparkSession, newDocs: DataFrame,
       eband: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(spark)
     val nband = bandedSigs(spark, newDocs)
-    val est = round(lit(1000.0) * aggregate(
-      zip_with(col("sn"), col("sp"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x) / PolyPerms).cast("long")
-    // bucket probe → distinct candidate pairs → est-Jaccard verify →
-    // smallest qualifying partner per new doc
+    // est per band-hit row (native graft_sigmatch — deterministic per
+    // pair), filtered BEFORE any exchange; the min aggregation is
+    // duplicate-insensitive, so no pair distinct is needed at all and
+    // nothing wider than 3 longs ever shuffles
+    val est = round(lit(1000.0) * call_function("graft_sigmatch",
+      col("n.sig"), col("p.sig")) / PolyPerms).cast("long")
+    // bucket probe → est-Jaccard verify → smallest qualifying partner
+    // per new doc
     def minMatch(partner: DataFrame, cond: Column, out: String): DataFrame =
       nband.alias("n").join(partner.alias("p"),
           col("n.band") === col("p.band") &&
           col("n.bucket") === col("p.bucket") && cond)
         .select(col("n.doc_id").as("new_id"), col("p.doc_id").as("partner_id"),
-          col("n.sig").as("sn"), col("p.sig").as("sp"))
-        .distinct()
-        .filter(est >= 500)
+          est.as("est"))
+        .filter(col("est") >= 500)
         .groupBy("new_id")
         .agg(min(col("partner_id")).as(out))
     val em = minMatch(eband, lit(true), "exist_match")
