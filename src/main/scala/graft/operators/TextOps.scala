@@ -1024,8 +1024,12 @@ object TextOps {
     * out-of-vocabulary surprisal default, which restores the broadcast
     * at any corpus size. */
   def unigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    // token-hash shuffle currency (the bigramSurprisal/shingleDocs
+    // convention): counts by xxhash64 equal counts by token, sur
+    // values and the oracle hash unchanged, 8-byte exchange keys
     val toks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("tok"))
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
     val total = vocab.agg(sum("freq").as("total_toks"))
     val scored = vocab.crossJoin(broadcast(total))
@@ -1063,14 +1067,22 @@ object TextOps {
     * top-V bigrams + a unigram-backoff default, restoring broadcast at
     * any corpus size — same note as the unigram vocab). */
   def bigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    // shuffle currency is the xxhash64 of the gram, not the strings
+    // (the shingleDocs convention — collision odds ~|grams|²/2⁶⁴,
+    // immaterial): counts by hash equal counts by word, so sur values
+    // and the oracle hash are unchanged while all three exchanges
+    // carry 8-byte keys. h1 is functionally dependent on h12, so
+    // grouping by (h12, h1) groups exactly by bigram.
     val bi = bigramsOf(Tables.documents(spark, sfDir))
-    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val scored = c12.join(c1, Seq("w1"))
-      .select(col("w1"), col("w2"),
+      .select(col("doc_id"), xxhash64(col("w1")).as("h1"),
+        xxhash64(col("w1"), col("w2")).as("h12"))
+    val c12 = bi.groupBy("h12", "h1").agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy("h1").agg(count(lit(1)).as("c1"))
+    val scored = c12.join(c1, Seq("h1"))
+      .select(col("h12"),
         round(lit(1e6) * log(col("c1").cast("double") / col("c12")))
           .cast("long").as("sur_micro"))
-    bi.join(scored, Seq("w1", "w2"))
+    bi.join(scored, Seq("h12"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("sur_micro").as("sum_sur_micro"))
       .select(col("doc_id"), col("n_bigrams"),
