@@ -1384,8 +1384,9 @@ object SimilarityOps {
     * threshold): same band/bucket equi-join and signature-agreement
     * estimate as [[minhashPolyPairs]]. `within` = both frames are the
     * batch (id-ordered half); cross-role needs only a ≠ guard. The
-    * estimate is computed per band-hit row (batch-sized frames — the
-    * carry-sigs-through-distinct trick is a corpus-scale concern). */
+    * estimate is computed per band-hit row and filtered before the
+    * pair distinct — since round 10 the whole family works this way
+    * (native graft_sigmatch; see minhashDedup's note). */
   private[graft] def minhashPolyPairsRole(newBanded: DataFrame,
       partnerBanded: DataFrame, within: Boolean): DataFrame = {
     graft.GraftExtensions.register(newBanded.sparkSession)
