@@ -109,11 +109,31 @@ object GraftExtensions {
     (FunctionIdentifier("graft_q8dot"),
       new ExpressionInfo(classOf[Q8Dot].getName, "graft_q8dot"),
       (children: Seq[Expression]) => Q8Dot(children(0), children(1))),
+    // PRECONDITION in the SQL-visible doc (round-10 advice): the merge
+    // scan silently undercounts on unsorted/duplicated input, so the
+    // caller-owned invariant must be stated where DESCRIBE FUNCTION
+    // shows it, not only in the Scaladoc.
     (FunctionIdentifier("graft_sorted_icount"),
-      new ExpressionInfo(classOf[SortedInterCount].getName, "graft_sorted_icount"),
+      new ExpressionInfo(classOf[SortedInterCount].getName, null,
+        "graft_sorted_icount",
+        "graft_sorted_icount(a, b) - |a INTERSECT b| for two array<bigint>" +
+          " inputs that are BOTH ascending-sorted, duplicate-free and free" +
+          " of null elements (e.g. array_sort(array_distinct(...)) of" +
+          " xxhash64 values). One two-pointer merge scan, zero allocation." +
+          " The precondition is the caller's: on unsorted input or" +
+          " duplicates the count is NOT the set intersection (use" +
+          " size(array_intersect(a, b)) there); null elements never match.",
+        "array_sort(array_distinct(x)) produces a valid input."),
       (children: Seq[Expression]) => SortedInterCount(children(0), children(1))),
     (FunctionIdentifier("graft_sigmatch"),
-      new ExpressionInfo(classOf[SigMatchCount].getName, "graft_sigmatch"),
+      new ExpressionInfo(classOf[SigMatchCount].getName, null,
+        "graft_sigmatch",
+        "graft_sigmatch(a, b) - number of positions i where a[i] = b[i]" +
+          " for two array<bigint> signatures. Positions beyond the shorter" +
+          " array and positions where either side is a null element count" +
+          " 0 (matching aggregate(zip_with(a, b, (x,y) ->" +
+          " if(x = y, 1, 0)), 0, (s,v) -> s + ifnull(v, 0))).",
+        ""),
       (children: Seq[Expression]) => SigMatchCount(children(0), children(1))),
     (FunctionIdentifier("graft_pqencode"),
       new ExpressionInfo(classOf[graft.functions.PqEncode].getName, "graft_pqencode"),

@@ -15,7 +15,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * zero allocation. Identical arithmetic: positions beyond the shorter
   * array count 0, exactly like zip_with's null padding under
   * `when(x === y, 1).otherwise(0)` — and in practice both signatures
-  * have the fixed permutation-family length.
+  * have the fixed permutation-family length. NULL ELEMENTS (possible
+  * for SQL callers — the type check accepts containsNull arrays) also
+  * count 0, again matching the HOF form where `null === y` is null and
+  * falls to `otherwise(0)`; the guards are branch-predicted no-ops on
+  * the engine's own null-free signature arrays.
   *
   * Registered for SQL as `graft_sigmatch` via
   * [[graft.GraftExtensions]].
@@ -43,7 +47,8 @@ case class SigMatchCount(left: Expression, right: Expression)
     var i = 0
     var c = 0L
     while (i < n) {
-      if (a.getLong(i) == b.getLong(i)) c += 1L
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        c += 1L
       i += 1
     }
     c
@@ -58,7 +63,8 @@ case class SigMatchCount(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $c = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)
+         |      && $a.getLong($i) == $b.getLong($i)) $c++;
          |}
          |${ev.value} = $c;
        """.stripMargin

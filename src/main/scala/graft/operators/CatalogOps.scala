@@ -27,11 +27,16 @@ object CatalogOps {
     * because the resource it guards (the named managed tables) is
     * JVM/metastore-global: a per-session guard let session A keep
     * "resident" after session B overwrote the same table with a
-    * different sfDir's rows (round-9 advice). All ingests serialize on
-    * this map's monitor, so two sessions can never run
-    * saveAsTable(overwrite) on the same tables concurrently. */
+    * different sfDir's rows (round-9 advice). Each GROUP carries its
+    * own monitor (round-10 advice): groups guard DISJOINT table sets
+    * (tasks / bucketed / corpus), so unrelated ingests run
+    * concurrently; two sessions ingesting the SAME group still
+    * serialize on that group's state object, so concurrent
+    * saveAsTable(overwrite) on one table remains impossible. */
   private case class IngestGen(sfDir: String, gen: Long)
-  private val ingestState = scala.collection.mutable.Map.empty[String, IngestGen]
+  private final class GroupState { var cur: Option[IngestGen] = None }
+  private val ingestState =
+    new java.util.concurrent.ConcurrentHashMap[String, GroupState]
 
   /** One ingest per (group, sfDir) against the SHARED metastore tables.
     * The guard matches the shared resource: skip only when the
@@ -54,19 +59,27 @@ object CatalogOps {
       tables: Seq[String])(ingest: => Unit): Unit = {
     val seen = Memo.cached(spark, "catalogSeenGen")(
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long])
-    ingestState.synchronized {
-      val cur = ingestState.get(group)
+    val st = ingestState.computeIfAbsent(group, _ => new GroupState)
+    st.synchronized {
+      val cur = st.cur
+      val seenGen = Option(seen.get(group))
+      // tableExists probe cached per (session, group) — round-10
+      // advice: once THIS session has observed a generation for the
+      // group, its catalog has the tables (they were refreshed under
+      // this lock), so the steady-state call skips the metastore
+      // round-trip entirely. A fresh session (no seen entry) still
+      // probes, which is what catches the new-warehouse case.
       val needsIngest = !cur.exists(_.sfDir == sfDir) ||
-        !tables.forall(spark.catalog.tableExists)
+        (seenGen.isEmpty && !tables.forall(spark.catalog.tableExists))
       if (needsIngest) {
         ingest
         val gen = cur.map(_.gen).getOrElse(0L) + 1L
-        ingestState(group) = IngestGen(sfDir, gen)
+        st.cur = Some(IngestGen(sfDir, gen))
         tables.foreach(spark.catalog.refreshTable)
         seen.put(group, gen)
       } else {
-        val gen = ingestState(group).gen
-        if (Option(seen.get(group)).forall(_.longValue != gen)) {
+        val gen = cur.get.gen
+        if (seenGen.forall(_.longValue != gen)) {
           tables.foreach(spark.catalog.refreshTable)
           seen.put(group, gen)
         }

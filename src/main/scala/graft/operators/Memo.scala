@@ -76,6 +76,8 @@ private[graft] object Memo {
           // this thread won the build
           try {
             val v = build
+            // `built` flips BEFORE owner release: a thread arriving in
+            // the gap sees built and returns, never re-claims
             this.synchronized {
               result = v.asInstanceOf[AnyRef]; built = true; this.notifyAll()
             }
@@ -83,15 +85,27 @@ private[graft] object Memo {
             return v
           } catch {
             case t: Throwable =>
-              this.synchronized(this.notifyAll())
+              // owner cleared BEFORE the notify (round-10 advice): the
+              // waiter's recheck is (!built && owner != null), so
+              // clearing first makes this notifyAll impossible to miss
+              // — waiters wake, see no owner, and re-compete
               WaitGraph.releaseOwner(this, me)
+              this.synchronized(this.notifyAll())
               throw t
           }
         } else {
-          // another thread is building: block (bounded — a failed
-          // builder clears `owner` and waiters re-compete)
-          this.synchronized { if (!built && (owner ne null)) this.wait(100) }
-          WaitGraph.clearWait(me)
+          // another thread is building: UNTIMED wait (round-10 advice —
+          // the former 100 ms poll re-took the global WaitGraph lock
+          // ~10×/s per blocked thread for the length of a multi-minute
+          // build). The builder notifyAlls on BOTH success and failure;
+          // the recheck runs under the cell monitor, which the notify
+          // also needs, so the wakeup cannot be missed. The wait edge
+          // stays registered until the wait truly ends (finally).
+          try {
+            this.synchronized {
+              while (!built && (WaitGraph.ownerOf(this) ne null)) this.wait()
+            }
+          } finally WaitGraph.clearWait(me)
           if (built) return result.asInstanceOf[T]
         }
       }
@@ -120,14 +134,20 @@ private[graft] object Memo {
         case other =>
           var t: Thread = other
           var hops = 0
-          while ((t ne null) && hops < 1024) {
+          while (t ne null) {
             if (t eq me) throw new IllegalStateException(
               s"Memo deadlock averted: cyclic cached() nesting — thread " +
                 s"${me.getName} waits on a cell whose builder chain waits " +
                 s"back on ${me.getName}'s own build; nested cached() " +
                 "builds must be acyclic (see Cell's scaladoc)")
-            t = waitingOn.get(t).map(_.owner).orNull
             hops += 1
+            // a chain this deep can only be a cycle the walk cannot see
+            // (or a pathological nesting) — fail fast rather than wait
+            // blind (round-10 advice: falling through could hang)
+            if (hops >= 1024) throw new IllegalStateException(
+              "Memo wait-graph walk exceeded 1024 hops — builder/waiter " +
+                "chain too deep to certify acyclic; refusing to wait")
+            t = waitingOn.get(t).map(_.owner).orNull
           }
           waitingOn(me) = cell
           false
@@ -137,6 +157,11 @@ private[graft] object Memo {
     def releaseOwner(cell: Cell[_], me: Thread): Unit = synchronized {
       if (cell.owner eq me) cell.owner = null
     }
+
+    /** Current builder of `cell` under the graph lock — the waiter's
+      * recheck predicate (cell monitor → graph lock is the one nesting
+      * order used anywhere, so this cannot deadlock). */
+    def ownerOf(cell: Cell[_]): Thread = synchronized(cell.owner)
 
     def clearWait(me: Thread): Unit = synchronized { waitingOn.remove(me) }
   }

@@ -24,13 +24,26 @@ class IvfIndexSpec extends SparkSuite {
       s"expected 1..16 cid= partitions, got ${cellDirs.size}")
 
     // the fused query trains in-plan (Lloyd rounds leave their
-    // localCheckpoint RDD scans = LogicalRDD nodes); the probe's plan
-    // must contain NONE — its index arrives from parquet
+    // localCheckpoint RDD scans = LogicalRDD nodes carrying the
+    // CENTROID schema (cid, cv)); the probe's plan must contain NO
+    // centroid RDD — its index arrives from parquet. The probe DOES
+    // legitimately carry one non-training LogicalRDD: the 5-row
+    // materialized query frame (query_id, qv — the round-10 fix that
+    // stopped re-deriving queries with extra store scans), so the
+    // round-9 blanket no-LogicalRDD proxy would false-positive.
     val probe = SimilarityOps.annIvfProbe(spark, sf, dir)
     val fused = SimilarityOps.annIvfTopk(spark, sf, 2)
-    assert(!probe.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
-      "training leaked into the probe plan")
-    assert(fused.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
+    def rddSchemas(df: org.apache.spark.sql.DataFrame): Seq[Set[String]] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD =>
+          r.output.map(_.name).toSet
+      }
+    val probeRdds = rddSchemas(probe)
+    assert(!probeRdds.exists(_.contains("cv")),
+      s"training (centroid RDD) leaked into the probe plan: $probeRdds")
+    assert(probeRdds.forall(_ == Set("query_id", "qv")),
+      s"unexpected non-query LogicalRDD in the probe plan: $probeRdds")
+    assert(rddSchemas(fused).exists(_.contains("cv")),
       "fused form no longer trains in-plan — update this spec")
 
     val got = probe.collect().map(r =>
@@ -45,8 +58,12 @@ class IvfIndexSpec extends SparkSuite {
     // the (spark, sfDir) query form memoizes the index build per
     // (session, sfDir) — second call must reuse the same stored index
     val first = SimilarityOps.annIvfProbeQuery(spark, sf)
-    assert(!first.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
-      "training leaked into the query-form probe plan")
+    val rdds = first.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.output.map(_.name).toSet
+    }
+    assert(rdds.forall(_ == Set("query_id", "qv")),
+      s"training leaked into the query-form probe plan: $rdds")
     val got = first.collect().map(_.toSeq).toSeq
     assert(got == SimilarityOps.annIvfTopk(spark, sf, 2).collect().map(_.toSeq).toSeq,
       "query-form probe diverged from the fused train+search query")
