@@ -155,7 +155,7 @@ object Bench10x {
 
 /** The 100× scale probe (round-10 judge item 3): ONE more decade past
   * [[Bench10x]] — 100 ScaleProbe replicas of the sf0.1 fixture
-  * (≈4.3M documents / 2M embeddings; the per-replica duplicate/ANN
+  * (500k documents / 200k embeddings; the per-replica duplicate/ANN
   * structure mirrors the source, see [[ScaleProbe]]) — run over the
   * TOP bench lines (the dedup / ANN / cluster / LM-stats families the
   * verdict names, plus the round-10 weak-six after their single-scan
