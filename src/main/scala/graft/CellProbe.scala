@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Diagnostic (not part of the driver contract): the 100× probe's
+  * super-linear lines all share one suspected mechanism — a FIXED
+  * partition-key space (q8 semantic cells, LSH buckets, the closed
+  * 31-token fixture vocabulary's shingle universe) whose per-key
+  * population grows linearly with corpus size, making same-key
+  * candidate enumeration quadratic. This prints the key-population
+  * histograms at each given fixture dir so the mechanism is measured,
+  * not guessed: cells for the semantic family, band-buckets for the
+  * MinHash family, shingle document-frequency for the PPJoin family.
+  *
+  * Usage: runMain graft.CellProbe /tmp/sfx10 /tmp/sfx100
+  */
+object CellProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder(32).master("local[32]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.GraftExtensions.register(spark)
+    for (dir <- args.toSeq) {
+      // semantic q8 cells
+      val cells = graft.sources.Tables.embeddings(spark, dir)
+        .select(call_function("graft_q8cell", col("embedding")).as("s"))
+        .select(col("s.cell").as("cell"))
+        .groupBy("cell").count()
+      val cs = cells.agg(
+        count(lit(1)).as("n_cells"), sum("count").as("n_vecs"),
+        max("count").as("max_cell"),
+        sum(col("count") * col("count")).as("sum_sq")).head()
+      println(s"CELLPROBE $dir q8cells: n_cells=${cs.getLong(0)} " +
+        s"vecs=${cs.getLong(1)} max=${cs.getLong(2)} sumSq=${cs.getLong(3)}")
+      // minhash poly band buckets
+      val docs = graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+      val bands = graft.operators.SimilarityOps
+        .withPolySignature(spark, docs, col("text"))
+        .select(col("doc_id"),
+          posexplode(graft.operators.SimilarityOps.polyBandSlices))
+        .groupBy("pos", "col").count()
+      val bs = bands.agg(
+        count(lit(1)).as("n_buckets"), max("count").as("max_bucket"),
+        sum(col("count") * col("count")).as("sum_sq")).head()
+      println(s"CELLPROBE $dir minhash-band-buckets: " +
+        s"n=${bs.getLong(0)} max=${bs.getLong(1)} sumSq=${bs.getLong(2)}")
+      // shingle document frequency (the PPJoin candidate currency)
+      val sh = docs
+        .select(explode(
+          call_function("graft_shingles", col("text"), lit(3))).as("sh"))
+        .groupBy("sh").count()
+      val ss = sh.agg(
+        count(lit(1)).as("n_shingles"), max("count").as("max_df"),
+        expr("percentile_approx(count, 0.5)").as("p50_df"),
+        sum(col("count") * col("count")).as("sum_sq")).head()
+      println(s"CELLPROBE $dir shingle-df: universe=${ss.getLong(0)} " +
+        s"max_df=${ss.getLong(1)} p50_df=${ss.get(2)} sumSq=${ss.getLong(3)}")
+    }
+    spark.stop()
+  }
+}
