@@ -55,6 +55,52 @@ object CellProbe {
         sum(col("count") * col("count")).as("sum_sq")).head()
       println(s"CELLPROBE $dir shingle-df: universe=${ss.getLong(0)} " +
         s"max_df=${ss.getLong(1)} p50_df=${ss.get(2)} sumSq=${ss.getLong(3)}")
+      // xxhash simhash pigeonhole buckets (round-11 verdict item 3/4:
+      // the missing histogram that adjudicates simhash_dedup's 100×
+      // line) — population of the (source, band, 7-bit chunk) key
+      // space the candidate join enumerates within. The chunk universe
+      // is FIXED (9 bands × ≤128 values × |sources|), so Σc² growing
+      // quadratically with corpus size = candidate-bound, same
+      // mechanism as the q8 cells.
+      val simB = graft.operators.SimilarityOps
+        .simhashBandedFrame(spark, dir)
+        .groupBy("source", "band", "chunk").count()
+      val sb = simB.agg(
+        count(lit(1)).as("n_buckets"), max("count").as("max_bucket"),
+        expr("percentile_approx(count, 0.5)").as("p50"),
+        sum(col("count") * col("count")).as("sum_sq")).head()
+      println(s"CELLPROBE $dir simhash-band-buckets: n=${sb.getLong(0)} " +
+        s"max=${sb.getLong(1)} p50=${sb.get(2)} sumSq=${sb.getLong(3)}")
+    }
+    spark.stop()
+  }
+}
+
+/** Diagnostic: QUALIFYING output-pair counts for the 100×-probe
+  * super-linear lines (round-11 verdict item 3) — separates honest
+  * output growth (qualifying pairs really multiply at 100×) from
+  * candidate blowup (pairs grow ~linearly while enumeration grows
+  * quadratically). One count() per pair frame.
+  *
+  * Usage: runMain graft.PairProbe /tmp/sfx10 /tmp/sfx100
+  */
+object PairProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder(32).master("local[32]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.GraftExtensions.register(spark)
+    for (dir <- args.toSeq) {
+      def n(name: String, df: => org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val c = df.count()
+        println(f"PAIRPROBE $dir $name pairs=$c wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+      n("ngram_jaccard", graft.operators.TextOps.ngramJaccard(spark, dir))
+      n("simhash_dedup", graft.operators.SimilarityOps.simhashDedup(spark, dir))
+      n("embedding_dedup", graft.operators.SimilarityOps.embeddingDedup(spark, dir))
+      n("semantic_clusters_incremental_dups",
+        graft.operators.GraphOps.semanticClustersIncremental(spark, dir)
+          .filter(!col("kept")))
     }
     spark.stop()
   }

@@ -122,8 +122,13 @@ object GraftExtensions {
           " xxhash64 values). One two-pointer merge scan, zero allocation." +
           " The precondition is the caller's: on unsorted input or" +
           " duplicates the count is NOT the set intersection (use" +
-          " size(array_intersect(a, b)) there); null elements never match.",
-        "array_sort(array_distinct(x)) produces a valid input."),
+          " size(array_intersect(a, b)) there); null elements never match." +
+          // folded into usage, NOT the 5th ctor arg: that positional
+          // slot is `arguments` (verified against the Spark 4.1.2
+          // jar), which DESCRIBE renders under an 'Arguments:' heading
+          // (round-11 advice)
+          " array_sort(array_distinct(x)) produces a valid input.",
+        ""),
       (children: Seq[Expression]) => SortedInterCount(children(0), children(1))),
     (FunctionIdentifier("graft_sigmatch"),
       new ExpressionInfo(classOf[SigMatchCount].getName, null,

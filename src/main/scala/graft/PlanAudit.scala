@@ -97,9 +97,11 @@ object PlanAudit {
       "ann_q8_topk" -> Map("embeddings" -> (3, "FIXTURE_STANDIN")),
       "ann_q8_lsh_topk" -> Map("embeddings" -> (3, "SELF_JOIN+VERIFY_FETCH")),
       "ann_ivf_topk" -> Map("embeddings" -> (4, "MODEL_SCORE+VERIFY_FETCH")),
-      "ann_ivf_probe" -> Map("embeddings" -> (2, "VERIFY_FETCH")),
+      // probes: max 1 — ALIGNED with MultiScanSpec's ≤1 assertion
+      // (round-11 verdict item 8); a second store scan is a regression
+      "ann_ivf_probe" -> Map("embeddings" -> (1, "VERIFY_FETCH")),
       "ann_ivf_pq_topk" -> Map("embeddings" -> (3, "VERIFY_FETCH")),
-      "ann_ivf_pq_probe" -> Map("embeddings" -> (2, "VERIFY_FETCH")),
+      "ann_ivf_pq_probe" -> Map("embeddings" -> (1, "VERIFY_FETCH")),
       // ---- LM-stats / budget family: model pass + scoring pass over
       // the materialized model (round-10 fix: the model is
       // localCheckpoint'd, so each pass reads the corpus once) ----
@@ -130,12 +132,17 @@ object PlanAudit {
     * CORPUS frame under a window would be a real regression). Queries
     * here declare that their only global windows run over a
     * materialized dim-sized aggregate; the audit prints the reason
-    * instead of UNPART_WINDOW. */
-  private[graft] val globalWindowAllow: Map[String, String] = Map(
+    * instead of UNPART_WINDOW. Each declaration carries a MAX risky
+    * window count (round-11 advice — the former blanket form
+    * suppressed EVERY risky window for a declared query, so a new
+    * corpus-sized global window added to one of these would have been
+    * silently relabeled): windows beyond the budget flag
+    * UNPART_WINDOW as usual, and MultiScanSpec pins the budgets. */
+  private[graft] val globalWindowAllow: Map[String, (Int, String)] = Map(
     "token_budget_waterfill" ->
-      "DIM_CHECKPOINT(|sources|-row materialized aggregate)",
+      (1, "DIM_CHECKPOINT(|sources|-row materialized aggregate)"),
     "mix_sample" ->
-      "DIM_CHECKPOINT(|sources|-row materialized aggregate)")
+      (1, "DIM_CHECKPOINT(|sources|-row materialized aggregate)"))
 
   /** Per-query audit result — the per-plan counters [[main]] prints
     * and MultiScanSpec asserts on. */
@@ -214,9 +221,13 @@ object PlanAudit {
     }
     val unpart = windows.filter(_.partitionSpec.isEmpty)
     val (boundedWins, riskyWins0) = unpart.partition(w => boundedInput(w.child))
-    // checkpoint-fed dim windows: declared in [[globalWindowAllow]]
+    // checkpoint-fed dim windows: declared in [[globalWindowAllow]],
+    // WITHIN the declared budget only — excess risky windows flag
     val declaredDim = globalWindowAllow.get(name)
-    val riskyWins = if (declaredDim.isDefined) Nil else riskyWins0
+    val riskyWins = declaredDim match {
+      case Some((max, _)) if riskyWins0.size <= max => Nil
+      case _ => riskyWins0
+    }
     val exchanges = all.collect { case e: ShuffleExchangeExec => e }
     val singleParts = exchanges.count(_.outputPartitioning.numPartitions == 1)
     // repeated scans of one big table = a branch Catalyst could not
@@ -246,8 +257,8 @@ object PlanAudit {
       if (cartesian > 0) Some(s"CARTESIAN=$cartesian") else None,
       if (riskyWins.nonEmpty) Some(s"UNPART_WINDOW=${riskyWins.size}")
       else None,
-      declaredDim.filter(_ => riskyWins0.nonEmpty)
-        .map(why => s"DECLARED_DIM_WINDOW=${riskyWins0.size}:$why"),
+      declaredDim.filter(_ => riskyWins0.nonEmpty && riskyWins.isEmpty)
+        .map { case (_, why) => s"DECLARED_DIM_WINDOW=${riskyWins0.size}:$why" },
       // informational, not a failure: the window input is an
       // aggregate-dominated dim-sized frame (see adjudication above)
       if (boundedWins.nonEmpty)

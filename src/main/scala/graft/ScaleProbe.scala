@@ -77,14 +77,25 @@ object ScaleProbe {
     // embeddings: per-replica element rotation (norm-preserving).
     // Rotation offset is r MOD dim — replicas ≥ dim (the 100× probe)
     // wrap around instead of slicing past the array end; identical to
-    // the former direct-r form for every r < dim (the 10× probe). The
-    // second wrap (r ≥ dim) additionally NEGATES the vector — still
+    // the former direct-r form for every r < dim (the 10× probe). Each
+    // ODD wrap (⌊r/dim⌋ odd) additionally NEGATES the vector — still
     // norm-preserving, but without it replica r and r−dim would carry
     // element-identical vectors (cos 1 across replicas), injecting a
-    // duplicate structure the source corpus does not have.
+    // duplicate structure the source corpus does not have. The sign
+    // ALTERNATES per wrap (round-11 advice): a single ≥dim flip would
+    // re-collide replicas r and r−2·dim (same rotation AND same sign)
+    // once replicas ≥ 2·dim; alternation keeps adjacent wraps distinct
+    // for any replica count (r and r−2·dim still collide at ≥ 2·dim —
+    // inherent to a rotate±flip scheme with 2·dim distinct images —
+    // so assert the bound instead of failing silently).
+    require(replicas <= 2 * 64,
+      s"replicas=$replicas exceeds the 2*dim=128 distinct rotate±flip " +
+        "images of a 64-dim vector; replicas beyond that wrap to " +
+        "element-identical embeddings (cos-1 cross-replica duplicates)")
     val rot = pmod(col("r"), size(col("embedding")))
-    val flip = when(col("r") >= size(col("embedding")), lit(-1.0f))
-      .otherwise(lit(1.0f))
+    val flip = when(
+      pmod(floor(col("r") / size(col("embedding"))), lit(2)) === 1,
+      lit(-1.0f)).otherwise(lit(1.0f))
     val rotated = concat(
       slice(col("embedding"), rot + 1, size(col("embedding")) - rot),
       slice(col("embedding"), lit(1), rot))

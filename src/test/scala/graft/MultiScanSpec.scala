@@ -44,6 +44,29 @@ class MultiScanSpec extends SparkSuite {
       val n = a.tableScans.getOrElse("embeddings", 0)
       assert(n <= 1, s"$name plan scans embeddings $n times — the probe" +
         " contract is index + refine point-fetch only")
+      // the allowlist must agree with this assertion (round-11 item 8)
+      assert(PlanAudit.multiScanAllow(name)("embeddings")._1 == 1,
+        s"$name multiScanAllow max must match the spec's ≤1 contract")
+    }
+  }
+
+  test("declared dim-window queries stay within their window budget") {
+    // round-11 advice: the declaration suppresses UNPART_WINDOW only
+    // up to its budget — a NEW corpus-sized global window added to a
+    // declared query must flag, and this pins the budget is tight
+    // (the plans use exactly the declared number of risky windows,
+    // so any addition exceeds it)
+    PlanAudit.globalWindowAllow.foreach { case (name, (max, _)) =>
+      val a = PlanAudit.auditQuery(spark, sf, name, SparkEntry.queries(name))
+      assert(a.unpartWindows == 0,
+        s"$name has ${a.unpartWindows} risky windows above its budget $max")
+      val declared = a.flags.filter(_.startsWith("DECLARED_DIM_WINDOW"))
+      declared.foreach { f =>
+        val n = f.stripPrefix("DECLARED_DIM_WINDOW=").takeWhile(_.isDigit).toInt
+        assert(n == max,
+          s"$name declares window budget $max but the plan uses $n — " +
+            "keep the budget exactly tight so a new window flags")
+      }
     }
   }
 }

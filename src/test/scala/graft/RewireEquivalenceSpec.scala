@@ -103,6 +103,25 @@ class RewireEquivalenceSpec extends SparkSuite {
     assert(rows(TextOps.ngramJaccardPrefixDf(spark, sf01)) == expected)
   }
 
+  test("ngram_jaccard saturation regime: exact precision, measured recall") {
+    // round-12: at prefix-df saturation the dispatcher hands off to
+    // MinHash-banded candidates + the SAME exact verify. Contract:
+    // precision 1 (every reported pair true, every jaccard_milli
+    // exact — banded output ⊆ exact output) and recall ≥ ~0.99 at the
+    // J = 0.5 threshold (P(2-row band hit) = 1 − (1 − J²)^16 = 0.990
+    // at J = 0.5, → 1 exponentially above). MEASURED here against the
+    // recall-1 path, not just derived.
+    val exact = rows(TextOps.ngramJaccardPrefixHash(spark, sf01))
+    val banded = rows(TextOps.ngramJaccardBanded(spark, sf01))
+    assert(exact.nonEmpty)
+    val exactSet = exact.toSet
+    assert(banded.forall(exactSet.contains),
+      "banded regime reported a pair/value the exact path does not")
+    val recall = banded.size.toDouble / exact.size
+    assert(recall >= 0.95,
+      f"measured recall $recall%.4f below the declared ~0.99 contract")
+  }
+
   test("skew_join_salted equals the plain unsalted join at sf0.01") {
     import graft.operators.JoinOps
     val skewKey = when(col("o_orderkey") % 10 < 8, lit(0L))

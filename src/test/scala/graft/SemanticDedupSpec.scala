@@ -169,6 +169,30 @@ class SemanticDedupSpec extends SparkSuite {
     assert(got == Set((1L, 0L, 255L), (2L, 0L, 255L), (3L, 0L, 255L)))
   }
 
+  test("role pair stage: sharded equals unsharded, batch and cross") {
+    // round-12: the (cell, shard) re-key that spreads a hot q8 cell's
+    // candidate block across RoleShards tasks must not change the pair
+    // set — every pair meets in the partner's one shard. Pinned for
+    // both role shapes at the dense fixture threshold (τ = 0.30,
+    // maximal pair mass) and the production τ = 0.95.
+    val batch = SimilarityOps.batchCells(spark, sf)
+    val exist = SimilarityOps.existCells(spark, sf)
+    for (tau <- Seq(30L, 95L)) {
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(
+        key(SimilarityOps.semanticPairsRole(batch, exist,
+          within = false, tauE2 = tau)) ==
+        key(SimilarityOps.semanticPairsRoleUnsharded(batch, exist,
+          within = false, tauE2 = tau)), s"cross pairs differ at tau=$tau")
+      assert(
+        key(SimilarityOps.semanticPairsRole(batch, batch,
+          within = true, tauE2 = tau)) ==
+        key(SimilarityOps.semanticPairsRoleUnsharded(batch, batch,
+          within = true, tauE2 = tau)), s"within pairs differ at tau=$tau")
+    }
+  }
+
   test("pair plan joins on cell+tile keys, never a cartesian") {
     val plan = SimilarityOps.semanticDedup(spark, sf)
       .queryExecution.optimizedPlan.toString
