@@ -530,7 +530,32 @@ object SimilarityOps {
     * only on bucket collisions. Candidates hit in several bands are
     * deduped on ids+hashes (8+8 bytes) before the verify. */
   def simhashDedup(spark: SparkSession, sfDir: String): DataFrame =
-    simhashPairsTiled(simhashBandedFrame(spark, sfDir), tiles = SimTiles)
+    simhashPairsTiled(simhashBandedFrame(spark, sfDir),
+      tiles = simhashTileFanout(spark, sfDir))
+
+  /** ADAPTIVE tile fanout for [[simhashDedup]]'s bucket self-join —
+    * the STRAGGLER-BOUND rule, not a flat constant: tiling replicates
+    * every bucket ~tiles/2× to split hot ones, so it only pays when
+    * the hottest bucket's c² enumeration exceeds one core's share of
+    * the total work. Σc² and max c come from one memoized bucket
+    * histogram (the 100× probe measured max 12,600 / Σc² 1.13e10 —
+    * hot, but max²/Σc² = 1.4% < 1/32, so on local[32] tiling is pure
+    * tax: a flat tiles = 8 measured 47.8 → 60.6 s; on a 1000-core
+    * cluster the same histogram yields tiles = 4 and the single
+    * 1.6e8-comparison straggler splits). tiles =
+    * ⌈√(cores·max²/Σc²)⌉ clamped to [1, 16]; output is
+    * tile-count-invariant (RewireEquivalenceSpec pins it vs naive). */
+  private def simhashTileFanout(spark: SparkSession, sfDir: String): Int =
+    Memo.cached(spark, s"simhashTileFanout:$sfDir") {
+      val r = simhashBandedFrame(spark, sfDir)
+        .groupBy("source", "band", "chunk").count()
+        .agg(max("count"), sum(col("count") * col("count"))).head()
+      val maxC = r.getLong(0).toDouble
+      val sumSq = math.max(1L, r.getLong(1)).toDouble
+      val cores = spark.sparkContext.defaultParallelism.toDouble
+      val t = math.ceil(math.sqrt(cores * maxC * maxC / sumSq)).toInt
+      math.min(16, math.max(1, t))
+    }
 
   /** The banded pigeonhole frame (doc_id, source, simhash, band,
     * chunk) — shared with [[graft.CellProbe]]'s bucket-population
