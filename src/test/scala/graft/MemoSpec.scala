@@ -90,4 +90,30 @@ class MemoSpec extends SparkSuite {
     assert(build() == 99, "second attempt must win the released cell")
     assert(attempts.get() == 2)
   }
+
+  test("batchPersist: re-persisting a plan twin must not evict the shared cache") {
+    // round-12 regression: CacheManager dedupes persist() by plan, so
+    // two ring entries for the SAME plan alias one cache entry — an
+    // object-keyed ring evicted the older twin and silently dropped
+    // the newer caller's cache mid-query (the incremental verdict
+    // paths re-inlined to 5 corpus scans). The ring is keyed by
+    // canonicalized plan: N re-persists of one plan occupy ONE slot.
+    val s = spark
+    import s.implicits._
+    def frame(k: Int) = (1 to 10).map(i => (i.toLong, k)).toDF("id", "k")
+    // fill the ring beyond its cap with twins of the SAME plan — the
+    // last twin's cache must survive
+    val twins = (1 to 6).map(_ => Memo.batchPersist(spark, frame(0)))
+    assert(twins.last.count() == 10)
+    assert(twins.last.queryExecution.executedPlan.toString
+        .contains("InMemory"),
+      "plan-twin re-persist evicted its own shared cache entry")
+    // DISTINCT plans do rotate out: cap + 2 distinct frames later, the
+    // oldest distinct plan is unpersisted (its storage level resets)
+    val old = Memo.batchPersist(spark, frame(100))
+    old.count()
+    (101 to 106).foreach(k => Memo.batchPersist(spark, frame(k)).count())
+    assert(old.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "ring must unpersist evicted distinct plans (bounded lifecycle)")
+  }
 }
