@@ -66,7 +66,10 @@ object Bench {
     // ingestion pipeline
     "video_framesample", "ann_ivf_pq_probe", "bigram_surprisal",
     "pipeline_ingest", "quality_lda", "bigram_surprisal_topv",
-    "mix_sample", "catalog_documents_quality", "semantic_dedup_audit")
+    "mix_sample", "catalog_documents_quality", "semantic_dedup_audit",
+    // round-12: the funnel composite was in Bench100x's probe set but
+    // not here — one list for every scale artifact
+    "curation_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

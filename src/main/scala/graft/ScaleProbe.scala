@@ -138,9 +138,12 @@ object ScaleProbe {
   * a narrative claim.
   *
   * Usage: runMain graft.Bench10x [probeDir] [artifactPath]
-  * (source fixture from SPARK_GRAFT_SF_DIR, default sf0.1; 2 passes —
+  * (source fixture from SPARK_GRAFT_SF_DIR, default sf0.1; 3 passes —
   * the probe's signal is the SHAPE of per-query scaling vs the sf0.1
-  * line, not micro-variance, and a 10× pass is minutes long).
+  * line, not micro-variance, and with an odd pass count the p50
+  * column is a true median, excluding the systematically-slower
+  * first pass: JIT + page-cache warm measured pass 1 at ~1.8× pass 2
+  * on the 100× corpus, and a 2-pass "p50" was just that cold pass).
   */
 object Bench10x {
   def main(args: Array[String]): Unit = {
@@ -156,7 +159,7 @@ object Bench10x {
     // warm-up let one-time index/CTAS/memo builds pollute the p50s)
     Bench.warmUp(spark, probeDir, "bench10x")
     val selected = Bench.headline.map(n => n -> SparkEntry.queries(n))
-    val line = Bench.benchJson(spark, probeDir, selected, nPasses = 2)
+    val line = Bench.benchJson(spark, probeDir, selected, nPasses = 3)
     Files.write(Paths.get(artifact),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(line)
@@ -177,7 +180,8 @@ object Bench10x {
   * reason in BASELINE.md.
   *
   * Usage: runMain graft.Bench100x [probeDir] [artifactPath]
-  * (2 passes, like Bench10x — the signal is the scaling SHAPE).
+  * (3 passes, like Bench10x — the signal is the scaling SHAPE, and
+  * the odd count makes p50 a true median past the cold first pass).
   * Run with SPARK_DRIVER_MEM=48g: everything shares one local JVM.
   */
 object Bench100x {
@@ -215,7 +219,7 @@ object Bench100x {
       ScaleProbe.build(spark, srcDir, probeDir, replicas = 100)
     Bench.warmUp(spark, probeDir, "bench100x")
     val selected = top.map(n => n -> SparkEntry.queries(n))
-    val line = Bench.benchJson(spark, probeDir, selected, nPasses = 2)
+    val line = Bench.benchJson(spark, probeDir, selected, nPasses = 3)
     Files.write(Paths.get(artifact),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(line)

@@ -639,7 +639,7 @@ object TextOps {
     // boilerplate shingles, not uniform ones.
     val docCount = Tables.cachedCount(spark, sfDir, "documents")
     if (docCount < 20000L) ngramJaccardPrefixHash(spark, sfDir)
-    else if (sampledSumDfSq(spark, sfDir) >= DfSaturationCut)
+    else if (sampledSumDfSq(spark, sfDir) / docCount >= DfSaturationCutPerDoc)
       ngramJaccardBanded(spark, sfDir)
     else ngramJaccardPrefixDf(spark, sfDir)
   }
@@ -658,13 +658,20 @@ object TextOps {
     * where it collapsed). Estimated from a deterministic ~5% doc
     * sample: sampled df is ~Binomial(df, p), so
     * E[Σdf_s²] = p²·Σdf² + p(1−p)·Σdf and the unbiased estimate is
-    * (Σdf_s² − (1−p)·Σdf_s)/p². The cut at 5e10 sits ~6× above the
-    * measured healthy-at-10× value and ~15× under the measured
-    * collapsed value (BASELINE.md round-12 records all three). One
-    * narrow sampled aggregate per (session, store), memoized — the
-    * ANALYZE-stats idiom, same as
-    * [[graft.operators.SimilarityOps]]'s tile-fanout stat. */
-  private val DfSaturationCut = 50000000000L // 5e10
+    * (Σdf_s² − (1−p)·Σdf_s)/p². The cut is PER DOCUMENT — Σdf²/n —
+    * because that form is scale-invariant: for a healthy corpus
+    * (universe ∝ corpus, df flat) it stays constant as the corpus
+    * grows, while under saturation it grows linearly, so one
+    * threshold serves every store size instead of an absolute mass
+    * that any big-enough corpus would cross. Measured: sf0.1 ~560/doc,
+    * 10× ~170k/doc (df path held at 6.8 s), 100× ~1.49M/doc (df path
+    * collapsed at 538.7 s) — the cut at 500k/doc sits ~3× from each
+    * (BASELINE.md round-12 records all three). One narrow sampled
+    * aggregate per (session, store), memoized — the ANALYZE-stats
+    * idiom, same as [[graft.operators.SimilarityOps]]'s tile-fanout
+    * stat; production at larger stores shrinks the sample fraction p
+    * (the estimator is parameterized by it) the way ANALYZE does. */
+  private val DfSaturationCutPerDoc = 500000L
   private def sampledSumDfSq(spark: SparkSession, sfDir: String): Long =
     Memo.cached(spark, s"sumDfSq:$sfDir") {
       val p = 0.05
