@@ -1901,6 +1901,26 @@ object Oracles {
       """SELECT doc_id, n_shingles, n_distinct,
         |       CAST(ROUND(1000.0 * (n_shingles - n_distinct) / n_shingles) AS BIGINT) AS repetition_milli
         |FROM shc ORDER BY doc_id""".stripMargin),
+    "shingle_df_stats" -> qx(
+      """, toksl0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |), toks0 AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+        |           i -> array_to_string(tk[i:i+2], ' ')))) AS tok
+        |  FROM toksl0
+        |), dfs AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM toks0 GROUP BY tok
+        |), nd AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+        |)""".stripMargin,
+      """SELECT CAST(COUNT(*) AS BIGINT) AS universe,
+        |       CAST(MAX(df) AS BIGINT) AS max_df,
+        |       CAST(SUM(df) AS BIGINT) AS total_occurrences,
+        |       CAST(SUM(df * df) AS BIGINT) AS sum_df_sq,
+        |       nd.n_docs,
+        |       CAST(SUM(df * df) // nd.n_docs AS BIGINT) AS mass_per_doc
+        |FROM dfs, nd GROUP BY nd.n_docs""".stripMargin),
     "ngram_jaccard" -> qx(
       """, toksl AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents

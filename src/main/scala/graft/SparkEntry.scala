@@ -129,6 +129,7 @@ object SparkEntry {
     "pipeline_ingest" -> (graft.streaming.IngestPipeline.pipelineIngest _),
     "curation_funnel" -> (TextOps.curationFunnel _),
     "repetition_ratio" -> (TextOps.repetitionRatio _),
+    "shingle_df_stats" -> (TextOps.shingleDfStats _),
     "chunk_dedup" -> (TextOps.chunkDedup _),
     "boilerplate_strip" -> (TextOps.boilerplateStrip _),
     "boilerplate_strip_text" -> (TextOps.boilerplateStripText _),

@@ -871,6 +871,37 @@ object TextOps {
     jaccardVerify(cand, docs)
   }
 
+  /** Corpus ANALYZE for the dedup family — the 3-shingle
+    * document-frequency profile as a first-class query (one row):
+    * universe (distinct shingles), max/total df, Σdf² (the unfiltered
+    * same-token candidate mass every prefix-filter regime is bounded
+    * by), and its per-document form `mass_per_doc` — the EXACT
+    * full-corpus value of the sampled statistic [[ngramJaccard]]'s
+    * regime dispatcher reads ([[sampledSumDfSq]]; the 100× probe's
+    * saturation adjudication lives on these numbers — BASELINE.md
+    * round-12). A corpus owner runs this to see which regime their
+    * store is in and how far from the 500k/doc cut it sits. Plan: one
+    * explode + two hash aggregations; the shuffle currency is the
+    * shingle STRING (exact df semantics, matching the DuckDB oracle
+    * 1:1 — the engine's hash-currency forms exist where the string
+    * width matters per-pair; an ANALYZE pass runs once per store).
+    * n_docs folds in as a metadata-count literal (no extra scan). */
+  def shingleDfStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val nDocs = Tables.cachedCount(spark, sfDir, "documents")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles3Native(spark, col("text"))))
+          .as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("universe"),
+        max("df").as("max_df"),
+        sum("df").as("total_occurrences"),
+        sum(col("df") * col("df")).as("sum_df_sq"))
+      .select(col("universe"), col("max_df"), col("total_occurrences"),
+        col("sum_df_sq"), lit(nDocs).as("n_docs"),
+        expr("sum_df_sq DIV n_docs").as("mass_per_doc"))
+  }
+
   /** Benchmark decontamination — the training-data hygiene op: flag
     * documents whose 3-gram shingles overlap a benchmark/eval set
     * (here the deterministic subset doc_id % 100 = 0 stands in for a
