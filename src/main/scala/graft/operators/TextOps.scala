@@ -596,13 +596,18 @@ object TextOps {
     * is exact integer arithmetic (2*|A∩B| >= |A∪B|); the reported
     * similarity is scaled to millis.
     *
-    * Scale design — PPJoin-style prefix filtering (Xiao et al., exact):
-    * under ANY canonical total token order, J(A,B) ≥ t implies the
-    * first ⌊(1−t)/(1+t)·|X|⌋+1 tokens of A and B intersect, so only
-    * ⅓ of each doc's shingles (t = 0.5) participate in candidate
-    * generation. Two canonical orders are implemented, chosen by
-    * corpus size (a deterministic cost-based strategy pick, like
-    * Catalyst's own broadcast-vs-shuffle decision):
+    * Scale design — THREE regimes behind one deterministic cost-based
+    * strategy pick (like Catalyst's own broadcast-vs-shuffle
+    * decision): two recall-1 PPJoin prefix-filter orders (Xiao et
+    * al., exact — under ANY canonical total token order, J(A,B) ≥ t
+    * implies the first ⌊(1−t)/(1+t)·|X|⌋+1 tokens of A and B
+    * intersect, so only ⅓ of each doc's shingles at t = 0.5
+    * participate in candidate generation), plus a declared-recall
+    * MinHash-banded regime ([[ngramJaccardBanded]]) for
+    * VOCABULARY-SATURATED stores where no prefix order bounds
+    * candidates (detector: [[sampledSumDfSq]]; the 100× probe
+    * measured the df path quadratic there — BASELINE.md round-12).
+    * The two exact orders:
     *
     *  - hash order ([[ngramJaccardPrefixHash]]): prefix = the doc's
     *    ⌊sz/3⌋+1 smallest shingle hashes, computed narrowly inside the
