@@ -88,10 +88,18 @@ object ScaleProbe {
     // for any replica count (r and r−2·dim still collide at ≥ 2·dim —
     // inherent to a rotate±flip scheme with 2·dim distinct images —
     // so assert the bound instead of failing silently).
-    require(replicas <= 2 * 64,
-      s"replicas=$replicas exceeds the 2*dim=128 distinct rotate±flip " +
-        "images of a 64-dim vector; replicas beyond that wrap to " +
-        "element-identical embeddings (cos-1 cross-replica duplicates)")
+    // The bound must use the fixture's ACTUAL dimension — the rotation
+    // expressions below read size(embedding) dynamically, so a
+    // hardcoded dim would either reject valid replica counts or admit
+    // the cos-1 cross-replica collisions the guard exists to prevent
+    // (round-12 advice).
+    val src = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val dim = src.select(size(col("embedding"))).head().getInt(0)
+    require(replicas <= 2 * dim,
+      s"replicas=$replicas exceeds the 2*dim=${2 * dim} distinct " +
+        s"rotate±flip images of a $dim-dim vector; replicas beyond that " +
+        "wrap to element-identical embeddings (cos-1 cross-replica " +
+        "duplicates)")
     val rot = pmod(col("r"), size(col("embedding")))
     val flip = when(
       pmod(floor(col("r") / size(col("embedding"))), lit(2)) === 1,
@@ -99,7 +107,7 @@ object ScaleProbe {
     val rotated = concat(
       slice(col("embedding"), rot + 1, size(col("embedding")) - rot),
       slice(col("embedding"), lit(1), rot))
-    val embs = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val embs = src
       .select(col("*"), reps)
       .select(
         (col("vec_id") + col("r") * stride).as("vec_id"),

@@ -206,7 +206,24 @@ private[graft] object Memo {
       val cells = m.synchronized { val cs = m.values.toSeq; m.clear(); cs }
       cells.foreach(unpersistCell)
     }
+    // Also drain every batch ring owned by this context: ring entries
+    // hold strong DataFrame → SparkSession references, so a surviving
+    // ring pins the WeakHashMap key forever — the exact driver-side
+    // leak this sweep exists to prevent (round-12 advice).
+    val rings = batchRing.synchronized {
+      import scala.jdk.CollectionConverters._
+      val dead = batchRing.entrySet().asScala
+        .filter(en => en.getKey != null && (en.getKey.sparkContext eq sc))
+        .toSeq
+      val rs = dead.map(_.getValue)
+      dead.foreach(en => batchRing.remove(en.getKey))
+      rs
+    }
+    rings.foreach(_.valuesIterator.foreach(unpersistRinged))
   }
+
+  private def unpersistRinged(df: DataFrame): Unit =
+    try { df.unpersist(false); () } catch { case _: Throwable => () }
 
   /** Best-effort block release for a BUILT DataFrame cell. Unpersist
     * after the context is stopped is a no-op, but clearing the map
@@ -301,5 +318,10 @@ private[graft] object Memo {
       val cells = m.synchronized { val cs = m.values.toSeq; m.clear(); cs }
       cells.foreach(unpersistCell)
     }
+    // The batch ring too: CacheManager matches by canonicalized plan,
+    // so a stale ringed frame would keep serving pre-regeneration
+    // blocks to any identical plan after invalidate (round-12 advice).
+    val ring = batchRing.synchronized(batchRing.remove(spark))
+    if (ring != null) ring.valuesIterator.foreach(unpersistRinged)
   }
 }

@@ -1297,18 +1297,30 @@ object TextOps {
     // a TakeOrdered + two joins on EVERY invocation, which regressed
     // the sf0.1 min to 1.4 s (the ledger's round-11 caveat). The
     // model IS dim-sized by construction — topv is capped at
-    // [[BigramTopV]] rows and the unigram table is |vocab| rows (a
-    // natural-language vocabulary broadcasts into the tens of
-    // millions of tokens; beyond that flip the uni join back to a
-    // shuffle — the topv cap is exactly the device that keeps the
-    // BIGRAM table from needing the same treatment) — so per
-    // invocation the plan is ONE corpus scoring scan with two
-    // broadcast hash joins, nothing else.
-    val m = bigramTopVModel(spark, sfDir)
-    val topv = m.topv.toDF("w1", "w2", "sur_micro")
-    val uni = m.uni.toDF("w2", "uni_sur_micro")
-    bi.join(broadcast(topv), Seq("w1", "w2"), "left")
-      .join(broadcast(uni), Seq("w2"))
+    // [[BigramTopV]] rows and the unigram table is |vocab| rows — so
+    // per invocation the plan is ONE corpus scoring scan with two
+    // broadcast hash joins, nothing else. The driver collect of
+    // |vocab| rows is now GUARDED (round-12 advice): a memoized
+    // approx-distinct vocab count gates the path, and past
+    // [[topVMaxVocabBroadcast]] tokens the UNI side flips back to a
+    // shuffle join against the memoized model frame — slower but
+    // driver-safe, the exact fallback the old comment promised
+    // without enforcing. The 512-row topv table broadcasts in either
+    // regime. Scoring math is identical in both arms (bit-same
+    // oracle hash).
+    val scored =
+      if (vocabApprox(spark, sfDir) <= topVMaxVocabBroadcast(spark)) {
+        val m = bigramTopVModel(spark, sfDir)
+        val topv = m.topv.toDF("w1", "w2", "sur_micro")
+        val uni = m.uni.toDF("w2", "uni_sur_micro")
+        bi.join(broadcast(topv), Seq("w1", "w2"), "left")
+          .join(broadcast(uni), Seq("w2"))
+      } else {
+        val (topv, uni) = bigramTopVModelFrames(spark, sfDir)
+        bi.join(broadcast(topv), Seq("w1", "w2"), "left")
+          .join(uni, Seq("w2"))
+      }
+    scored
       .select(col("doc_id"),
         coalesce(col("sur_micro"), col("uni_sur_micro")).as("tok_sur"),
         col("sur_micro").isNull.cast("long").as("oov"))
@@ -1319,6 +1331,27 @@ object TextOps {
         expr("ssum DIV n_bigrams").as("mean_sur_micro"))
       .orderBy("doc_id")
   }
+
+  /** Driver-collect ceiling for the unigram model table, in distinct
+    * tokens. Default 8M rows ≈ a few hundred MB of (String, Long)
+    * tuples on the driver — comfortably inside a 4 GB driver while
+    * still covering any natural-language vocabulary the fixture
+    * family can produce. Tunable per deployment. */
+  private def topVMaxVocabBroadcast(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.topv.maxVocabBroadcast")
+      .map(_.toLong).getOrElse(8000000L)
+
+  /** Memoized approx distinct-token count — the regime gate for
+    * [[bigramSurprisalTopV]]. approx_count_distinct (HLL++, ~2%
+    * rel. error at default rsd) is plenty: the gate protects against
+    * a vocabulary ORDERS of magnitude past the ceiling, not a 2%
+    * brush with it. */
+  private def vocabApprox(spark: SparkSession, sfDir: String): Long =
+    Memo.cached(spark, s"vocabApprox:$sfDir") {
+      Tables.documents(spark, sfDir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .agg(approx_count_distinct("tok")).head().getLong(0)
+    }
 
   private case class TopVModel(topv: Seq[(String, String, Long)],
       uni: Seq[(String, Long)])
@@ -1343,42 +1376,71 @@ object TextOps {
     * literal tables are bit-identical to the round-11 frames. */
   private def bigramTopVModel(spark: SparkSession, sfDir: String): TopVModel =
     Memo.cached(spark, s"bigramTopV:$sfDir") {
-      val Eod = " "
-      val model = Tables.documents(spark, sfDir)
-        .select(concat(split(col("text"), " "), array(lit(Eod))).as("ws"))
-        .select(explode(zip_with(
-            slice(col("ws"), lit(1), size(col("ws")) - 1),
-            slice(col("ws"), lit(2), size(col("ws")) - 1),
-            (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-        .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-        .agg(count(lit(1)).as("cnt"))
-        .persist()
+      val model = bigramModelAgg(spark, sfDir).persist()
       try {
-        val c12 = model.filter(col("w2") =!= Eod)
-          .select(col("w1"), col("w2"), col("cnt").as("c12"))
-        val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
-        val topv = c12.orderBy(desc("c12"), asc("w1"), asc("w2"))
-          .limit(BigramTopV)
-          .join(c1, Seq("w1"))
-          .select(col("w1"), col("w2"),
-            round(lit(1e6) * log(col("c1").cast("double") / col("c12")))
-              .cast("long").as("sur_micro"))
-          .collect().toSeq
+        val (topvF, uniF) = topVScoreFrames(model)
+        val topv = topvF.collect().toSeq
           .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-        val vocab = model.groupBy("w1")
-          .agg(sum("cnt").as("freq"))
-          .select(col("w1").as("tok"), col("freq"))
-        val total = vocab.agg(sum("freq").as("total_toks"))
-        val uni = vocab.crossJoin(broadcast(total))
-          .select(col("tok"),
-            round(lit(1e6) *
-              log(lit(2.5) * col("total_toks").cast("double") / col("freq")))
-              .cast("long").as("uni_sur_micro"))
-          .collect().toSeq
+        val uni = uniF.collect().toSeq
           .map(r => (r.getString(0), r.getLong(1)))
         TopVModel(topv, uni)
       } finally { model.unpersist(false); () }
     }
+
+  /** The shuffle-regime twin of [[bigramTopVModel]]: the same scored
+    * tables left AS FRAMES (memoized localCheckpoints — |topv| = 512
+    * and |vocab| rows respectively), for vocabularies past the driver
+    * broadcast ceiling. Same plans up to the collect, so the scores
+    * are bit-identical to the broadcast arm's local relations. */
+  private def bigramTopVModelFrames(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
+    val model = Memo.frame(spark, s"bigramModelAgg:$sfDir")(
+      bigramModelAgg(spark, sfDir))
+    val (topvF, uniF) = topVScoreFrames(model)
+    (Memo.frame(spark, s"bigramTopVF:$sfDir")(topvF),
+      Memo.frame(spark, s"bigramUniF:$sfDir")(uniF))
+  }
+
+  /** ONE corpus pass for both model tables — see [[bigramTopVModel]]'s
+    * sentinel-EOD construction note. */
+  private def bigramModelAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(concat(split(col("text"), " "), array(lit(TopVEod))).as("ws"))
+      .select(explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Scored (topv, uni) frames over an aggregated model frame. Scoring
+    * math (round(1e6·ln…)) runs in Spark — the collected literal
+    * tables and the shuffle-regime frames carry identical values. */
+  private def topVScoreFrames(model: DataFrame): (DataFrame, DataFrame) = {
+    val c12 = model.filter(col("w2") =!= TopVEod)
+      .select(col("w1"), col("w2"), col("cnt").as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val topv = c12.orderBy(desc("c12"), asc("w1"), asc("w2"))
+      .limit(BigramTopV)
+      .join(c1, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        round(lit(1e6) * log(col("c1").cast("double") / col("c12")))
+          .cast("long").as("sur_micro"))
+    val vocab = model.groupBy("w1")
+      .agg(sum("cnt").as("freq"))
+      .select(col("w1").as("tok"), col("freq"))
+    val total = vocab.agg(sum("freq").as("total_toks"))
+    val uni = vocab.crossJoin(broadcast(total))
+      .select(col("tok").as("w2"),
+        round(lit(1e6) *
+          log(lit(2.5) * col("total_toks").cast("double") / col("freq")))
+          .cast("long").as("uni_sur_micro"))
+    (topv, uni)
+  }
+
+  /** EOD is a SPACE: a split-on-space token cannot contain one —
+    * collision-free by construction for ANY corpus. */
+  private val TopVEod = " "
 
   private val BigramTopV = 512
 

@@ -65,4 +65,22 @@ class BigramSurprisalSpec extends SparkSuite {
     assert(bi0.toSeq != bi1.toSeq,
       "bigram surprisal must see word order")
   }
+
+  test("topv shuffle fallback (vocab past broadcast ceiling) equals broadcast arm") {
+    // round-12 advice: the driver collect of the |vocab| unigram table
+    // is now gated by an approx vocab count; past the ceiling the uni
+    // join flips to a shuffle against the memoized model frames. Force
+    // the fallback with a ceiling of 1 and pin bit-equality — the two
+    // arms share the scoring plans up to the collect, so any drift is
+    // a real bug, not float noise.
+    val broadcastArm = TextOps.bigramSurprisalTopV(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.topv.maxVocabBroadcast", "1")
+    try {
+      val shuffleArm = TextOps.bigramSurprisalTopV(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(broadcastArm.nonEmpty)
+      assert(shuffleArm == broadcastArm)
+    } finally spark.conf.unset("spark.graft.topv.maxVocabBroadcast")
+  }
 }

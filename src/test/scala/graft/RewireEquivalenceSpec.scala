@@ -77,6 +77,30 @@ class RewireEquivalenceSpec extends SparkSuite {
     assert(got == rows(naive))
   }
 
+  test("embedding_dedup output is tile-fanout-invariant (forced B = 1 vs 16)") {
+    // The adaptive fanout clamps to B = 8 at fixture scale, where
+    // labels are small enough that most tiles are empty — forcing a
+    // spread (1 vs 16) exercises the cross-tile explode ranges and
+    // role normalization the 100× runs rely on (round-12 advice).
+    val untiled = rows(SimilarityOps.embeddingDedupTiled(spark, sf01, 1))
+    val forced = rows(SimilarityOps.embeddingDedupTiled(spark, sf01, 16))
+    assert(untiled.size == 293)
+    assert(forced == untiled)
+  }
+
+  test("simhash pair join is tile-invariant (forced tiles = 4 vs 1)") {
+    // At sf0.01 the adaptive simhash fanout computes tiles = 1 (the
+    // measured bucket histogram is tiny), so the dispatch-path test
+    // above never routes through the multi-tile branch — force it
+    // (round-12 advice): every pair must meet in exactly one
+    // (bucket, ti, tj) tile, so output is identical for any tiles.
+    val banded = SimilarityOps.simhashBandedFrame(spark, sf01)
+    val untiled = rows(SimilarityOps.simhashPairsTiled(banded, tiles = 1))
+    val forced = rows(SimilarityOps.simhashPairsTiled(banded, tiles = 4))
+    assert(untiled.nonEmpty)
+    assert(forced == untiled)
+  }
+
   test("ngram_jaccard PPJoin equals naive token self-join at sf0.01") {
     val shingleExpr = expr(
       """array_distinct(transform(
