@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CompressionRatio, CosineSimilarity, MinHashSig, PolyMinHashSig, PolySimHash, Q8CellSig, Q8Dot, Q8MomentsGen, RollingFp, SigMatchCount, SimHash64, SortedInterCount, TokenChunksGen, TokenChunksPosGen, TokenNGramsGen, TokenShingles}
+import graft.functions.{CompressionRatio, CosineSimilarity, MinHashSig, PolyMinHashSig, PolySimHash, Q8CellSig, Q8Dot, Q8MomentsGen, RollingFp, SigMatchCount, SimHash64, SortedInterCount, StripDict, TokenChunksGen, TokenChunksPosGen, TokenNGramsGen, TokenShingles}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for the SQL surface. Use either at session build time
@@ -109,6 +109,11 @@ object GraftExtensions {
     (FunctionIdentifier("graft_q8dot"),
       new ExpressionInfo(classOf[Q8Dot].getName, "graft_q8dot"),
       (children: Seq[Expression]) => Q8Dot(children(0), children(1))),
+    (FunctionIdentifier("graft_strip_dict"),
+      new ExpressionInfo(classOf[StripDict].getName, "graft_strip_dict"),
+      (children: Seq[Expression]) =>
+        StripDict(children(0), children(1),
+          litInt("graft_strip_dict", children(2)))),
     // PRECONDITION in the SQL-visible doc (round-10 advice): the merge
     // scan silently undercounts on unsorted/duplicated input, so the
     // caller-owned invariant must be stated where DESCRIBE FUNCTION

@@ -223,6 +223,9 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Oracles.sql
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * dynamicSql adds entries generated from runtime-trained artifacts
+    * (the learned BPE merge table) — a def, so Verify picks them up
+    * after the query sweep has trained. */
+  def oracleSql: Map[String, String] = Oracles.sql ++ Oracles.dynamicSql
 }

@@ -70,8 +70,8 @@ object StreamBench {
       Seq(
         "land_only" -> ((b, _) => b.select("doc_id")),
         "quality" -> ((b, _) => quality(b).select("doc_id")),
-        "strip" -> ((b, f) => TextOps.stripAgainstDict(spark,
-          quality(b).select("doc_id", "text"), f.dict)),
+        "strip" -> ((b, f) => IngestPipeline.stripStage(spark,
+          quality(b).select("doc_id", "text"), f)),
         "neardup" -> ((b, f) => NearDupStream.nearDupAgainstIndexFrame(
           spark, quality(b).select("doc_id", "text"), f.sig)
           .select("doc_id").distinct()),

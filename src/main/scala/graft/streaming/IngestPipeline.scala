@@ -52,7 +52,7 @@ object IngestPipeline {
     * costs, and the 3× per-batch index re-read + re-decode was the
     * biggest one under our control). */
   final case class ArtifactFrames(dict: DataFrame, sig: DataFrame,
-      vec: DataFrame)
+      vec: DataFrame, dictFps: Option[Seq[String]] = None)
 
   /** Load the artifact frames; `persist` pins them MEMORY_AND_DISK and
     * materializes eagerly — right for a stream (every micro-batch
@@ -60,11 +60,20 @@ object IngestPipeline {
     * indexes would squat in the cache). At 100 TB the static sides
     * are cluster-cached the same way — they are the small halves
     * (fps ~16 B/chunk, sigs ~600 B/doc, vectors ~600 B/vec) of joins
-    * whose other side is one micro-batch. */
+    * whose other side is one micro-batch.
+    *
+    * `persist` (= the long-running-stream path) also collects the
+    * chunk dictionary ONCE when it fits [[graft.operators.TextOps
+    * .StripInlineMaxFps]]: the per-batch strip then runs as a single
+    * projection via `graft_strip_dict` instead of re-paying a
+    * broadcast build + anti-join + collect_list per micro-batch — the
+    * round-12 strip-floor item. Oversized dictionaries keep
+    * dictFps = None and the join form. */
   def loadArtifacts(spark: SparkSession, art: Artifacts,
       persist: Boolean = false): ArtifactFrames = {
+    val dict = spark.read.parquet(art.dictDir)
     val f = ArtifactFrames(
-      spark.read.parquet(art.dictDir),
+      dict,
       spark.read.parquet(art.sigDir),
       spark.read.parquet(art.vecDir)
         .select(col("vec_id"), col("q8"), col("na2"), col("cell")))
@@ -73,8 +82,22 @@ object IngestPipeline {
       Seq(f.dict, f.sig, f.vec).foreach { d =>
         d.persist(MEMORY_AND_DISK); d.count()
       }
-    }
-    f
+      val n = f.dict.count()
+      if (n <= TextOps.StripInlineMaxFps)
+        f.copy(dictFps =
+          Some(f.dict.select("fp").collect().map(_.getString(0)).toSeq))
+      else f
+    } else f
+  }
+
+  /** The strip stage with the inline/join dispatch — shared by
+    * [[curateBatch]] and StreamBench's per-stage decomposition so the
+    * bench measures the pipeline's real plan. */
+  def stripStage(spark: SparkSession, docs: DataFrame,
+      art: ArtifactFrames): DataFrame = art.dictFps match {
+    case Some(fps) => TextOps.stripAgainstDictInline(spark, docs, fps)
+      .filter(col("n_kept") > 0)
+    case None => TextOps.stripAgainstDict(spark, docs, art.dict)
   }
 
   /** Build all three artifacts from the EXISTING corpus — the offline
@@ -118,8 +141,7 @@ object IngestPipeline {
   def curateBatch(spark: SparkSession, batch: DataFrame,
       art: ArtifactFrames): DataFrame = {
     val quality = batch.filter(TextOps.isQuality(col("text")))
-    val stripped = TextOps.stripAgainstDict(spark,
-      quality.select("doc_id", "text"), art.dict)
+    val stripped = stripStage(spark, quality.select("doc_id", "text"), art)
     val textDup = NearDupStream
       .nearDupAgainstIndexFrame(spark, quality.select("doc_id", "text"),
         art.sig)

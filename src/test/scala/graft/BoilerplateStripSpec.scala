@@ -141,4 +141,69 @@ class BoilerplateStripSpec extends SparkSuite {
         assert(chunkFps.exists(dupFps), s"doc $id boilerplate w/o dup chunk")
     }
   }
+
+  test("inline strip expression equals the anti-join form (round-12 strip floor)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text")
+    // the REAL dictionary shape: >1-distinct-doc fps (the artifact
+    // builder's distinct-fp superset only strips MORE — use the strict
+    // dict so surviving text is non-trivial)
+    val dict = docs
+      .select(col("doc_id"),
+        call_function("graft_chunks", col("text"), lit(10)))
+      .groupBy(md5(col("chunk")).as("fp"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select("fp")
+    val joinForm = TextOps.stripAgainstDict(spark, docs, dict)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val fps = dict.collect().map(_.getString(0)).toSeq
+    val inline = TextOps.stripAgainstDictInline(spark, docs, fps)
+    // row membership: the inline form emits (null, 0) where the join
+    // form omits the doc; filtered, the two are row-for-row equal
+    val inlineKept = inline.filter(col("n_kept") > 0)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(joinForm.nonEmpty)
+    assert(inlineKept == joinForm)
+    // all-boiler docs: explicit (null, 0) rows, one per input doc
+    val total = docs.count()
+    assert(inline.count() == total)
+    val zeroRows = inline.filter(col("n_kept") === 0).collect()
+    zeroRows.foreach(r => assert(r.isNullAt(1), "0-kept doc must have null clean_text"))
+    assert(zeroRows.length == total - joinForm.size)
+  }
+
+  test("inline strip handles the synthetic edges (empty text, all-boiler doc)") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // doc 1: both chunks boiler; doc 2: partial survivor; doc 3: empty
+    // text (one "" chunk); doc 4: nothing in dict
+    val docs = Seq(
+      (1L, ("a " * 10).trim + " " + ("b " * 10).trim),
+      (2L, ("a " * 10).trim + " keep these words"),
+      (3L, ""),
+      (4L, "fresh text only")).toDF("doc_id", "text")
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val fps = Seq(md5hex(("a " * 10).trim), md5hex(("b " * 10).trim))
+    val got = TextOps.stripAgainstDictInline(spark, docs, fps)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, null, 0L),
+      (2L, "keep these words", 1L),
+      (3L, "", 1L), // empty text = one "" chunk, not in dict
+      (4L, "fresh text only", 1L)))
+    // and the join form agrees on its own row set
+    val joinForm = TextOps.stripAgainstDict(spark, docs,
+      fps.toDF("fp")).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(joinForm == Seq(
+      (2L, "keep these words", 1L),
+      (3L, "", 1L),
+      (4L, "fresh text only", 1L)))
+  }
 }
