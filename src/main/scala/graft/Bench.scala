@@ -69,7 +69,9 @@ object Bench {
     "mix_sample", "catalog_documents_quality", "semantic_dedup_audit",
     // round-12: the funnel composite was in Bench100x's probe set but
     // not here — one list for every scale artifact
-    "curation_funnel")
+    "curation_funnel",
+    // round-13: the integer-Lloyd IVF (the float rows' hash-green twin)
+    "ann_ivf_q8_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -835,6 +835,75 @@ object Oracles {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY dot DESC, vec_id) AS rank FROM pairs)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    // INTEGER-EXACT IVF (round-13): seeds = 16 smallest vec_ids, one
+    // unrolled Lloyd round with floor(s/n) integer centroids (empty
+    // cells keep seeds — the IvfPq cw1 convention), L2 argmin with
+    // (d2, cid) tie-break, nprobe=6 probe reusing the same assignment
+    // distances, integer-dot re-rank. Every stage integer or
+    // floor-of-exact-double — replayed end to end.
+    "ann_ivf_q8_topk" -> qx(
+      """, q8 AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x ->
+        |           CASE WHEN mx = 0 THEN 0
+        |                ELSE CAST(floor(CAST(x AS DOUBLE) * 127 / mx + 0.5) AS BIGINT)
+        |           END) AS q8
+        |  FROM (SELECT vec_id, embedding,
+        |               list_max(list_transform(embedding,
+        |                 x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |        FROM embeddings)
+        |), dims AS (
+        |  SELECT unnest(range(0, (SELECT MAX(len(embedding)) FROM embeddings))) AS pos
+        |), seeds AS (
+        |  SELECT vec_id AS cid, q8 AS cv FROM q8 ORDER BY vec_id LIMIT 16
+        |), a0 AS (
+        |  SELECT q8.vec_id, seeds.cid,
+        |         SUM((q8.q8[CAST(pos AS INT) + 1] - seeds.cv[CAST(pos AS INT) + 1])
+        |             * (q8.q8[CAST(pos AS INT) + 1] - seeds.cv[CAST(pos AS INT) + 1])) AS d2
+        |  FROM q8 CROSS JOIN seeds CROSS JOIN dims GROUP BY 1, 2
+        |), asg0 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM a0) WHERE rn = 1
+        |), stats AS (
+        |  SELECT cid, pos, SUM(q8.q8[CAST(pos AS INT) + 1]) AS s, COUNT(*) AS n
+        |  FROM asg0 JOIN q8 USING (vec_id) CROSS JOIN dims GROUP BY 1, 2
+        |), cw1 AS (
+        |  SELECT cid, list(CAST(floor(s / n) AS BIGINT) ORDER BY pos) AS cv
+        |  FROM stats GROUP BY cid
+        |), centroids AS (
+        |  SELECT seeds.cid, COALESCE(cw1.cv, seeds.cv) AS cv
+        |  FROM seeds LEFT JOIN cw1 ON seeds.cid = cw1.cid
+        |), a1 AS (
+        |  SELECT q8.vec_id, centroids.cid,
+        |         SUM((q8.q8[CAST(pos AS INT) + 1] - centroids.cv[CAST(pos AS INT) + 1])
+        |             * (q8.q8[CAST(pos AS INT) + 1] - centroids.cv[CAST(pos AS INT) + 1])) AS d2
+        |  FROM q8 CROSS JOIN centroids CROSS JOIN dims GROUP BY 1, 2
+        |), cells AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM a1) WHERE rn = 1
+        |), qp AS (
+        |  SELECT query_id, cid FROM (
+        |    SELECT vec_id AS query_id, cid,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM a1 WHERE vec_id < 5) WHERE rn <= 6
+        |), cand AS (
+        |  SELECT qp.query_id, cells.vec_id
+        |  FROM cells JOIN qp USING (cid) WHERE cells.vec_id <> qp.query_id
+        |), pairs AS (
+        |  SELECT cand.query_id, cand.vec_id,
+        |         CAST(SUM(a.q8[CAST(pos AS INT) + 1]
+        |                   * b.q8[CAST(pos AS INT) + 1]) AS BIGINT) AS dot
+        |  FROM cand
+        |  JOIN q8 a ON a.vec_id = cand.query_id
+        |  JOIN q8 b ON b.vec_id = cand.vec_id
+        |  CROSS JOIN dims GROUP BY 1, 2
+        |)""".stripMargin,
+      """SELECT query_id, vec_id, CAST(rank AS INT) AS rank, dot FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY dot DESC, vec_id) AS rank FROM pairs)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
     // the FLOAT-plane SRP LSH, hash-checked (round-12 item 3): the
     // seeded Gaussian planes are rendered below as double literals
     // (shortest-round-trip — re-parse is bit-exact), and every float

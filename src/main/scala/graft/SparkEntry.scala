@@ -171,6 +171,7 @@ object SparkEntry {
     "cosine_topk" -> (SimilarityOps.cosineTopk _),
     "ann_lsh_topk" -> (SimilarityOps.annLshTopk _),
     "ann_ivf_topk" -> (SimilarityOps.annIvfTopk _),
+    "ann_ivf_q8_topk" -> (SimilarityOps.annIvfQ8Topk _),
     "ann_ivf_probe" -> (SimilarityOps.annIvfProbeQuery _),
     "minhash_dedup" -> (SimilarityOps.minhashDedup _),
     "embedding_centroids" -> (SimilarityOps.embeddingCentroids _),

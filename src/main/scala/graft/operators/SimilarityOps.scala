@@ -775,6 +775,89 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** INTEGER-EXACT IVF top-k — the [[annIvfTopk]] algorithm with every
+    * float replaced by oracle-pinned integer arithmetic (round-12 item
+    * 3's hint made real: "the Lloyd rounds are deterministic-seeded —
+    * an integer-arithmetic variant may be fully oracle-expressible"):
+    *  - store/queries: the shared q8 quantization ([[q8Frame]]);
+    *  - seeds: the K = 16 smallest vec_ids (the [[pqCodebook]]
+    *    convention — xxhash64 seeding isn't DuckDB-reproducible);
+    *  - assignment: integer L2 argmin with total (d2, cid) tie-break;
+    *  - ONE unrolled Lloyd round: per-(cell, dim) integer SUM + COUNT
+    *    — order-independent, so partitioning can never shift the
+    *    result — and centroid = floor(s/n) in double (exact for
+    *    |s| < 2⁵², and the floor cannot cross an integer boundary:
+    *    the quotient is within (n−1)/n < 1 of the true value with
+    *    ~1e−16 relative rounding — both engines agree bit-for-bit,
+    *    where Spark's DIV truncation and DuckDB's // floor semantics
+    *    would DISAGREE on negative sums); empty cells keep their seed
+    *    (the IvfPqSql cw1 convention);
+    *  - probe: nprobe = 6 nearest centroids per query (same L2 +
+    *    tie-break), candidates from the cell equi-join, re-rank by the
+    *    integer q8 dot ([[annQ8Topk]]'s ranking).
+    * This makes ann_ivf_topk's float-Lloyd row the comparison twin of
+    * a FULLY hash-green IVF of the same shape — float IVF stays
+    * rows-only only because avg() float summation order is
+    * partition-dependent, not because the algorithm resists an oracle.
+    * The centroid build is Lloyd-train (model) work — memoized via
+    * localCheckpoint so the audited per-query plan is the probe: one
+    * cell-assignment scan + one candidate re-fetch. */
+  def annIvfQ8Topk(spark: SparkSession, sfDir: String): DataFrame = {
+    val K = 16
+    val nprobe = 6
+    val q8row = q8Frame(spark, sfDir)
+    def l2(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => coalesce((x - y) * (x - y), lit(0L))),
+      lit(0L), _ + _)
+    def assign(centroids: DataFrame): DataFrame =
+      q8row.crossJoin(broadcast(centroids))
+        .withColumn("d2", l2(col("q8"), col("cv")))
+        .groupBy("vec_id")
+        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+    val centroids = Memo.frame(spark, s"annIvfQ8Cent:$sfDir") {
+      val seeds = q8row.orderBy("vec_id").limit(K)
+        .select(col("vec_id").as("cid"), col("q8").as("cv"))
+      val refined = assign(seeds)
+        .join(q8row, Seq("vec_id"))
+        .select(col("cid"), posexplode(col("q8")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"),
+            floor(col("s").cast("double") / col("n")).cast("long").as("c")))),
+          e => e.getField("c")).as("cv1"))
+      seeds.join(refined, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cv1"), col("cv")).as("cv"))
+    }
+    val cells = assign(centroids)
+    val qRow = Memo.frame(spark, s"annIvfQ8Q:$sfDir")(
+      q8row.filter(col("vec_id") < 5))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(asc("d2"), asc("cid"))
+    val qprobe = qRow
+      .select(col("vec_id").as("query_id"), col("q8").as("qa"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2", l2(col("qa"), col("cv")))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nprobe)
+      .select("query_id", "qa", "cid")
+    val dotQ = aggregate(
+      zip_with(col("qa"), col("q8"), (x, y) => coalesce(x * y, lit(0L))),
+      lit(0L), _ + _)
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("dot"), asc("vec_id"))
+    cells.join(broadcast(qprobe), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(q8row, Seq("vec_id"))
+      .withColumn("dot", dotQ)
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id"),
+        col("rank").cast("int").as("rank"), col("dot"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Symmetric int8 quantization of the embedding store — the standard
     * ANN compression (4× smaller vectors, SIMD-friendly dot products):
     * q_i = trunc(127·v_i / max|v|) with the per-vector scale kept

@@ -158,6 +158,20 @@ class ExprsSpec extends SparkSuite {
     assert(row.isNullAt(4)) // unknown name -> NULL, not PENDING (§7.5)
   }
 
+  test("ann_ivf_q8_topk recall vs exhaustive q8 search at sf0.001") {
+    // the hash-green integer-Lloyd IVF (round-13): same K/nprobe shape
+    // as the float path, so it must buy comparable recall — this pins
+    // the QUALITY contract the oracle's value-equality cannot see
+    val s = spark
+    import s.implicits._
+    val brute = SimilarityOps.annQ8Topk(spark, sf)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = SimilarityOps.annIvfQ8Topk(spark, sf)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
   test("ann_ivf_topk recall vs brute force is at least 0.6 (2 Lloyd rounds)") {
     val s = spark
     import s.implicits._

@@ -53,6 +53,24 @@ class ScaleAuditSpec extends SparkSuite {
     auditAll("/tmp/sfx10h")
   }
 
+  test("regime dispatcher picks prefix-df on the open-vocabulary hard fixture") {
+    assume(present("/tmp/sfx10h"), "/tmp/sfx10h absent — run graft.BenchHard first")
+    // The hard fixture is the open-vocabulary corpus shape the
+    // dispatcher docs reference (vocabulary grows with the corpus:
+    // CellProbe universe 272k → 2.72M at 10×h → 100×h, Σdf²/doc
+    // scale-invariant at ~558, far under the 500k saturation cut) —
+    // the dispatcher must route the HEALTHY prefix-df regime, not the
+    // banded saturation path the closed-vocabulary plain fixture
+    // needs at 100× (round-12 item 8's second-corpus check).
+    val dispatched = graft.operators.TextOps.ngramJaccard(spark, "/tmp/sfx10h")
+      .queryExecution.analyzed.canonicalized
+    val prefixDf = graft.operators.TextOps
+      .ngramJaccardPrefixDf(spark, "/tmp/sfx10h")
+      .queryExecution.analyzed.canonicalized
+    assert(dispatched == prefixDf,
+      "expected the prefix-df regime on the open-vocab hard fixture")
+  }
+
   test("heavy-line plans hold their budgets at the 100x fixtures (opt-in)") {
     assume(sys.env.get("GRAFT_SCALE_AUDIT_FULL").contains("1"),
       "set GRAFT_SCALE_AUDIT_FULL=1 to audit the 100x fixtures")
