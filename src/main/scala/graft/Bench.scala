@@ -71,7 +71,9 @@ object Bench {
     // not here — one list for every scale artifact
     "curation_funnel",
     // round-13: the integer-Lloyd IVF (the float rows' hash-green twin)
-    "ann_ivf_q8_topk")
+    // + the wide-signature simhash (the fixed-bucket-universe
+    // mitigation, measured at scale in Bench100x/BenchHard)
+    "ann_ivf_q8_topk", "simhash_dedup_wide")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -71,6 +71,20 @@ object CellProbe {
         sum(col("count") * col("count")).as("sum_sq")).head()
       println(s"CELLPROBE $dir simhash-band-buckets: n=${sb.getLong(0)} " +
         s"max=${sb.getLong(1)} p50=${sb.get(2)} sumSq=${sb.getLong(3)}")
+      // the WIDE 126-bit form's (source, band, 14-bit chunk) space —
+      // the round-13 mitigation measurement: the same corpus's Σc²
+      // under the 2⁷× larger chunk universe
+      val wideB = graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          posexplode(call_function("graft_polysimhash_wide", col("text"))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+        .groupBy("source", "band", "chunk").count()
+      val wb = wideB.agg(
+        count(lit(1)).as("n_buckets"), max("count").as("max_bucket"),
+        expr("percentile_approx(count, 0.5)").as("p50"),
+        sum(col("count") * col("count")).as("sum_sq")).head()
+      println(s"CELLPROBE $dir widesimhash-band-buckets: n=${wb.getLong(0)} " +
+        s"max=${wb.getLong(1)} p50=${wb.get(2)} sumSq=${wb.getLong(3)}")
     }
     spark.stop()
   }

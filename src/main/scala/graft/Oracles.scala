@@ -2700,6 +2700,54 @@ object Oracles {
           |JOIN documents sb ON pest.b_id = sb.doc_id
           |WHERE est_jaccard_milli >= 500
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      // the WIDE 126-bit poly simhash (round-13): same wh token-hash
+      // CTE, per-bit votes derived from one token hash via
+      // ((h*(40503*(2b+3)) + b) % P) & 1 (multipliers <= ~1e7: no
+      // BIGINT overflow, nonneg operands so % agrees across engines),
+      // 9 chunks of 14 bits, radius <= 8 over the chunk-partitioned
+      // hamming.
+      "simhash_dedup_wide" -> qx(
+        """, wh AS (
+          |  SELECT doc_id, source,
+          |         list_transform(string_split(text, ' '),
+          |           w -> CASE WHEN length(w) = 0 THEN 0 ELSE list_reduce(
+          |                  list_transform(range(1, length(w)+1),
+          |                    i -> CAST(unicode(substr(w, CAST(i AS INT), 1)) AS BIGINT)),
+          |                  (a, b) -> (a * 31 + b) % 1000000007) END) AS wh
+          |  FROM documents
+          |), bits AS (
+          |  SELECT doc_id, source,
+          |         list_transform(range(126), b ->
+          |           CASE WHEN 2 * list_sum(list_transform(wh,
+          |                  h -> ((h * (40503 * (2 * CAST(b AS BIGINT) + 3))
+          |                         + CAST(b AS BIGINT)) % 1000000007) & 1)) > len(wh)
+          |                THEN 1 ELSE 0 END) AS bitv
+          |  FROM wh
+          |), chx AS (
+          |  SELECT doc_id, source,
+          |         list_transform(range(9), c ->
+          |           list_sum(list_transform(range(14), j ->
+          |             CASE WHEN bitv[CAST(c AS INT) * 14 + CAST(j AS INT) + 1] = 1
+          |                  THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END))) AS chunks
+          |  FROM bits
+          |), banded AS (
+          |  SELECT doc_id, source, chunks, unnest(range(9)) AS band FROM chx
+          |), pairs AS (
+          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+          |                  a.chunks AS ca, b.chunks AS cb
+          |  FROM banded a JOIN banded b
+          |    ON a.source = b.source AND a.band = b.band
+          |   AND a.chunks[CAST(a.band AS INT) + 1] = b.chunks[CAST(b.band AS INT) + 1]
+          |   AND a.doc_id < b.doc_id
+          |), hams AS (
+          |  SELECT a_id, b_id,
+          |         CAST(list_sum(list_transform(range(9), i ->
+          |           bit_count(xor(ca[CAST(i AS INT) + 1],
+          |                         cb[CAST(i AS INT) + 1])))) AS INT) AS hamming
+          |  FROM pairs
+          |)""".stripMargin,
+        """SELECT a_id, b_id, hamming FROM hams WHERE hamming <= 8
+          |ORDER BY a_id, b_id""".stripMargin),
       "simhash_dedup_poly" -> qx(
         """, wh AS (
           |  SELECT doc_id, source,

@@ -304,9 +304,10 @@ object Bench100x {
     * dedup + stored-index probes whose scaling claim is "batch-sized,
     * not corpus-sized". */
   private[graft] val top: Seq[String] = Seq(
-    // fuzzy-dedup family (LSH self-joins + PPJoin verify)
-    "dedup_exact", "minhash_dedup", "simhash_dedup", "ngram_jaccard",
-    "fuzzy_dedup_canonical",
+    // fuzzy-dedup family (LSH self-joins + PPJoin verify); the wide
+    // simhash rides along to measure the fixed-universe mitigation
+    "dedup_exact", "minhash_dedup", "simhash_dedup", "simhash_dedup_wide",
+    "ngram_jaccard", "fuzzy_dedup_canonical",
     // embedding/semantic family
     "embedding_dedup", "semantic_dedup_t95",
     // incremental stored-index trilogy

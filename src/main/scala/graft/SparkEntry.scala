@@ -180,6 +180,7 @@ object SparkEntry {
     // oracle-checkable twins over the DuckDB-reproducible poly hash
     "minhash_dedup_poly" -> (SimilarityOps.minhashDedupPoly _),
     "simhash_dedup_poly" -> (SimilarityOps.simhashDedupPoly _),
+    "simhash_dedup_wide" -> (SimilarityOps.simhashDedupWide _),
     "fuzzy_dedup_canonical" -> (GraphOps.fuzzyDedupCanonical _),
     "fuzzy_dedup_stats" -> (GraphOps.fuzzyDedupStats _),
     "fuzzy_dedup_audit" -> (GraphOps.fuzzyDedupAudit _),

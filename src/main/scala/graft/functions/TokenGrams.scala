@@ -627,6 +627,92 @@ case class PolySimHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** WIDE (126-bit) polynomial SimHash: `graft_polysimhash_wide(text)` →
+  * array<bigint> of NINE 14-bit chunk values (bits 14c…14c+13 of the
+  * signature; hamming(a, b) = Σ_c bit_count(a_c xor b_c) since chunks
+  * partition the bits).
+  *
+  * Purpose (round-13): the 64-bit simhash's pigeonhole bucket universe
+  * is FIXED at 9 bands × ≤2⁷ chunk values × |sources| — CellProbe
+  * measured Σc² growing 53× per 10× data on the hard scale fixture
+  * even with linear output, because candidate enumeration in a fixed
+  * key space is inherently quadratic. Widening the signature is THE
+  * structural mitigation: 9 chunks of 14 bits give a 2⁷× larger chunk
+  * universe at the same ≤8 Hamming radius guarantee (9 disjoint chunks
+  * cover all 126 bits, so radius-8 pairs still collide on ≥1 chunk —
+  * pigeonhole exactly tight at r+1 = 9), collapsing bucket populations
+  * back to near-singleton at corpus scale. Note the RADIUS SEMANTICS
+  * shift: ≤8 of 126 bits (~6.3%) is a tighter similarity gate than ≤8
+  * of 64 (12.5%) — this is the scale CONFIGURATION of the operator,
+  * not a drop-in replacement.
+  *
+  * Bit construction keeps the [[PolySimHash]] one-definition-two-
+  * dialects contract: token hash h = the same 31-poly codepoint fold
+  * mod 1e9+7, bit b of the signature votes with
+  * ((h·(40503·(2b+3)) + b) mod 1e9+7) & 1 — derived bits from one
+  * token hash (multipliers ≤ ~1e7, so h·m ≤ ~1e16: no 64-bit
+  * overflow, plain % on nonnegative operands agrees across engines).
+  * Tokens colliding in h collide in every bit — the same accepted
+  * property the 30-bit poly twin has.
+  */
+case class PolySimHashWide(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+
+  private val Prime = 1000000007L
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_polysimhash_wide expects string input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_polysimhash_wide"
+
+  override def nullSafeEval(t: Any): Any =
+    compute(t.asInstanceOf[UTF8String])
+
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val counts = new Array[Int](126)
+    var i = 0
+    while (i < toks.length) {
+      val s = toks(i)
+      var h = 0L
+      var k = 0
+      while (k < s.length) { // codepoint fold, same as PolySimHash
+        val cp = s.codePointAt(k)
+        h = ((h * 31 + cp) % Prime + Prime) % Prime
+        k += Character.charCount(cp)
+      }
+      var b = 0
+      while (b < 126) {
+        if (((h * (40503L * (2L * b + 3)) + b) % Prime & 1L) == 1L)
+          counts(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    val chunks = new Array[Long](9)
+    var b = 0
+    while (b < 126) {
+      if (2L * counts(b) > toks.length) chunks(b / 14) |= 1L << (b % 14)
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(chunks)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val self = ctx.addReferenceObj("polysimhashwide", this,
+        classOf[PolySimHashWide].getName)
+      s"${ev.value} = $self.compute($t);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Scalar array form: `graft_shingles(text, n)` → distinct n-token
   * shingles. Stays inside whole-stage codegen (single call per row into
   * the flat Scala pass — no per-element interpreted lambda).

@@ -1811,6 +1811,48 @@ object SimilarityOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** The WIDE-signature simhash dedup — the measured mitigation for the
+    * fixed-bucket-universe caveat BASELINE.md round-13 records: the
+    * 64-bit form's (source, band, 7-bit chunk) key space is fixed at
+    * ~25.6k buckets, so CellProbe measured candidate mass Σc² growing
+    * 53× per 10× data on the hard fixture even with LINEAR output.
+    * [[graft.functions.PolySimHashWide]]'s 126-bit signature keeps the
+    * exact ≤8-Hamming pigeonhole guarantee (9 disjoint 14-bit chunks =
+    * r+1 bands, exactly tight) while multiplying the chunk universe by
+    * 2⁷ — bucket populations collapse toward singletons and the
+    * banded self-join is candidate-LINEAR at the scales where the
+    * 64-bit form needs its adaptive tiling. No tiling here — the wider
+    * key space IS the load-spreading. Hamming rides the carried chunk
+    * arrays (Σ bit_count per chunk — chunks partition the bits), so
+    * the plan is two banded scans and nothing else. Hash-green: the
+    * poly bit construction replays in DuckDB. */
+  def simhashDedupWide(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        call_function("graft_polysimhash_wide", col("text")).as("chunks"))
+    val banded = sh
+      .select(col("doc_id"), col("source"), col("chunks"),
+        posexplode(col("chunks")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val ham = aggregate(
+      zip_with(col("a.chunks"), col("b.chunks"),
+        (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), _ + _)
+    banded.alias("a").join(banded.alias("b"),
+        col("a.source") === col("b.source") &&
+        col("a.band") === col("b.band") &&
+        col("a.chunk") === col("b.chunk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        ham.as("hamming"))
+      .filter(col("hamming") <= 8)
+      .distinct()
+      .select(col("a_id"), col("b_id"),
+        col("hamming").cast("int").as("hamming"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** The composed nested-aggregate HOF form of the poly simhash —
     * kept as the bit-identity comparison pair (PolyDedupSpec),
     * mirroring the DuckDB oracle step for step. Returns (doc_id,

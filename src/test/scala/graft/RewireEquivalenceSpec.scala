@@ -88,6 +88,32 @@ class RewireEquivalenceSpec extends SparkSuite {
     assert(forced == untiled)
   }
 
+  test("simhash_dedup_wide banded equals naive all-pairs (9-chunk pigeonhole)") {
+    // the 126-bit wide form's exactness claim: 9 disjoint 14-bit
+    // chunks are exactly r+1 bands for radius 8, so every qualifying
+    // pair collides on >=1 chunk — banded output ≡ the quadratic
+    // all-pairs join over the same signatures
+    GraftExtensions.register(spark)
+    val sh = Tables.documents(spark, sf01)
+      .select(col("doc_id"), col("source"),
+        call_function("graft_polysimhash_wide", col("text")).as("chunks"))
+    val ham = aggregate(
+      zip_with(col("a.chunks"), col("b.chunks"),
+        (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), _ + _)
+    val naive = sh.alias("a").join(sh.alias("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        ham.as("hamming"))
+      .filter(col("hamming") <= 8)
+      .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
+      .orderBy("a_id", "b_id")
+    val banded = SimilarityOps.simhashDedupWide(spark, sf01)
+    val got = rows(banded)
+    assert(got.nonEmpty)
+    assert(got == rows(naive))
+  }
+
   test("simhash pair join is tile-invariant (forced tiles = 4 vs 1)") {
     // At sf0.01 the adaptive simhash fanout computes tiles = 1 (the
     // measured bucket histogram is tiny), so the dispatch-path test
