@@ -1821,30 +1821,81 @@ object SimilarityOps {
     * r+1 bands, exactly tight) while multiplying the chunk universe by
     * 2⁷ — bucket populations collapse toward singletons and the
     * banded self-join is candidate-LINEAR at the scales where the
-    * 64-bit form needs its adaptive tiling. No tiling here — the wider
-    * key space IS the load-spreading. Hamming rides the carried chunk
-    * arrays (Σ bit_count per chunk — chunks partition the bits), so
-    * the plan is two banded scans and nothing else. Hash-green: the
-    * poly bit construction replays in DuckDB. */
-  def simhashDedupWide(spark: SparkSession, sfDir: String): DataFrame = {
+    * 64-bit form's fixed universe saturates diffusely. HOT clusters
+    * (genuine twin groups, closed-vocabulary profile collisions) are a
+    * different failure mode that key-space width cannot fix — the
+    * same adaptive tiling as the narrow form handles those (see
+    * [[simhashWideTileFanout]] for the measurement that forced it).
+    * Hamming rides the carried chunk arrays (Σ bit_count per chunk —
+    * chunks partition the bits), so the plan is two banded scans and
+    * nothing else. Hash-green: the poly bit construction replays in
+    * DuckDB. */
+  def simhashDedupWide(spark: SparkSession, sfDir: String): DataFrame =
+    simhashWidePairsTiled(simhashWideBandedFrame(spark, sfDir),
+      simhashWideTileFanout(spark, sfDir))
+
+  private[graft] def simhashWideBandedFrame(spark: SparkSession,
+      sfDir: String): DataFrame = {
     graft.GraftExtensions.register(spark)
-    val sh = Tables.documents(spark, sfDir)
+    Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         call_function("graft_polysimhash_wide", col("text")).as("chunks"))
-    val banded = sh
       .select(col("doc_id"), col("source"), col("chunks"),
         posexplode(col("chunks")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+  }
+
+  /** Adaptive tile fanout for the WIDE banded self-join — the same
+    * straggler-bound sizing as [[simhashTileFanout]]. A first cut
+    * shipped the wide form untiled on the theory that the 2⁷× larger
+    * chunk universe IS the load-spreading — the plain 100× fixture
+    * falsified that within the hour: its ~100-replica hamming-0 twin
+    * clusters (and a 31-word closed vocabulary's few distinct majority
+    * profiles) concentrate in hot buckets REGARDLESS of how wide the
+    * key space is, and the untiled join serialized their c²
+    * enumeration (measured: the 100× probe pass went 220 → 695 s).
+    * Wide universe fixes DIFFUSE population growth; tiling fixes HOT
+    * CLUSTERS — a corpus can need both, so both forms carry both. */
+  private def simhashWideTileFanout(spark: SparkSession, sfDir: String): Int =
+    Memo.cached(spark, s"simhashWideTileFanout:$sfDir") {
+      val r = simhashWideBandedFrame(spark, sfDir)
+        .groupBy("source", "band", "chunk").count()
+        .agg(max("count"), sum(col("count") * col("count"))).head()
+      val maxC = r.getLong(0).toDouble
+      val sumSq = math.max(1L, r.getLong(1)).toDouble
+      val cores = spark.sparkContext.defaultParallelism.toDouble
+      val t = math.ceil(math.sqrt(cores * maxC * maxC / sumSq)).toInt
+      math.min(16, math.max(1, t))
+    }
+
+  /** [[simhashPairsTiled]] for the wide 9-chunk signature: identical
+    * tile routing (every pair meets in exactly one (bucket, ti, tj)
+    * tile — RewireEquivalenceSpec pins tiled ≡ untiled ≡ naive
+    * all-pairs), hamming = Σ per-chunk popcount of the carried chunk
+    * arrays (chunks partition the bits). */
+  private[graft] def simhashWidePairsTiled(banded: DataFrame,
+      tiles: Int): DataFrame = {
+    val g = pmod(xxhash64(col("doc_id")), lit(tiles)).cast("int")
+    val left = banded.withColumn("g", g)
+      .select(col("doc_id"), col("source"), col("chunks"), col("band"),
+        col("chunk"), col("g").as("ti"),
+        explode(sequence(col("g"), lit(tiles - 1))).as("tj"))
+    val right = banded.withColumn("g", g)
+      .select(col("doc_id"), col("source"), col("chunks"), col("band"),
+        col("chunk"), explode(sequence(lit(0), col("g"))).as("ti"),
+        col("g").as("tj"))
     val ham = aggregate(
       zip_with(col("a.chunks"), col("b.chunks"),
         (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
       lit(0L), _ + _)
-    banded.alias("a").join(banded.alias("b"),
+    left.alias("a").join(right.alias("b"),
         col("a.source") === col("b.source") &&
         col("a.band") === col("b.band") &&
         col("a.chunk") === col("b.chunk") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.ti") === col("b.ti") && col("a.tj") === col("b.tj") &&
+        (col("a.ti") =!= col("a.tj") || col("a.doc_id") < col("b.doc_id")))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"),
         ham.as("hamming"))
       .filter(col("hamming") <= 8)
       .distinct()

@@ -112,6 +112,10 @@ class RewireEquivalenceSpec extends SparkSuite {
     val got = rows(banded)
     assert(got.nonEmpty)
     assert(got == rows(naive))
+    // and the wide tile routing, forced past the adaptive pick
+    val wideBanded = SimilarityOps.simhashWideBandedFrame(spark, sf01)
+    val forced = rows(SimilarityOps.simhashWidePairsTiled(wideBanded, 4))
+    assert(forced == got)
   }
 
   test("simhash pair join is tile-invariant (forced tiles = 4 vs 1)") {

@@ -26,8 +26,8 @@ class ScaleAuditSpec extends SparkSuite {
   /** The verdict's heavy lines: every query the 100× adjudications
     * name, i.e. where scale risk lives. */
   private val heavy = Seq(
-    "ngram_jaccard", "minhash_dedup", "simhash_dedup", "embedding_dedup",
-    "semantic_dedup_t95", "dedup_clusters_incremental",
+    "ngram_jaccard", "minhash_dedup", "simhash_dedup", "simhash_dedup_wide",
+    "embedding_dedup", "semantic_dedup_t95", "dedup_clusters_incremental",
     "fuzzy_clusters_incremental", "semantic_clusters_incremental")
 
   private def auditAll(dir: String): Unit =
