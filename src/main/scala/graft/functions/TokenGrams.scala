@@ -822,3 +822,71 @@ object CompressionRatio {
   private val scratch: ThreadLocal[Array[Byte]] =
     ThreadLocal.withInitial(() => new Array[Byte](8192))
 }
+
+/** The 16-plane integer-lattice band signature as ONE fused native
+  * loop: `graft_latticebands(q8)` → array<bigint> of the 4 band keys
+  * (4 sign bits each, MSB-first fold — bit-identical to the HOF
+  * formulation it replaces, which lives on as
+  * SimilarityOps.latticeBandedOfHof for the bit-identity spec).
+  *
+  * Why native (the PqKernel arc all over again): the HOF form ran
+  * transform(aggregate(zip_with(sequence…))) — interpreted lambda
+  * calls plus a materialized 64-element index array PER PLANE PER ROW
+  * (16× per row), which made signature derivation the hot spot of
+  * ann_q8_lsh_topk and the IVF-PQ family's banded scans (~1 s of the
+  * 1.05 s sf0.1 line). The fused loop is 16·dim multiply-adds per row
+  * with zero allocation beyond the 4-long result.
+  *
+  * Plane element = Weyl lattice (p·2654435761 + d·40503) % 1001 − 500
+  * (nonnegative operands, so % agrees across engines — the DuckDB
+  * oracle replays the same arithmetic). Null q8 elements contribute 0,
+  * matching the HOF's coalesce.
+  */
+case class LatticeBands(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_latticebands expects array<bigint> q8 input, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_latticebands"
+
+  override def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  def compute(q8: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = q8.numElements()
+    val keys = new Array[Long](4)
+    var p = 0
+    while (p < 16) {
+      var dot = 0L
+      var d = 0
+      while (d < n) {
+        if (!q8.isNullAt(d)) {
+          val plane = (p * 2654435761L + d * 40503L) % 1001L - 500L
+          dot += q8.getLong(d) * plane
+        }
+        d += 1
+      }
+      keys(p / 4) = keys(p / 4) * 2L + (if (dot >= 0) 1L else 0L)
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val self = ctx.addReferenceObj("latticebands", this,
+        classOf[LatticeBands].getName)
+      s"${ev.value} = $self.compute($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

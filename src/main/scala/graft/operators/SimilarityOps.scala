@@ -942,7 +942,24 @@ object SimilarityOps {
     * and the IVF-PQ family below. Plane element = Weyl lattice
     * (p·2654435761 + d·40503) % 1001 − 500 (nonneg operands: % == pmod
     * in both engines). */
-  private def latticeBandedOf(q8row: DataFrame): DataFrame = {
+  private[graft] def latticeBandedOf(q8row: DataFrame): DataFrame = {
+    // native fused-loop signature (graft_latticebands) — the HOF
+    // formulation below stays as the bit-identity comparison pair
+    // (PqProbe/IvfPqSpec discipline): the interpreted
+    // transform(aggregate(zip_with(sequence…))) chain plus a
+    // materialized 64-element index array per plane per row was the
+    // measured hot spot of the whole integer-LSH family (~1 s of
+    // ann_q8_lsh_topk's 1.05 s sf0.1 line).
+    graft.GraftExtensions.register(q8row.sparkSession)
+    q8row.select(col("vec_id"),
+      posexplode(call_function("graft_latticebands", col("q8")))
+        .as(Seq("band", "key")))
+  }
+
+  /** The pre-native HOF formulation of [[latticeBandedOf]] — kept as
+    * the independent comparison implementation; RewireEquivalenceSpec
+    * pins native ≡ HOF bit-identity on the fixture store. */
+  private[graft] def latticeBandedOfHof(q8row: DataFrame): DataFrame = {
     val P = 16
     val bands = 4
     val r = 4
@@ -1556,7 +1573,7 @@ object SimilarityOps {
 
   /** The bare (vec_id, q8) store projection — [[PcaOps]]' input; same
     * native signature expression as the whole q8 family. */
-  private[operators] def q8Frame(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def q8Frame(spark: SparkSession, sfDir: String): DataFrame =
     q8CellOf(spark, Tables.embeddings(spark, sfDir)).select("vec_id", "q8")
 
   /** [[q8CellFrame]] over any (vec_id, embedding) frame — index build

@@ -131,6 +131,20 @@ class RewireEquivalenceSpec extends SparkSuite {
     assert(forced == untiled)
   }
 
+  test("lattice band signature: native fused loop ≡ HOF formulation") {
+    // round-13: graft_latticebands replaced the interpreted
+    // transform(aggregate(zip_with(sequence…))) chain in the whole
+    // integer-LSH/IVF-PQ family's banded scans — the swap is only
+    // sound if the 4 band keys are bit-identical per vector
+    val q8 = SimilarityOps.q8Frame(spark, sf01)
+    val native = SimilarityOps.latticeBandedOf(q8)
+      .orderBy("vec_id", "band").collect().map(_.toSeq).toSeq
+    val hof = SimilarityOps.latticeBandedOfHof(q8)
+      .orderBy("vec_id", "band").collect().map(_.toSeq).toSeq
+    assert(hof.nonEmpty)
+    assert(native == hof)
+  }
+
   test("ngram_jaccard PPJoin equals naive token self-join at sf0.01") {
     val shingleExpr = expr(
       """array_distinct(transform(
