@@ -70,13 +70,18 @@ case class StripDict(text: Expression, fps: Expression, width: Int)
   @transient private lazy val dict: java.util.HashSet[UTF8String] = {
     val arr = fps.eval(null)
       .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val s = new java.util.HashSet[UTF8String](math.max(16, arr.numElements() * 2))
-    var i = 0
-    while (i < arr.numElements()) {
-      s.add(arr.getUTF8String(i))
-      i += 1
+    // a NULL dictionary literal strips nothing (empty set), matching
+    // the join form's left-anti against an empty frame
+    if (arr == null) new java.util.HashSet[UTF8String]()
+    else {
+      val s = new java.util.HashSet[UTF8String](math.max(16, arr.numElements() * 2))
+      var i = 0
+      while (i < arr.numElements()) {
+        s.add(arr.getUTF8String(i))
+        i += 1
+      }
+      s
     }
-    s
   }
 
   private val hexDigits = "0123456789abcdef".toCharArray
