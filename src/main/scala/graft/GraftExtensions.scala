@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CompressionRatio, CosineSimilarity, LatticeBands, MinHashSig, PolyMinHashSig, PolySimHash, PolySimHashWide, Q8CellSig, Q8Dot, Q8MomentsGen, RollingFp, SigMatchCount, SimHash64, SortedInterCount, StripDict, TokenChunksGen, TokenChunksPosGen, TokenNGramsGen, TokenShingles}
+import graft.functions.{CompressionRatio, CosineSimilarity, LatticeBands, MinHashSig, PolyMinHashSig, PolySimHash, PolySimHashWide, Q8CellSig, Q8Dot, Q8MomentsGen, RollingFp, SigMatchCount, SimHash64, SortedInterCount, SrpBands, StripDict, TokenChunksGen, TokenChunksPosGen, TokenNGramsGen, TokenShingles}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for the SQL surface. Use either at session build time
@@ -94,6 +94,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_polysimhash"),
       new ExpressionInfo(classOf[PolySimHash].getName, "graft_polysimhash"),
       (children: Seq[Expression]) => PolySimHash(children(0))),
+    (FunctionIdentifier("graft_srpbands"),
+      new ExpressionInfo(classOf[SrpBands].getName, "graft_srpbands"),
+      (children: Seq[Expression]) => SrpBands(children(0), children(1))),
     (FunctionIdentifier("graft_latticebands"),
       new ExpressionInfo(classOf[LatticeBands].getName, "graft_latticebands"),
       (children: Seq[Expression]) => LatticeBands(children(0))),

@@ -890,3 +890,88 @@ case class LatticeBands(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Float SRP (sign-random-projection) bucket keys as ONE fused native
+  * loop: `graft_srpbands(v, planes)` → array<bigint> of the 8 table
+  * keys (4 sign bits each, MSB-first fold — bit-identical to the HOF
+  * formulation, which lives on as SimilarityOps.srpBandedOfHof for the
+  * bit-identity spec; the DuckDB oracle replays the same planes as
+  * literals with the same sequential dot, so the swap leaves the
+  * ann_lsh_topk hash untouched).
+  *
+  * Same story as [[LatticeBands]]: transform(typedlit(planes),
+  * p -> aggregate(zip_with(p, v, …))) is interpreted lambda evaluation
+  * per element — 32 planes × 64 products per row through the
+  * expression interpreter. The fused loop is 32·dim multiply-adds in
+  * index order (the accumulation ORDER is the bit-identity contract:
+  * IEEE doubles, same sequence ⇒ same bits ⇒ same signs).
+  *
+  * `planes` must be a FOLDABLE array<array<double>> literal — it is
+  * baked into the plan (the typedlit ships once per stage in the task
+  * binary) and materialized once per deserialized expression instance.
+  */
+case class SrpBands(vec: Expression, planes: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+
+  override def left: Expression = vec
+  override def right: Expression = planes
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, planes.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _))
+          if planes.foldable => TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckFailure(
+          "graft_srpbands expects a FOLDABLE planes literal")
+      case (v, p) => TypeCheckResult.TypeCheckFailure(
+        s"graft_srpbands expects (array<double>, array<array<double>>), " +
+          s"got (${v.simpleString}, ${p.simpleString})")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_srpbands"
+
+  // plane matrix decoded once per (deserialized) expression instance
+  @transient private lazy val planeRows: Array[Array[Double]] = {
+    val arr = planes.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    Array.tabulate(arr.numElements()) { p =>
+      arr.getArray(p).toDoubleArray()
+    }
+  }
+
+  override def nullSafeEval(v: Any, p: Any): Any =
+    compute(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  def compute(v: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val nP = planeRows.length
+    val keys = new Array[Long](nP / 4)
+    var p = 0
+    while (p < nP) {
+      val plane = planeRows(p)
+      val n = math.min(plane.length, v.numElements())
+      var dot = 0.0
+      var d = 0
+      while (d < n) {
+        if (!v.isNullAt(d)) dot += plane(d) * v.getDouble(d)
+        d += 1
+      }
+      keys(p / 4) = keys(p / 4) * 2L + (if (dot >= 0) 1L else 0L)
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, _) => {
+      val self = ctx.addReferenceObj("srpbands", this, classOf[SrpBands].getName)
+      s"${ev.value} = $self.compute($v);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(vec = newLeft, planes = newRight)
+}

@@ -81,21 +81,19 @@ object SimilarityOps {
 
   def annLshTopk(spark: SparkSession, sfDir: String): DataFrame = {
     graft.GraftExtensions.register(spark)
-    val nTables = LshTables
-    val bitsPerTable = LshBitsPerTable
-    // Deterministic hyperplanes, shipped as a literal array-of-arrays
-    // (tiny) — broadcast by value with the plan.
-    val planes: Seq[Seq[Double]] = LshPlanes
-    def signBits(v: Column): Column =
-      transform(typedlit(planes), plane => when(dot(plane, v) >= 0, 1).otherwise(0))
-    def buckets(bits: Column): Column =
-      transform(sequence(lit(0), lit(nTables - 1)),
-        t => bitsToLong(slice(bits, t * bitsPerTable + 1, lit(bitsPerTable))))
+    // native fused-loop SRP signature (graft_srpbands) — the HOF
+    // formulation lives on as [[srpBucketsHof]] for the bit-identity
+    // spec; same planes, same sequential accumulation order, so signs
+    // (hence buckets, hence the oracle hash) are unchanged. The HOF
+    // chain was interpreted lambda evaluation per element — 32 planes
+    // × 64 products per row through the expression interpreter, the
+    // query's measured hot spot (the LatticeBands story on the float
+    // plane).
+    def srpBuckets(v: Column): Column =
+      call_function("graft_srpbands", v, typedlit(LshPlanes))
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      // materialize the 32 plane signs once per row; buckets only slice
-      .withColumn("bits", signBits(col("v")))
-      .select(col("vec_id"), col("v"), posexplode(buckets(col("bits"))))
+      .select(col("vec_id"), col("v"), posexplode(srpBuckets(col("v"))))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
     // candidate dedup on (query_id, vec_id) ids only, vectors joined
     // back after — the distinct never shuffles 64-double arrays
@@ -110,8 +108,7 @@ object SimilarityOps {
     val qraw = Memo.frame(spark, s"annLshQ:$sfDir")(
       vecs.filter(col("vec_id") < 5))
     val q = qraw
-      .withColumn("bits", signBits(col("v")))
-      .select(col("vec_id"), col("v"), posexplode(buckets(col("bits"))))
+      .select(col("vec_id"), col("v"), posexplode(srpBuckets(col("v"))))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("table"), col("bucket"))
@@ -131,6 +128,26 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id"), col("rank").cast("int").as("rank"),
         round(col("cos") * 10000).cast("long").as("cos_e4"))
       .orderBy("query_id", "rank")
+  }
+
+  /** The pre-native HOF formulation of [[annLshTopk]]'s SRP bucketing
+    * over a (vec_id, v: array<double>) frame — kept as the independent
+    * comparison implementation; RewireEquivalenceSpec pins native ≡
+    * HOF bit-identity on the fixture store (same planes, same
+    * sequential double accumulation per the IEEE-order contract the
+    * DuckDB oracle also relies on). */
+  private[graft] def srpBucketsHof(vecs: DataFrame): DataFrame = {
+    def signBits(v: Column): Column =
+      transform(typedlit(LshPlanes), plane =>
+        when(dot(plane, v) >= 0, 1).otherwise(0))
+    def buckets(bits: Column): Column =
+      transform(sequence(lit(0), lit(LshTables - 1)),
+        t => bitsToLong(slice(bits, t * LshBitsPerTable + 1,
+          lit(LshBitsPerTable))))
+    vecs
+      .withColumn("bits", signBits(col("v")))
+      .select(col("vec_id"), posexplode(buckets(col("bits"))))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
   }
 
   /** ANN via IVF (inverted-file) coarse quantization — the other

@@ -145,6 +145,25 @@ class RewireEquivalenceSpec extends SparkSuite {
     assert(native == hof)
   }
 
+  test("SRP bucket signature: native fused loop ≡ HOF formulation") {
+    // the float-plane analog of the lattice test above — signs depend
+    // on IEEE accumulation ORDER, so the native loop must reproduce
+    // the HOF's sequential zip_with fold bit-for-bit
+    GraftExtensions.register(spark)
+    val vecs = Tables.embeddings(spark, sf01)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val native = vecs
+      .select(col("vec_id"),
+        posexplode(call_function("graft_srpbands", col("v"),
+          typedlit(SimilarityOps.LshPlanes))))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+      .orderBy("vec_id", "table").collect().map(_.toSeq).toSeq
+    val hof = SimilarityOps.srpBucketsHof(vecs)
+      .orderBy("vec_id", "table").collect().map(_.toSeq).toSeq
+    assert(hof.nonEmpty)
+    assert(native == hof)
+  }
+
   test("ngram_jaccard PPJoin equals naive token self-join at sf0.01") {
     val shingleExpr = expr(
       """array_distinct(transform(
