@@ -472,14 +472,29 @@ object Oracles {
     * as token_count_bpe_merge's fixture-table chain). Empty when no
     * training ran this session — the driver then records the same
     * rows-only check as before, never a stale chain. */
-  def dynamicSql: Map[String, String] =
-    Option(graft.operators.TextOps.lastTrainedMerges.get()).map { merges =>
+  /** The store whose oracle SQL is being dumped — set by Verify at
+    * startup so [[dynamicSql]] emits the merge table TRAINED ON THAT
+    * STORE (round-13 advice: last-writer-wins across stores replayed
+    * the wrong corpus's chain when a session trained on two). */
+  private[graft] val verifyStore =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  def dynamicSql: Map[String, String] = {
+    val byStore = graft.operators.TextOps.trainedMergesByStore
+    val selected = Option(verifyStore.get()) match {
+      case Some(store) => Option(byStore.get(store)) // trained on the
+        // verified store, or nothing — never another store's table
+      case None => // no Verify context: unambiguous single store only
+        if (byStore.size == 1) Some(byStore.values.iterator.next()) else None
+    }
+    selected.map { merges =>
       "token_count_bpe_trained" -> q(
         s"""SELECT doc_id,
            |       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
            |       ${bpeDocTokensExprWith(merges)} AS n_tokens
            |FROM documents ORDER BY doc_id""".stripMargin)
     }.toMap
+  }
 
   val sql: Map[String, String] = windowSql ++ joinSql ++ eventSql ++
     textSql ++ layoutSql ++ Map(

@@ -174,6 +174,18 @@ object ScaleProbe {
         transform(rotFlipped, (x, i) => x * when(
           pmod(xxhash64(col("r"), i, lit(0xd1a6L)), lit(2)) === 0,
           lit(1.0f)).otherwise(lit(-1.0f))))
+    // the +r·1000 relabeling is only a bijection while every source
+    // label sits below the offset — a source fixture with labels ≥ 1000
+    // would overlap replica ranges (replica k's label L = replica k+1's
+    // L−1000), silently reintroducing the cross-replica same-label
+    // pairs hard mode exists to remove (round-13 advice; mirrors the
+    // doc_id stride guard)
+    if (hard) {
+      val maxLabel = src.agg(max(col("label"))).head().getInt(0)
+      require(maxLabel < 1000,
+        s"hard-mode label offset 1000 must exceed the max source label " +
+          s"($maxLabel) or replica label ranges overlap")
+    }
     val replicaLabel =
       if (!hard) col("label")
       else (col("label") + col("r") * lit(1000)).cast("int")

@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Pin the store for runtime-trained oracle entries: dynamicSql must
+    // emit the merge table trained on THIS store, even if the session
+    // trained on others (round-13 advice).
+    Oracles.verifyStore.set(sfDir)
     new java.io.File(outDir).mkdirs()
     // Local-iteration filter: GRAFT_VERIFY_ONLY=q1,q2 runs a subset.
     // The driver sets no filter and gets the full sweep.

@@ -86,10 +86,17 @@ case class StripDict(text: Expression, fps: Expression, width: Int)
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
+  // provider lookup + digest allocation hoisted out of the per-row hot
+  // loop (round-13 advice; the CompressionRatio scratch-buffer
+  // precedent) — reset() per row reuses the instance
+  @transient private lazy val mdLocal =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   override def nullSafeEval(t: Any, f: Any): Any = {
     val toks = t.asInstanceOf[UTF8String].toString.split(" ", -1)
     val n = toks.length
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
     val out = new java.lang.StringBuilder
     var kept = 0L
     var i = 0

@@ -920,7 +920,18 @@ case class SrpBands(vec: Expression, planes: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (vec.dataType, planes.dataType) match {
       case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _))
-          if planes.foldable => TypeCheckResult.TypeCheckSuccess
+          if planes.foldable =>
+        // 4 planes per band key (keys(p/4) below): a plane count that
+        // is 0 or not a multiple of 4 must fail ANALYSIS, not throw
+        // ArrayIndexOutOfBounds at runtime (round-13 advice — the
+        // function is on the SQL surface as graft_srpbands)
+        val nP = Option(planes.eval(null))
+          .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .numElements()).getOrElse(0)
+        if (nP > 0 && nP % 4 == 0) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"graft_srpbands needs a non-empty planes literal with a " +
+            s"multiple-of-4 plane count (4 planes per band key), got $nP")
       case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
         TypeCheckResult.TypeCheckFailure(
           "graft_srpbands expects a FOLDABLE planes literal")
