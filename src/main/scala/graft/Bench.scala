@@ -73,7 +73,11 @@ object Bench {
     // round-13: the integer-Lloyd IVF (the float rows' hash-green twin)
     // + the wide-signature simhash (the fixed-bucket-universe
     // mitigation, measured at scale in Bench100x/BenchHard)
-    "ann_ivf_q8_topk", "simhash_dedup_wide")
+    "ann_ivf_q8_topk", "simhash_dedup_wide",
+    // round-14: the wide 4×16-bit semantic lattice (the q8 family's
+    // fixed-universe fix) — pairs at the τ=0.30 stress point and the
+    // production-τ incremental verdict over the stored wide index
+    "semantic_dedup_wide", "semantic_clusters_incremental_wide")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -159,6 +163,7 @@ object Bench {
     "task_stats", "events_tumbling", "ann_ivf_probe",
     "token_count_bpe_trained", "embedding_pca_project",
     "dedup_clusters_incremental", "semantic_clusters_incremental",
+    "semantic_clusters_incremental_wide",
     "fuzzy_clusters_incremental", "ann_ivf_pq_probe",
     "pipeline_ingest", "catalog_documents_quality", "dedup_all_verdict",
     "dedup_clusters")

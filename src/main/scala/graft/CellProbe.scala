@@ -31,6 +31,21 @@ object CellProbe {
         sum(col("count") * col("count")).as("sum_sq")).head()
       println(s"CELLPROBE $dir q8cells: n_cells=${cs.getLong(0)} " +
         s"vecs=${cs.getLong(1)} max=${cs.getLong(2)} sumSq=${cs.getLong(3)}")
+      // the WIDE 4×16-bit form's (band, subcell) space — the round-14
+      // mitigation measurement: the same corpus's Σc² under the 2⁸×
+      // larger per-band universe (the semantic analog of the
+      // widesimhash line below)
+      val wcells = graft.sources.Tables.embeddings(spark, dir)
+        .select(posexplode(
+          call_function("graft_q8cellw", col("embedding")).getField("cells")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "subcell")
+        .groupBy("band", "subcell").count()
+      val wc = wcells.agg(
+        count(lit(1)).as("n_cells"), max("count").as("max_cell"),
+        expr("percentile_approx(count, 0.5)").as("p50"),
+        sum(col("count") * col("count")).as("sum_sq")).head()
+      println(s"CELLPROBE $dir wideq8cells: n_cells=${wc.getLong(0)} " +
+        s"max=${wc.getLong(1)} p50=${wc.get(2)} sumSq=${wc.getLong(3)}")
       // minhash poly band buckets
       val docs = graft.sources.Tables.documents(spark, dir)
         .select(col("doc_id"), col("text"))

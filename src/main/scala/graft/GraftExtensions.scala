@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CompressionRatio, CosineSimilarity, LatticeBands, MinHashSig, PolyMinHashSig, PolySimHash, PolySimHashWide, Q8CellSig, Q8Dot, Q8MomentsGen, RollingFp, SigMatchCount, SimHash64, SortedInterCount, SrpBands, StripDict, TokenChunksGen, TokenChunksPosGen, TokenNGramsGen, TokenShingles}
+import graft.functions.{CompressionRatio, CosineSimilarity, LatticeBands, MinHashSig, PolyMinHashSig, PolySimHash, PolySimHashWide, Q8CellSig, Q8CellSigWide, Q8Dot, Q8MomentsGen, RollingFp, SigMatchCount, SimHash64, SortedInterCount, SrpBands, StripDict, TokenChunksGen, TokenChunksPosGen, TokenNGramsGen, TokenShingles}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for the SQL surface. Use either at session build time
@@ -113,6 +113,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_q8cell"),
       new ExpressionInfo(classOf[Q8CellSig].getName, "graft_q8cell"),
       (children: Seq[Expression]) => Q8CellSig(children(0))),
+    (FunctionIdentifier("graft_q8cellw"),
+      new ExpressionInfo(classOf[Q8CellSigWide].getName, "graft_q8cellw"),
+      (children: Seq[Expression]) => Q8CellSigWide(children(0))),
     (FunctionIdentifier("graft_q8moments"),
       new ExpressionInfo(classOf[Q8MomentsGen].getName, "graft_q8moments"),
       (children: Seq[Expression]) => Q8MomentsGen(children(0))),

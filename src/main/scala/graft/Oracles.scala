@@ -387,6 +387,59 @@ object Oracles {
       |)""".stripMargin
   private val SemanticPairsCte: String = semanticPairsCteAt(900L)
 
+  /** WIDE 4-band × 16-plane lattice cells + band-OR pairs at the
+    * production τ=0.95 point — mirrors Q8CellSigWide /
+    * SimilarityOps.semanticWidePairsTiled step for step: plane p
+    * (0..63) uses the narrow form's exact weight stream, band b's
+    * subcell packs planes 16b..16b+15 MSB-first, candidates share ANY
+    * band's subcell, the verify is the same integer cos² predicate,
+    * and multi-band collisions collapse in the DISTINCT (the inner
+    * GROUP BY keeps (band, subcell) so a two-band collision can never
+    * double-sum the dot). Named `spairs` with the narrow pair frame's
+    * columns so [[SemanticComponentsCte]] composes unchanged.
+    * Degenerate vectors: every plane SUM is NULL → COALESCE 0 → all
+    * bits set (subcell 65535 per band), the native expression's
+    * documented behavior. Parameterized by τ_e2² like the narrow
+    * [[semanticPairsCteAt]] (900 = the τ=0.30 stress point the pairs
+    * query reports at; 9025 = the production τ=0.95 the incremental
+    * verdict maintains at). */
+  private def semanticWidePairsCteAt(tauSq: Long): String = Sq8Cte +
+    s""", swdims AS (
+      |  SELECT unnest(range(0, (SELECT MAX(len(embedding)) FROM embeddings))) AS pos
+      |), swbit AS (
+      |  SELECT vec_id, p,
+      |         CASE WHEN COALESCE(SUM(q8[CAST(pos AS INT) + 1] *
+      |                ((p*2654435761 + pos*40503) % 1001 - 500)), 0) >= 0
+      |              THEN 1 ELSE 0 END AS bit
+      |  FROM sq8 CROSS JOIN swdims
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS p)
+      |  GROUP BY vec_id, p
+      |), swcell AS (
+      |  SELECT b.vec_id, s.q8, s.na2, CAST(b.p // 16 AS BIGINT) AS band,
+      |         CAST(SUM(b.bit * (CAST(1 AS BIGINT) << CAST(15 - b.p % 16 AS INT)))
+      |              AS BIGINT) AS subcell
+      |  FROM swbit b JOIN (
+      |    SELECT vec_id, q8,
+      |           COALESCE(CAST(list_sum(list_transform(q8, x -> x*x)) AS BIGINT),
+      |                    0) AS na2
+      |    FROM sq8) s USING (vec_id)
+      |  GROUP BY b.vec_id, s.q8, s.na2, b.p // 16
+      |), spairs AS (
+      |  SELECT DISTINCT a_id, b_id, dot,
+      |         dot*dot*1000000 // (na2a*na2b) AS cos2_e6
+      |  FROM (
+      |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |           a.na2 AS na2a, b.na2 AS na2b,
+      |           CAST(SUM(a.q8[CAST(pos AS INT) + 1]
+      |                     * b.q8[CAST(pos AS INT) + 1]) AS BIGINT) AS dot
+      |    FROM swcell a JOIN swcell b
+      |      ON a.band = b.band AND a.subcell = b.subcell
+      |     AND a.vec_id < b.vec_id
+      |    CROSS JOIN swdims
+      |    GROUP BY 1, 2, 3, 4, a.band, a.subcell)
+      |  WHERE dot > 0 AND dot*dot*10000 >= $tauSq*na2a*na2b
+      |)""".stripMargin
+
   /** Recursive components + longest-text survivor + per-doc verdict
     * over [[SemanticPairsCte]] — shared by the semantic_dedup_canonical
     * and semantic_dedup_stats oracles. Universe = vectors with a
@@ -2406,6 +2459,21 @@ object Oracles {
       // τ = 0.95 point), gating the maintenance engine
       "semantic_clusters_incremental" -> qrx(
         semanticPairsCteAt(9025L) + SemanticComponentsCte,
+        """SELECT doc_id, component, kept FROM sverdict
+          |ORDER BY doc_id""".stripMargin),
+      // WIDE 4×16-bit lattice pairs (round-14): band-OR candidates,
+      // same integer verify, reported at the τ=0.30 stress point
+      // exactly like the narrow semantic_dedup (the fixture carries no
+      // ≥0.95-cos pairs, and a 0-row result would exercise none of the
+      // 64-plane arithmetic)
+      "semantic_dedup_wide" -> qx(semanticWidePairsCteAt(900L),
+        """SELECT a_id, b_id, dot, cos2_e6 FROM spairs
+          |ORDER BY a_id, b_id""".stripMargin),
+      // the wide incremental merge must EQUAL the full wide recompute
+      // (labels are min-ids) — the components/verdict chain composes
+      // unchanged over the wide pair frame, at the production τ=0.95
+      "semantic_clusters_incremental_wide" -> qrx(
+        semanticWidePairsCteAt(9025L) + SemanticComponentsCte,
         """SELECT doc_id, component, kept FROM sverdict
           |ORDER BY doc_id""".stripMargin),
       // production τ=0.95: the same CTE chain with one constant — the

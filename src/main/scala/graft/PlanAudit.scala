@@ -81,10 +81,13 @@ object PlanAudit {
         Map("documents" -> (3, "FIXTURE_STANDIN")),
       "semantic_clusters_incremental" ->
         Map("embeddings" -> (3, "FIXTURE_STANDIN")),
+      "semantic_clusters_incremental_wide" ->
+        Map("embeddings" -> (4, "FIXTURE_STANDIN")),
       "semantic_incremental" -> Map("embeddings" -> (3, "FIXTURE_STANDIN")),
       // ---- embedding family: bounded-tile all-pairs self-joins ----
       "embedding_dedup" -> Map("embeddings" -> (2, "SELF_JOIN")),
       "semantic_dedup" -> Map("embeddings" -> (2, "SELF_JOIN")),
+      "semantic_dedup_wide" -> Map("embeddings" -> (2, "SELF_JOIN")),
       "semantic_dedup_t95" -> Map("embeddings" -> (2, "SELF_JOIN")),
       "semantic_dedup_canonical" -> Map("embeddings" -> (3, "SELF_JOIN")),
       "semantic_dedup_audit" -> Map("embeddings" -> (3, "SELF_JOIN")),

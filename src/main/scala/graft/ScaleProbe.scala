@@ -322,9 +322,12 @@ object Bench100x {
     "ngram_jaccard", "fuzzy_dedup_canonical",
     // embedding/semantic family
     "embedding_dedup", "semantic_dedup_t95",
-    // incremental stored-index trilogy
+    // incremental stored-index trilogy (+ the round-14 wide semantic
+    // pair, measuring the growing-universe fix at the saturating
+    // scales the narrow 256-cell space is weak at)
     "dedup_clusters_incremental", "fuzzy_clusters_incremental",
-    "semantic_clusters_incremental",
+    "semantic_clusters_incremental", "semantic_clusters_incremental_wide",
+    "semantic_dedup_wide",
     // ANN probes (index-only claim) + banded ANN
     "ann_ivf_probe", "ann_ivf_pq_probe", "ann_q8_lsh_topk", "ann_lsh_topk",
     // LM-stats / budget family (single-scan fix under test)

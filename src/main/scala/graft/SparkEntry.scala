@@ -194,6 +194,9 @@ object SparkEntry {
     "semantic_dedup_t95" -> (GraphOps.semanticDedupT95 _),
     "semantic_incremental" -> (SimilarityOps.semanticIncremental _),
     "semantic_clusters_incremental" -> (GraphOps.semanticClustersIncremental _),
+    "semantic_dedup_wide" -> (SimilarityOps.semanticDedupWide _),
+    "semantic_clusters_incremental_wide" ->
+      (GraphOps.semanticClustersIncrementalWide _),
     "semantic_dedup_stats" -> (GraphOps.semanticDedupStats _),
     // LLM-pipeline: multimodal plumbing
     "multimodal_meta" -> (MultimodalOps.multimodalMeta _),

@@ -115,6 +115,122 @@ case class Q8CellSig(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The WIDE-lattice q8 signature — the semantic family's analog of the
+  * simhash 64→126-bit widening (round-13 verdict item 1): the same
+  * quantization and plane arithmetic as [[Q8CellSig]], but over
+  * 4 BANDS × 16 PLANES = 64 integer Weyl planes instead of one 8-plane
+  * cell. `graft_q8cellw(embedding)` → struct(q8: array<bigint>,
+  * na2: bigint, cells: array<bigint> of length 4), where
+  * cells(b) packs the signs of planes 16b..16b+15 MSB-first.
+  *
+  * Why: the 8-bit cell id is a FIXED 256-key universe, so per-cell
+  * population grows linearly with the corpus and same-cell candidate
+  * enumeration grows quadratically (CellProbe measured Σc² ×100 per
+  * ×10 data; the 100×-hard probe ran semantic_clusters_incremental at
+  * 7.7× wall per 10× data with zero qualifying output). Four 16-bit
+  * band keys multiply the per-band universe by 2⁸ — populations
+  * collapse toward singletons and the candidate join is output-bound
+  * at the scales where the 256-cell space saturates — while the
+  * band-OR (a pair is a candidate if ANY band's subcell matches)
+  * RAISES single-band recall at the production τ=0.95 operating point
+  * (per-plane agreement p = 1 − θ/π ≈ 0.90 ⇒ one 8-plane cell ≈ 0.43,
+  * 4-of-16-plane bands ≈ 0.55 at the threshold, higher for closer
+  * pairs). HOT clusters (genuine twin groups) are the other failure
+  * mode — the callers keep the same adaptive tiling / hash-sharding
+  * as the narrow form (the round-13 simhash lesson: both mechanisms,
+  * always).
+  *
+  * Plane p (p = 0..63) uses EXACTLY [[Q8CellSig]]'s weight stream
+  * ((p·2654435761 + i·40503) % 1001 − 500) — planes 0..7 ARE the
+  * narrow cell's planes — so the whole chain stays integer-exact and
+  * DuckDB-replayable (the hash-green gate). Degenerate vectors (empty
+  * / all-null / all-zero) get every plane sum 0 ⇒ all bits set ⇒
+  * cells = [65535,65535,65535,65535]: they cluster together and pair
+  * among themselves only, the narrow form's documented behavior. */
+case class Q8CellSigWide(child: Expression) extends UnaryExpression {
+
+  private val elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_q8cellw expects array<float|double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("q8", ArrayType(LongType, containsNull = true)),
+    StructField("na2", LongType, nullable = false),
+    StructField("cells", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  def compute(arr: ArrayData): InternalRow = {
+    val n = arr.numElements()
+    def elem(i: Int): Double =
+      if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+    var maxAbs = 0.0
+    var sawAny = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val a = math.abs(elem(i))
+        if (!sawAny || a > maxAbs) maxAbs = a
+        sawAny = true
+      }
+      i += 1
+    }
+    val q8 = new Array[AnyRef](n)
+    val planeSums = new Array[Long](64)
+    var na2 = 0L
+    i = 0
+    while (i < n) {
+      val q: java.lang.Long =
+        if (!sawAny) null
+        else if (maxAbs == 0.0) java.lang.Long.valueOf(0L)
+        else if (arr.isNullAt(i)) null
+        else java.lang.Long.valueOf(
+          math.floor(elem(i) * 127.0 / maxAbs + 0.5).toLong)
+      q8(i) = q
+      if (q != null) {
+        val qv = q.longValue()
+        na2 += qv * qv
+        var p = 0
+        while (p < 64) {
+          planeSums(p) += qv * ((p * 2654435761L + i * 40503L) % 1001L - 500L)
+          p += 1
+        }
+      }
+      i += 1
+    }
+    val cells = new Array[Long](4)
+    var p = 0
+    while (p < 64) {
+      val b = p / 16
+      cells(b) = cells(b) * 2 + (if (planeSums(p) >= 0) 1L else 0L)
+      p += 1
+    }
+    new GenericInternalRow(Array[Any](new GenericArrayData(q8), na2,
+      new GenericArrayData(cells)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("q8cellw", this, classOf[Q8CellSigWide].getName)
+      s"${ev.value} = $self.compute($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native integer dot product over two bigint arrays:
   * `graft_q8dot(a, b)` → bigint. Null elements contribute 0 and the
   * shorter array is treated as null-padded (score the common prefix) —

@@ -497,6 +497,14 @@ object GraphOps {
       .write.mode("overwrite").parquet(s"$indexDir/sem_clusters")
     SimilarityOps.existCells(spark, sfDir)
       .write.mode("overwrite").parquet(s"$indexDir/sem_cells")
+    // the WIDE semantic family's pair of artifacts (round-14): the
+    // 4×16-bit band cell index (one row per vector, cells array —
+    // probes explode to the banded join shape at read) and its
+    // existing-store component assignment
+    storedSemClustersWideFrame(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$indexDir/sem_clusters_wide")
+    SimilarityOps.existCellsWide(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$indexDir/sem_cells_wide")
   }
 
   /** The per-(session, store) index location for the three
@@ -638,6 +646,64 @@ object GraphOps {
       within = false, tauE2 = 95L)
     val inner = SimilarityOps.semanticPairsRole(newC, newC, within = true,
       tauE2 = 95L)
+    val comp = componentsIncremental(stored, cross.union(inner).distinct())
+      .select(col("doc").as("doc_id"), col("comp").as("component"))
+    val docs = Tables.embeddings(spark, sfDir).select(col("vec_id"))
+      .join(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("n_chars")),
+        col("vec_id") === col("doc_id"))
+      .select(col("doc_id"), col("n_chars"))
+    canonicalVerdict(docs, comp).orderBy("doc_id")
+  }
+
+  /** EXISTING-store WIDE semantic cluster assignment — cells are
+    * per-vector signatures, so the existing-only wide pair graph is
+    * the full wide pair set restricted to existing×existing (the same
+    * argument as the narrow form). Persisted by [[buildClusterIndex]]
+    * as `sem_clusters_wide`. */
+  private def storedSemClustersWideFrame(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val existPairs = SimilarityOps.semanticWidePairsShared(spark, sfDir)
+      .filter(col("a_id") % 5 =!= 0 && col("b_id") % 5 =!= 0)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    components(existPairs)
+  }
+
+  /** WIDE-lattice semantic incremental cluster maintenance — the
+    * round-13 verdict's structural fix routed through the nightly
+    * shape: same merge engine as [[semanticClustersIncremental]], but
+    * the batch probes the stored `sem_cells_wide` 4×16-bit band index
+    * instead of the 256-cell narrow one, so at saturating corpus sizes
+    * the candidate enumeration is output-bound rather than quadratic
+    * in a fixed key space (see
+    * [[graft.functions.Q8CellSigWide]] for the measured mechanism and
+    * the recall arithmetic at the production τ=0.95 point — the
+    * band-OR RAISES recall vs the narrow cell while multiplying the
+    * per-band universe 2⁸×). Output contract and oracle shape =
+    * the narrow query's (full wide-recompute CTE chain — labels are
+    * min-ids, so the merge provably reproduces the full answer). */
+  def semanticClustersIncrementalWide(spark: SparkSession,
+      sfDir: String): DataFrame =
+    semanticClustersIncrementalWideProbe(spark, sfDir,
+      clusterIndexDir(spark, sfDir))
+
+  /** The wide nightly merge against the [[buildClusterIndex]]-persisted
+    * artifacts: the batch signs O(batch) vectors with graft_q8cellw,
+    * probes the stored wide cell index and itself (band, subcell,
+    * shard)-equi, and the ≥τ edges merge into the stored assignment. */
+  def semanticClustersIncrementalWideProbe(spark: SparkSession, sfDir: String,
+      indexDir: String): DataFrame = {
+    val stored = spark.read.parquet(s"$indexDir/sem_clusters_wide")
+      .select(col("doc"), col("comp"))
+    val existB = SimilarityOps.explodeWideCells(
+      spark.read.parquet(s"$indexDir/sem_cells_wide")
+        .select(col("vec_id"), col("q8"), col("na2"), col("cells")))
+    val newB = SimilarityOps.explodeWideCells(
+      SimilarityOps.batchCellsWide(spark, sfDir))
+    val cross = SimilarityOps.semanticPairsRoleWide(newB, existB,
+      within = false)
+    val inner = SimilarityOps.semanticPairsRoleWide(newB, newB,
+      within = true)
     val comp = componentsIncremental(stored, cross.union(inner).distinct())
       .select(col("doc").as("doc_id"), col("comp").as("component"))
     val docs = Tables.embeddings(spark, sfDir).select(col("vec_id"))

@@ -1588,6 +1588,194 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------------------
+  // WIDE-lattice semantic dedup — the round-13 verdict's last
+  // structural scale item: the 8-bit q8 cell is a FIXED 256-key
+  // universe (CellProbe: Σc² ×100 per ×10 data; the 100×-hard probe
+  // ran the incremental verdict at 7.7× wall per 10× data with ZERO
+  // qualifying output). graft_q8cellw widens the signature to 4 BANDS
+  // × 16 PLANES (the simhash_dedup_wide blueprint): per-band subcell
+  // universes of 2¹⁶ collapse bucket populations toward singletons —
+  // the candidate join is output-bound where the narrow space
+  // saturates diffusely — while the band-OR raises recall at the
+  // production τ=0.95 point (see Q8CellSigWide). Hot twin clusters
+  // still need load-spreading regardless of key width (the round-13
+  // lesson), so the pair stage keeps the adaptive triangular tiling
+  // and the role probes keep partner-hash sharding.
+  // ---------------------------------------------------------------
+
+  private[graft] val SemWideBands = 4
+  private[graft] val SemTau95 = 95L
+
+  /** (vec_id, q8, na2, cells[4]) over any embedding frame — ONE native
+    * codegen'd scan projection; index build and probe share it so the
+    * stored wide index is bit-identical by construction. */
+  private[graft] def q8CellWideOf(spark: SparkSession, vecs: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    vecs.select(col("vec_id"),
+        call_function("graft_q8cellw", col("embedding")).as("s"))
+      .select(col("vec_id"), col("s.q8").as("q8"),
+        col("s.na2").as("na2"), col("s.cells").as("cells"))
+  }
+
+  /** The banded wide frame: one row per (vector, band) carrying the
+    * band's 16-bit subcell — the candidate join's key shape. */
+  private[graft] def semanticWideBandedFrame(spark: SparkSession,
+      sfDir: String): DataFrame =
+    q8CellWideOf(spark, Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("q8"), col("na2"),
+        posexplode(col("cells")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "subcell")
+
+  /** Adaptive tile fanout for the wide banded self-join — the same
+    * straggler-bound sizing as [[simhashWideTileFanout]] on the
+    * (band, subcell) population histogram (width fixes DIFFUSE
+    * growth; hot clusters need tiling regardless — the measured
+    * round-13 lesson). */
+  private def semanticWideTileFanout(spark: SparkSession, sfDir: String): Int =
+    Memo.cached(spark, s"semWideTileFanout:$sfDir") {
+      val r = semanticWideBandedFrame(spark, sfDir)
+        .groupBy("band", "subcell").count()
+        .agg(max("count"), sum(col("count") * col("count"))).head()
+      val maxC = r.getLong(0).toDouble
+      val sumSq = math.max(1L, r.getLong(1)).toDouble
+      val cores = spark.sparkContext.defaultParallelism.toDouble
+      val t = math.ceil(math.sqrt(cores * maxC * maxC / sumSq)).toInt
+      math.min(16, math.max(1, t))
+    }
+
+  /** Wide semantic near-dup pairs — the narrow family's τ split,
+    * mirrored: THIS query runs at the fixture's τ=0.30 stress point
+    * (like [[semanticDedup]] — the fixture carries no ≥0.95-cos pairs,
+    * and 0-row output would exercise none of the plane arithmetic),
+    * while the incremental verdict runs at the production τ=0.95.
+    * Candidates = any band's subcell matches (band-OR), verify = the
+    * SAME exact integer cos² ≥ τ² predicate as [[semanticPairs]],
+    * evidence = (dot, floor'd cos²·10⁶). Every pair meets in exactly
+    * one (band, subcell, ti, tj) tile per colliding band; multi-band
+    * collisions collapse in the distinct. Integer-exact end to end —
+    * hash-green against the DuckDB replay of the same plane
+    * arithmetic. */
+  def semanticDedupWide(spark: SparkSession, sfDir: String): DataFrame =
+    semanticWidePairsTiled(semanticWideBandedFrame(spark, sfDir),
+      semanticWideTileFanout(spark, sfDir), SemTauE2)
+      .orderBy("a_id", "b_id")
+
+  /** MEMOIZED full-store wide pair frame at the PRODUCTION τ=0.95
+    * point — the stored wide cluster assignment's input (the
+    * [[semanticPairsShared]] convention: in production this IS the
+    * persisted candidate-pair table). */
+  private[graft] def semanticWidePairsShared(spark: SparkSession,
+      sfDir: String): DataFrame =
+    Memo.frame(spark, s"semWidePairs:$sfDir")(
+      semanticWidePairsTiled(semanticWideBandedFrame(spark, sfDir),
+        semanticWideTileFanout(spark, sfDir), SemTau95))
+
+  /** The tiled wide pair stage ([[simhashWidePairsTiled]]'s routing
+    * with the q8 integer-cosine verify): triangular (ti, tj) tiles by
+    * id hash bound reducer-task size for hot subcells; RewireSpec-style
+    * identity holds by the meets-in-exactly-one-tile argument (the
+    * wide SemanticDedupSpec pins tiled ≡ naive all-pairs). */
+  private[graft] def semanticWidePairsTiled(banded: DataFrame,
+      tiles: Int, tauE2: Long): DataFrame = {
+    val g = pmod(xxhash64(col("vec_id")), lit(tiles)).cast("int")
+    val left = banded.withColumn("g", g)
+      .select(col("vec_id"), col("q8"), col("na2"), col("band"),
+        col("subcell"), col("g").as("ti"),
+        explode(sequence(col("g"), lit(tiles - 1))).as("tj"))
+    val right = banded.withColumn("g", g)
+      .select(col("vec_id"), col("q8"), col("na2"), col("band"),
+        col("subcell"), explode(sequence(lit(0), col("g"))).as("ti"),
+        col("g").as("tj"))
+    left.alias("a").join(right.alias("b"),
+        col("a.band") === col("b.band") &&
+        col("a.subcell") === col("b.subcell") &&
+        col("a.ti") === col("b.ti") && col("a.tj") === col("b.tj") &&
+        (col("a.ti") =!= col("a.tj") || col("a.vec_id") < col("b.vec_id")))
+      .withColumn("dot",
+        call_function("graft_q8dot", col("a.q8"), col("b.q8")))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * 10000L >=
+          lit(tauE2 * tauE2) * col("a.na2") * col("b.na2"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("a_id"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("b_id"),
+        col("dot"),
+        expr("dot * dot * 1000000 DIV (a.na2 * b.na2)").as("cos2_e6"))
+      .distinct()
+  }
+
+  /** ROLE-pair form over the WIDE banded frames — qualifying (src,
+    * dst) edges between a BATCH-sized banded frame and a partner
+    * banded frame: (band, subcell, shard)-equi join + the exact
+    * integer verify, partner-hash sharding spreading hot subcells
+    * exactly like [[semanticPairsRole]] (same [[RoleShards]], same
+    * meets-in-the-partner's-one-shard identity). Multi-band collisions
+    * emit duplicate edges — callers run `.distinct()` on the edge
+    * union (both do already). */
+  private[graft] def semanticPairsRoleWide(newBanded: DataFrame,
+      partnerBanded: DataFrame, within: Boolean,
+      tauE2: Long = SemTau95): DataFrame = {
+    val cond =
+      if (within) col("p.vec_id") < col("n.vec_id")
+      else lit(true)
+    val n = newBanded.withColumn("shard",
+      explode(sequence(lit(0), lit(RoleShards - 1))))
+    val p = partnerBanded.withColumn("shard",
+      pmod(xxhash64(col("vec_id")), lit(RoleShards)).cast("int"))
+    n.alias("n").join(p.alias("p"),
+        col("n.band") === col("p.band") &&
+        col("n.subcell") === col("p.subcell") &&
+        col("n.shard") === col("p.shard") && cond)
+      .withColumn("dot", call_function("graft_q8dot", col("n.q8"), col("p.q8")))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * 10000L >=
+          lit(tauE2 * tauE2) * col("n.na2") * col("p.na2"))
+      .select(least(col("n.vec_id"), col("p.vec_id")).as("src"),
+        greatest(col("n.vec_id"), col("p.vec_id")).as("dst"))
+  }
+
+  /** UNSHARDED reference form of [[semanticPairsRoleWide]] — the
+    * comparison pair the wide spec pins the sharded plan against
+    * (identical edge set by the meets-in-the-partner's-one-shard
+    * argument; asserted, not argued — the [[semanticPairsRoleUnsharded]]
+    * convention). */
+  private[graft] def semanticPairsRoleWideUnsharded(newBanded: DataFrame,
+      partnerBanded: DataFrame, within: Boolean,
+      tauE2: Long = SemTau95): DataFrame = {
+    val cond =
+      if (within) col("p.vec_id") < col("n.vec_id")
+      else lit(true)
+    newBanded.alias("n").join(partnerBanded.alias("p"),
+        col("n.band") === col("p.band") &&
+        col("n.subcell") === col("p.subcell") && cond)
+      .withColumn("dot", call_function("graft_q8dot", col("n.q8"), col("p.q8")))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * 10000L >=
+          lit(tauE2 * tauE2) * col("n.na2") * col("p.na2"))
+      .select(least(col("n.vec_id"), col("p.vec_id")).as("src"),
+        greatest(col("n.vec_id"), col("p.vec_id")).as("dst"))
+  }
+
+  /** Batch / existing WIDE cell slices by the vec_id % 5 convention —
+    * the wide incremental verdict's inputs ([[batchCells]]'s analog;
+    * the existing slice is what the stored `sem_cells_wide` index
+    * persists). Un-exploded (cells array) — probes explode to the
+    * banded shape at read, so the stored index is one row per vector. */
+  private[graft] def batchCellsWide(spark: SparkSession, sfDir: String): DataFrame =
+    q8CellWideOf(spark, Tables.embeddings(spark, sfDir))
+      .filter(pmod(col("vec_id"), lit(5)) === 0)
+
+  private[graft] def existCellsWide(spark: SparkSession, sfDir: String): DataFrame =
+    q8CellWideOf(spark, Tables.embeddings(spark, sfDir))
+      .filter(pmod(col("vec_id"), lit(5)) =!= 0)
+
+  /** Explode a (vec_id, q8, na2, cells) frame to the banded join shape
+    * — shared by the batch and stored-index sides of the wide probes. */
+  private[graft] def explodeWideCells(cells: DataFrame): DataFrame =
+    cells.select(col("vec_id"), col("q8"), col("na2"),
+        posexplode(col("cells")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "subcell")
+
   /** The bare (vec_id, q8) store projection — [[PcaOps]]' input; same
     * native signature expression as the whole q8 family. */
   private[graft] def q8Frame(spark: SparkSession, sfDir: String): DataFrame =

@@ -28,7 +28,8 @@ class ScaleAuditSpec extends SparkSuite {
   private val heavy = Seq(
     "ngram_jaccard", "minhash_dedup", "simhash_dedup", "simhash_dedup_wide",
     "embedding_dedup", "semantic_dedup_t95", "dedup_clusters_incremental",
-    "fuzzy_clusters_incremental", "semantic_clusters_incremental")
+    "fuzzy_clusters_incremental", "semantic_clusters_incremental",
+    "semantic_clusters_incremental_wide", "semantic_dedup_wide")
 
   private def auditAll(dir: String): Unit =
     heavy.foreach { name =>
