@@ -70,6 +70,14 @@ object CellProbe {
         sum(col("count") * col("count")).as("sum_sq")).head()
       println(s"CELLPROBE $dir shingle-df: universe=${ss.getLong(0)} " +
         s"max_df=${ss.getLong(1)} p50_df=${ss.get(2)} sumSq=${ss.getLong(3)}")
+      // the NARROW poly simhash (source, band, 10-bit chunk) space —
+      // the round-14 dispatcher's detector currency (Σc²/doc): one
+      // row via the same ANALYZE the dispatcher memoizes
+      val ps = graft.operators.SimilarityOps.simhashBucketStats(spark, dir)
+        .head()
+      println(s"CELLPROBE $dir polysimhash-band-buckets: " +
+        s"docs=${ps.getLong(0)} n=${ps.getLong(1)} max=${ps.getLong(2)} " +
+        s"sumSq=${ps.getLong(3)} perDoc=${ps.getLong(4)}")
       // xxhash simhash pigeonhole buckets (round-11 verdict item 3/4:
       // the missing histogram that adjudicates simhash_dedup's 100×
       // line) — population of the (source, band, 7-bit chunk) key

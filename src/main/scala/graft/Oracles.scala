@@ -2831,36 +2831,73 @@ object Oracles {
           |)""".stripMargin,
         """SELECT a_id, b_id, hamming FROM hams WHERE hamming <= 8
           |ORDER BY a_id, b_id""".stripMargin),
-      "simhash_dedup_poly" -> qx(
-        """, wh AS (
-          |  SELECT doc_id, source,
-          |         list_transform(string_split(text, ' '),
-          |           w -> CASE WHEN length(w) = 0 THEN 0 ELSE list_reduce(
-          |                  list_transform(range(1, length(w)+1),
-          |                    i -> CAST(unicode(substr(w, CAST(i AS INT), 1)) AS BIGINT)),
-          |                  (a, b) -> (a * 31 + b) % 1000000007) END) AS wh
-          |  FROM documents
-          |), shh AS (
-          |  SELECT doc_id, source,
-          |         list_sum(list_transform(range(30),
-          |           b -> CASE WHEN 2 * list_sum(list_transform(wh,
-          |                       h -> (h >> CAST(b AS INT)) & 1)) > len(wh)
-          |                     THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS simhash
-          |  FROM wh WHERE len(wh) > 0
-          |), banded AS (
-          |  SELECT doc_id, source, simhash, unnest(range(3)) AS band FROM shh
-          |), pairs AS (
-          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-          |                  a.simhash AS ha, b.simhash AS hb
-          |  FROM banded a JOIN banded b
-          |    ON a.source = b.source AND a.band = b.band
-          |   AND ((a.simhash >> CAST(a.band*10 AS INT)) & 1023)
-          |     = ((b.simhash >> CAST(b.band*10 AS INT)) & 1023)
-          |   AND a.doc_id < b.doc_id
+      "simhash_dedup_poly" -> qx(PolySimhashBandedCte + PolySimhashPairsCte,
+        PolySimhashPairsSelect),
+      // the DISPATCHED narrow/wide operator (round-14): the oracle is
+      // the NARROW poly branch — the one the measured Σc²/doc profile
+      // fires at every driver-verified store size (sf0.01 13/doc,
+      // sf0.1 117/doc, cut 200); SimhashDispatchSpec pins the wide
+      // pick at the saturated scale fixtures by canonical-plan
+      // equality, where no driver oracle runs
+      "simhash_dedup_auto" -> qx(PolySimhashBandedCte + PolySimhashPairsCte,
+        PolySimhashPairsSelect),
+      // one-row bucket-profile ANALYZE of the narrow poly space — the
+      // dispatcher's detector as a public query (the shingle_df_stats
+      // idiom); all-integer aggregates over the replayed signature
+      "simhash_bucket_stats" -> qx(PolySimhashBandedCte +
+        """, bk AS (
+          |  SELECT source, band,
+          |         (simhash >> CAST(band*10 AS INT)) & 1023 AS chunk,
+          |         CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM banded GROUP BY 1, 2, 3
           |)""".stripMargin,
-        """SELECT a_id, b_id, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
-          |FROM pairs WHERE bit_count(xor(ha, hb)) <= 2
-          |ORDER BY a_id, b_id""".stripMargin),
+        """SELECT CAST(SUM(c) // 3 AS BIGINT) AS n_docs,
+          |       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+          |       CAST(MAX(c) AS BIGINT) AS max_bucket,
+          |       CAST(SUM(c*c) AS BIGINT) AS sum_sq,
+          |       CAST(SUM(c*c) AS BIGINT) // CAST(SUM(c) // 3 AS BIGINT)
+          |         AS work_per_doc
+          |FROM bk""".stripMargin),
     )
   }
+
+  /** The narrow 30-bit poly simhash banded frame (wh word hashes →
+    * majority-bit signature → 3×10-bit chunk bands) — shared by the
+    * simhash_dedup_poly pairs oracle, the simhash_dedup_auto oracle
+    * (= the narrow branch), and the bucket-stats ANALYZE. */
+  private lazy val PolySimhashBandedCte: String =
+    """, wh AS (
+      |  SELECT doc_id, source,
+      |         list_transform(string_split(text, ' '),
+      |           w -> CASE WHEN length(w) = 0 THEN 0 ELSE list_reduce(
+      |                  list_transform(range(1, length(w)+1),
+      |                    i -> CAST(unicode(substr(w, CAST(i AS INT), 1)) AS BIGINT)),
+      |                  (a, b) -> (a * 31 + b) % 1000000007) END) AS wh
+      |  FROM documents
+      |), shh AS (
+      |  SELECT doc_id, source,
+      |         list_sum(list_transform(range(30),
+      |           b -> CASE WHEN 2 * list_sum(list_transform(wh,
+      |                       h -> (h >> CAST(b AS INT)) & 1)) > len(wh)
+      |                     THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS simhash
+      |  FROM wh WHERE len(wh) > 0
+      |), banded AS (
+      |  SELECT doc_id, source, simhash, unnest(range(3)) AS band FROM shh
+      |)""".stripMargin
+
+  private lazy val PolySimhashPairsCte: String =
+    """, pairs AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+      |                  a.simhash AS ha, b.simhash AS hb
+      |  FROM banded a JOIN banded b
+      |    ON a.source = b.source AND a.band = b.band
+      |   AND ((a.simhash >> CAST(a.band*10 AS INT)) & 1023)
+      |     = ((b.simhash >> CAST(b.band*10 AS INT)) & 1023)
+      |   AND a.doc_id < b.doc_id
+      |)""".stripMargin
+
+  private lazy val PolySimhashPairsSelect: String =
+    """SELECT a_id, b_id, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+      |FROM pairs WHERE bit_count(xor(ha, hb)) <= 2
+      |ORDER BY a_id, b_id""".stripMargin
 }

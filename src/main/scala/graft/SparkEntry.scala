@@ -181,6 +181,8 @@ object SparkEntry {
     "minhash_dedup_poly" -> (SimilarityOps.minhashDedupPoly _),
     "simhash_dedup_poly" -> (SimilarityOps.simhashDedupPoly _),
     "simhash_dedup_wide" -> (SimilarityOps.simhashDedupWide _),
+    "simhash_dedup_auto" -> (SimilarityOps.simhashDedupAuto _),
+    "simhash_bucket_stats" -> (SimilarityOps.simhashBucketStats _),
     "fuzzy_dedup_canonical" -> (GraphOps.fuzzyDedupCanonical _),
     "fuzzy_dedup_stats" -> (GraphOps.fuzzyDedupStats _),
     "fuzzy_dedup_audit" -> (GraphOps.fuzzyDedupAudit _),

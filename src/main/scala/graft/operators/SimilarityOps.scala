@@ -2002,19 +2002,7 @@ object SimilarityOps {
     * construction); the exact bit_count verify runs on collisions
     * only, within source. */
   def simhashDedupPoly(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.GraftExtensions.register(spark)
-    // native codegen'd signature (the HOF form it replaced lives on as
-    // simhashPolyHof, bit-identity spec-pinned); split(" ") never
-    // yields an empty array, so the old size(wh) > 0 filter is vacuous
-    val sh = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"),
-        call_function("graft_polysimhash", col("text")).as("simhash"))
-    val chunks = (0 until 3).map(i =>
-      shiftright(col("simhash"), i * 10).bitwiseAND(lit(1023L)))
-    val banded = sh
-      .select(col("doc_id"), col("source"), col("simhash"),
-        posexplode(array(chunks: _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val banded = simhashPolyBandedFrame(spark, sfDir)
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b,
@@ -2032,6 +2020,93 @@ object SimilarityOps {
       .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
       .orderBy("a_id", "b_id")
   }
+
+  /** The narrow poly simhash's banded frame (doc_id, source, simhash,
+    * band, chunk) — one native codegen'd signature inside the scan
+    * projection (the HOF form it replaced lives on as
+    * [[simhashPolyHof]], bit-identity spec-pinned); split(" ") never
+    * yields an empty array, so the old size(wh) > 0 filter is vacuous.
+    * Shared by [[simhashDedupPoly]] and the bucket-profile ANALYZE the
+    * narrow/wide dispatcher reads. */
+  private[graft] def simhashPolyBandedFrame(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        call_function("graft_polysimhash", col("text")).as("simhash"))
+    val chunks = (0 until 3).map(i =>
+      shiftright(col("simhash"), i * 10).bitwiseAND(lit(1023L)))
+    sh.select(col("doc_id"), col("source"), col("simhash"),
+        posexplode(array(chunks: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+  }
+
+  /** ONE-ROW bucket-profile ANALYZE of the NARROW poly simhash's
+    * (source, band, 10-bit chunk) key space — the [[graft.operators
+    * .TextOps.shingleDfStats]] idiom for the simhash family: Σc² is
+    * the size of the unfiltered banded candidate enumeration, and
+    * Σc²/doc is its scale-invariant per-document form (flat while the
+    * occupied universe grows with the corpus, linear once the FIXED
+    * 3·1024·|sources| key space saturates). [[simhashDedupAuto]] reads
+    * the same number (memoized) to pick narrow vs wide; a corpus owner
+    * runs this to see which form their store needs. Fully integer —
+    * hash-green against the DuckDB replay. */
+  def simhashBucketStats(spark: SparkSession, sfDir: String): DataFrame =
+    simhashPolyBandedFrame(spark, sfDir)
+      .groupBy("source", "band", "chunk").count()
+      .agg(count(lit(1)).as("n_buckets"),
+        max("count").as("max_bucket"),
+        sum(col("count") * col("count")).as("sum_sq"),
+        (sum(col("count")) / 3).cast("long").as("n_docs"))
+      .select(col("n_docs"), col("n_buckets"), col("max_bucket"),
+        col("sum_sq"),
+        expr("sum_sq DIV n_docs").as("work_per_doc"))
+
+  /** Dispatch cut for [[simhashDedupAuto]], Σc²/doc over the narrow
+    * poly banded space. MEASURED profiles (CellProbe
+    * polysimhash-band-buckets, recorded in BASELINE.md round-14):
+    * sf0.01 13/doc, sf0.1 117/doc (healthy — occupied buckets still
+    * growing: 760 → 2,827), plain 10× replica fixture 1,174/doc
+    * (saturated outright: occupied buckets FROZEN at 2,827 while docs
+    * ×10) and hard 10× 282/doc (open vocabulary, but the fixed
+    * 3·1024·|sources| space is filling: 11,055 occupied and the wide
+    * form's per-doc mass is 2.8× lower there). The cut at 200 sits
+    * 1.7× above the largest measured healthy profile and 1.4× below
+    * the smallest saturated one — tighter than the ngram dispatcher's
+    * ~3× buffer, but this detector is an EXACT aggregate (not the 5%
+    * sampled estimate), so the margin guards corpus drift only. */
+  private[graft] val SimhashSaturationCutPerDoc = 200L
+
+  /** Memoized Σc²/doc of the narrow poly banded space — the
+    * dispatcher's detector (the [[graft.operators.TextOps]]
+    * sampledSumDfSq convention: one narrow ANALYZE aggregate per
+    * (session, store); production persists it beside the signature
+    * index the way ANALYZE stats live beside a table). */
+  private def simhashWorkPerDoc(spark: SparkSession, sfDir: String): Long =
+    Memo.cached(spark, s"simhashWorkPerDoc:$sfDir") {
+      val r = simhashBucketStats(spark, sfDir).head()
+      r.getLong(r.fieldIndex("work_per_doc"))
+    }
+
+  /** Narrow-vs-wide simhash DISPATCH (round-13 verdict item 5) — one
+    * operator that picks the signature width from the measured bucket
+    * profile, the ngram three-regime dispatcher's shape: the NARROW
+    * 30-bit form (radius ≤ 2, tight boilerplate-twin semantics, one
+    * bigint signature) while its fixed (source, band, chunk) universe
+    * still spreads candidates, the WIDE 126-bit form (radius ≤ 8,
+    * 9×14-bit growing-universe chunks) once Σc²/doc says the narrow
+    * space has saturated and banded enumeration is going quadratic.
+    * The cut sits between the measured healthy and saturated profiles
+    * (see [[SimhashSaturationCutPerDoc]]); SimhashDispatchSpec pins
+    * the pick by canonical-plan equality at the sf fixture (narrow)
+    * and both scale fixtures (wide). Both branches are hash-green
+    * standalone queries; the dispatched form's oracle is the narrow
+    * branch — the one that fires at every driver-verified store
+    * size. */
+  def simhashDedupAuto(spark: SparkSession, sfDir: String): DataFrame =
+    if (simhashWorkPerDoc(spark, sfDir) >= SimhashSaturationCutPerDoc)
+      simhashDedupWide(spark, sfDir)
+    else simhashDedupPoly(spark, sfDir)
 
   /** The WIDE-signature simhash dedup — the measured mitigation for the
     * fixed-bucket-universe caveat BASELINE.md round-13 records: the
