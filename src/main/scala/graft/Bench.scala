@@ -1,18 +1,22 @@
 package graft
 
 /** Benchmark entrypoint (driver contract): prints ONE compact JSON line
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"p50":{...},
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},
   * "failed":[...],"sf":...}` to stdout.
   *
-  * Round-3 lesson: the driver captures only the TAIL of the sbt output and
-  * parses the JSON line out of it. Emitting all ~95 queries at full double
-  * precision produced an ~8 KB line whose head fell outside the tail buffer
-  * (BENCH_r02.json: `"parsed": null`), and 95 queries × 3 runs stretched the
-  * run to 15+ min under bursty host contention. So the default bench times a
-  * HEADLINE set — one representative per operator family plus every recorded
-  * hot spot — with times rounded to ms, keeping the line well under 2 KB.
-  * `SPARK_GRAFT_BENCH_ALL=1` restores the full-inventory sweep (local use;
-  * coverage is the oracle gate's job, not the bench's).
+  * Round-3 lesson: the driver captures only the TAIL (last 2,000 bytes)
+  * of the sbt output and stores it as the round artifact. Emitting all
+  * ~95 queries at full double precision produced an ~8 KB line whose
+  * head fell outside the tail buffer (BENCH_r02.json: `"parsed":
+  * null`), and 95 queries × 3 runs stretched the run to 15+ min under
+  * bursty host contention. So the default bench times a HEADLINE set —
+  * one representative per operator family plus every recorded hot
+  * spot — and (round-14) the stdout line is the COMPACT min-only form
+  * ([[compactJson]], budgeted by BenchLineSpec to fit the tail window
+  * whole beside sbt's epilogue), while BENCH_LAST.json keeps the
+  * full-precision min+p50 maps. `SPARK_GRAFT_BENCH_ALL=1` restores the
+  * full-inventory sweep (local use; coverage is the oracle gate's job,
+  * not the bench's).
   */
 object Bench {
   /** One per family: scan/agg, broadcast join, anti-join, global rank,
@@ -21,43 +25,58 @@ object Bench {
     * recorded hot spots), text aggregation, and the curation composite.
     */
   val headline: Seq[String] = Seq(
+    // Round-14 pruning (self-contained-artifact item): the driver's
+    // per-round artifact keeps only the LAST 2000 stdout bytes, so the
+    // stdout line must carry the whole per-query map inside that
+    // window. Eight redundant entries were retired, each with its
+    // family still measured: events_tumbling (events_session),
+    // bigram_surprisal_topv (bigram_surprisal), boilerplate_strip
+    // (boilerplate_strip_text — the ingest-floor line),
+    // token_count_bpe_merge (token_count_bpe_trained),
+    // customers_with_urgent + suppliers_waiting (parts_below_avg keeps
+    // the decorrelation family), embedding_pca_project (q8_covariance),
+    // semantic_dedup_canonical (fuzzy_dedup_canonical + the semantic
+    // family's own five lines), random_assign (round_robin_assign),
+    // semantic_dedup_audit (fuzzy_dedup_audit keeps the audit shape).
+    // All remain oracle-gated in Verify; BENCH_LAST.json before round
+    // 14 carries their historical timings.
     "task_stats", "worker_tasks_join", "orphaned_tasks", "round_robin_assign",
     "topk_per_worker", "priority_queue", "top_customers", "pricing_summary",
-    "stats_cube", "events_session", "events_tumbling", "merge_upsert",
+    "stats_cube", "events_session", "merge_upsert",
     "asof_join", "dedup_exact", "minhash_dedup", "simhash_dedup",
     "ngram_jaccard", "embedding_dedup", "dedup_clusters",
     "cosine_topk_native", "ann_lsh_topk", "ann_ivf_probe", "token_freq",
     "pipeline_curate",
     // round-4 surface: subqueries, UDF registry dispatch, curation
     // extras, quantized ANN, dedup verdict, distributed prefix sum
-    "pending_gate", "customers_with_urgent", "process_dispatch_udf",
+    "pending_gate", "process_dispatch_udf",
     "source_caps", "doc_pack", "unigram_surprisal", "ann_q8_topk",
     "dedup_canonical",
     // retrieval + split assignment + late round-4 curation surface
     "bm25_search", "tfidf_terms", "split_assign",
     "compression_ratio", "embedding_coverage",
-    // round-5 surface: Q17/Q21 decorrelation, hash-checkable bucketed ANN,
+    // round-5 surface: Q17 decorrelation, hash-checkable bucketed ANN,
     // end-to-end fuzzy dedup (pairs → components → survivor) + its reports
-    "parts_below_avg", "suppliers_waiting", "ann_q8_lsh_topk",
+    "parts_below_avg", "ann_q8_lsh_topk",
     "minhash_dedup_poly", "fuzzy_dedup_canonical", "cross_source_dups",
     "dedup_incremental",
     // round-6 surface: embedding-space (SemDeDup-style) dedup
-    "semantic_dedup", "semantic_dedup_canonical", "semantic_incremental",
-    // round-7 surface: production-τ semantic dedup (sparse regime) +
-    // seeded random dispatch; ann_ivf_topk's slot above became
+    "semantic_dedup", "semantic_incremental",
+    // round-7 surface: production-τ semantic dedup (sparse regime);
+    // ann_ivf_topk's slot above became
     // ann_ivf_probe (the stored-index probe — production search cost;
     // the index build lands untimed in warm-up, like a nightly job)
-    "semantic_dedup_t95", "random_assign", "token_count_bpe_merge",
+    "semantic_dedup_t95",
     "doc_pack_bpe", "token_count_bpe_trained",
     // late round-7: deterministic shard planning (the training-data
     // write layout) + boilerplate-strip (repeated-span removal)
-    "shard_plan", "boilerplate_strip", "boilerplate_strip_text",
+    "shard_plan", "boilerplate_strip_text",
     "boilerplate_incremental",
     // round-8 surface: Gopher rule-bundle quality gate + exact
     // substring-run dedup spans (chunk-granular Lee et al. form)
     "gopher_quality", "substring_dedup_spans", "gopher_repetition",
     "corpus_report", "fuzzy_dedup_audit", "q8_covariance",
-    "embedding_pca_project", "dedup_clusters_incremental",
+    "dedup_clusters_incremental",
     "semantic_clusters_incremental", "fuzzy_clusters_incremental",
     "dedup_all_verdict", "token_budget_waterfill",
     // round-8 surface: real MJPEG mux→demux→decode loop + IVF-PQ
@@ -65,8 +84,8 @@ object Bench {
     // like ann_ivf_probe's) + bigram-LM quality filter + the composed
     // ingestion pipeline
     "video_framesample", "ann_ivf_pq_probe", "bigram_surprisal",
-    "pipeline_ingest", "quality_lda", "bigram_surprisal_topv",
-    "mix_sample", "catalog_documents_quality", "semantic_dedup_audit",
+    "pipeline_ingest", "quality_lda",
+    "mix_sample", "catalog_documents_quality",
     // round-12: the funnel composite was in Bench100x's probe set but
     // not here — one list for every scale artifact
     "curation_funnel",
@@ -124,12 +143,18 @@ object Bench {
     // A query that throws is recorded as -1 (sentinel) and listed in
     // "failed" — a crash must never masquerade as a fast run.
     val nPasses = if (all) 3 else 5
-    val line = benchJson(spark, sfDir, selected, nPasses)
-    // Bench hygiene (round-8 judge item): the driver captures only the
-    // TAIL of the sbt output, and BENCH_r07's tail truncated the "min"
-    // map mid-line. The stdout line stays the contract; the file is
-    // the complete, parse-luck-free copy (same convention as
-    // Bench10x's BENCH_10x.json artifact).
+    val results = benchResults(spark, sfDir, selected, nPasses)
+    // Bench hygiene, round-14 form: the driver's per-round artifact
+    // keeps only the LAST 2000 stdout bytes, and through round 13 the
+    // full-precision min+p50 line (~4 KB) overflowed it — the artifact
+    // held the p50 map's tail and lost the min map entirely. The
+    // stdout line is now a COMPACT min-only map (2-decimal seconds,
+    // basename sf) that fits the window whole — BenchLineSpec budgets
+    // it at ≤1,900 bytes against worst-case values — so BENCH_r{N}
+    // .json is self-contained for round-over-round diffs. The FILE
+    // keeps the full-precision min+p50 maps (the local-workflow copy,
+    // same convention as Bench10x's BENCH_10x.json artifact).
+    val line = formatJson(results, sfDir)
     val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
       "/root/repo/BENCH_LAST.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
@@ -137,7 +162,7 @@ object Bench {
     catch { case e: Exception =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
     }
-    println(line)
+    println(compactJson(results, sfDir))
     spark.stop()
   }
 
@@ -186,7 +211,14 @@ object Bench {
   private[graft] def benchJson(spark: org.apache.spark.sql.SparkSession,
       sfDir: String,
       selected: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)],
-      nPasses: Int): String = {
+      nPasses: Int): String =
+    formatJson(benchResults(spark, sfDir, selected, nPasses), sfDir)
+
+  /** The timing loop alone: (name, min, p50) per query. */
+  private[graft] def benchResults(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String,
+      selected: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)],
+      nPasses: Int): Seq[(String, Double, Double)] = {
     def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -201,21 +233,47 @@ object Bench {
       System.err.println(f"[bench] pass $p/$nPasses total ${t.filter(_ >= 0).sum}%.1fs")
       t
     }
-    val results = selected.zipWithIndex.map { case ((name, _), i) =>
+    selected.zipWithIndex.map { case ((name, _), i) =>
       val runs = passes.map(_(i))
       if (runs.exists(_ < 0)) (name, -1.0, -1.0)
       else (name, runs.min, runs.sorted.apply(nPasses / 2))
     }
-    // ms precision keeps the line short; toString of a ≥0.001 rounded double
-    // never uses scientific notation.
-    def r3(d: Double): String =
-      if (d < 0) "-1" else (math.round(d * 1000) / 1000.0).toString
+  }
+
+  // ms precision keeps the line short; toString of a ≥0.001 rounded double
+  // never uses scientific notation.
+  private def r3(d: Double): String =
+    if (d < 0) "-1" else (math.round(d * 1000) / 1000.0).toString
+
+  private def failedList(results: Seq[(String, Double, Double)]): String =
+    results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+
+  /** Full-precision min+p50 artifact line (the FILE form, and the
+    * scale benches' stdout — those artifacts are self-written files,
+    * not driver tails). */
+  private[graft] def formatJson(results: Seq[(String, Double, Double)],
+      sfDir: String): String = {
     def jmap(sel: ((String, Double, Double)) => Double): String =
       results.map { case r @ (k, _, _) => s"\"" + k + "\":" + r3(sel(r)) }
         .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size},"queries":${jmap(_._2)},"p50":${jmap(_._3)},"failed":$failed,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size},"queries":${jmap(_._2)},"p50":${jmap(_._3)},"failed":${failedList(results)},"sf":"$sfDir"}"""
+  }
+
+  /** Compact min-only stdout line, budgeted to sit whole inside the
+    * driver's 2,000-byte tail window beside sbt's ~75-byte epilogue:
+    * 2-decimal seconds (centisecond resolution — the host's ±15–20%
+    * wall drift dwarfs it), basename sf, no p50/nq. BenchLineSpec
+    * asserts the worst-case length. */
+  private[graft] def compactJson(results: Seq[(String, Double, Double)],
+      sfDir: String): String = {
+    def r2(d: Double): String =
+      if (d < 0) "-1" else (math.round(d * 100) / 100.0).toString
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r2(v) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val sfName = new java.io.File(sfDir).getName
+    s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"failed":${failedList(results)},"sf":"$sfName"}"""
   }
 }
