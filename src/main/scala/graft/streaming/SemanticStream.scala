@@ -306,7 +306,12 @@ object SemanticStream {
       .select(col("vec_id"), col("s.q8").as("q8"),
         col("s.na2").as("na2"), col("s.cell").as("cell"))
     val dot = call_function("graft_q8dot", col("n.q8"), col("e.q8"))
-    probe.alias("n").join(idx.alias("e"), col("n.cell") === col("e.cell"))
+    // batch side broadcast for the same reason as
+    // [[graft.streaming.NearDupStream.nearDupAgainstIndexFrame]]'s
+    // hint (round-14): stats-less micro-batch frames otherwise
+    // sort-merge-join and re-shuffle the persisted index every trigger
+    broadcast(probe).alias("n").join(idx.alias("e"),
+        col("n.cell") === col("e.cell"))
       .withColumn("dot", dot)
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * 10000L >=
