@@ -2469,6 +2469,28 @@ object Oracles {
       "semantic_dedup_wide" -> qx(semanticWidePairsCteAt(900L),
         """SELECT a_id, b_id, dot, cos2_e6 FROM spairs
           |ORDER BY a_id, b_id""".stripMargin),
+      // narrow/wide semantic DISPATCH (round-14, the simhash_dedup_auto
+      // shape): the oracle is the NARROW branch — the measured Σc²/vec
+      // profile routes narrow at every driver-verified store size
+      "semantic_dedup_auto" -> qx(SemanticPairsCte,
+        """SELECT a_id, b_id, cell, dot, cos2_e6 FROM spairs
+          |ORDER BY a_id, b_id""".stripMargin),
+      // one-row cell-population ANALYZE of the narrow 256-cell space —
+      // the dispatcher's detector as a public query (the
+      // simhash_bucket_stats idiom); all-integer aggregates over the
+      // replayed cell signature
+      "q8_cell_stats" -> qx(SemanticCellCte +
+        """, ck AS (
+          |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM scell GROUP BY cell
+          |)""".stripMargin,
+        """SELECT CAST(SUM(c) AS BIGINT) AS n_vecs,
+          |       CAST(COUNT(*) AS BIGINT) AS n_cells,
+          |       CAST(MAX(c) AS BIGINT) AS max_cell,
+          |       CAST(SUM(c*c) AS BIGINT) AS sum_sq,
+          |       CAST(SUM(c*c) AS BIGINT) // CAST(SUM(c) AS BIGINT)
+          |         AS work_per_vec
+          |FROM ck""".stripMargin),
       // the wide incremental merge must EQUAL the full wide recompute
       // (labels are min-ids) — the components/verdict chain composes
       // unchanged over the wide pair frame, at the production τ=0.95

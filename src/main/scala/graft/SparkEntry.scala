@@ -197,6 +197,8 @@ object SparkEntry {
     "semantic_incremental" -> (SimilarityOps.semanticIncremental _),
     "semantic_clusters_incremental" -> (GraphOps.semanticClustersIncremental _),
     "semantic_dedup_wide" -> (SimilarityOps.semanticDedupWide _),
+    "semantic_dedup_auto" -> (SimilarityOps.semanticDedupAuto _),
+    "q8_cell_stats" -> (SimilarityOps.q8CellStats _),
     "semantic_clusters_incremental_wide" ->
       (GraphOps.semanticClustersIncrementalWide _),
     "semantic_dedup_stats" -> (GraphOps.semanticDedupStats _),

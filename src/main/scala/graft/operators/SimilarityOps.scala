@@ -2108,6 +2108,69 @@ object SimilarityOps {
       simhashDedupWide(spark, sfDir)
     else simhashDedupPoly(spark, sfDir)
 
+  /** ONE-ROW cell-population ANALYZE of the NARROW 256-key q8 Weyl
+    * cell space — [[simhashBucketStats]]'s idiom for the semantic
+    * family: Σc² is the within-cell candidate enumeration's size and
+    * Σc²/vec its scale-invariant per-vector form (once the fixed 256
+    * cells saturate, Σc²/vec grows linearly with the store — the
+    * CellProbe ×100-per-×10 measurement as a queryable number).
+    * [[semanticDedupAuto]] reads the same number (memoized) to pick
+    * the narrow cell space vs the wide 4×16-bit lattice; a corpus
+    * owner runs this to see which form their store needs. Fully
+    * integer — hash-green against the DuckDB replay of the same
+    * plane arithmetic. */
+  def q8CellStats(spark: SparkSession, sfDir: String): DataFrame =
+    q8CellFrame(spark, sfDir)
+      .groupBy("cell").count()
+      .agg(sum(col("count")).as("n_vecs"),
+        count(lit(1)).as("n_cells"),
+        max("count").as("max_cell"),
+        sum(col("count") * col("count")).as("sum_sq"))
+      .select(col("n_vecs"), col("n_cells"), col("max_cell"),
+        col("sum_sq"), expr("sum_sq DIV n_vecs").as("work_per_vec"))
+
+  /** Dispatch cut for [[semanticDedupAuto]], Σc²/vec over the narrow
+    * 256-cell space. MEASURED profiles (CellProbe q8cells, recorded
+    * in BASELINE.md round-14): sf0.01 46/vec, sf0.1 142/vec, both 10×
+    * fixtures ~1,470–1,490/vec — where the narrow incremental verdict
+    * still BEAT the wide twin on wall (hard 10×: 2.09 s vs 2.62 s —
+    * RoleShards sharding still spreads the hot cells' blocks) — and
+    * both 100× fixtures ~14,700–15,300/vec, where the narrow form ran
+    * 19.0 s vs the wide 7.74 s (2.5×: quadratic enumeration past any
+    * sharding's reach). The cut at 5,000 sits 3.3× above the largest
+    * measured narrow-still-wins profile and 3.1× below the smallest
+    * measured wide-wins one; like the simhash cut the margin guards
+    * corpus drift only — the detector is an EXACT aggregate. */
+  private[graft] val SemanticSaturationCutPerVec = 5000L
+
+  /** Memoized Σc²/vec of the narrow cell space — the dispatcher's
+    * detector (one ANALYZE aggregate per (session, store); production
+    * persists it beside the cell index the way ANALYZE stats live
+    * beside a table). */
+  private def semanticWorkPerVec(spark: SparkSession, sfDir: String): Long =
+    Memo.cached(spark, s"semanticWorkPerVec:$sfDir") {
+      val r = q8CellStats(spark, sfDir).head()
+      r.getLong(r.fieldIndex("work_per_vec"))
+    }
+
+  /** Narrow-vs-wide SEMANTIC dispatch — [[simhashDedupAuto]]'s shape
+    * for the embedding family, closing the round-13 verdict's last
+    * fixed-key-space item end to end: one operator that signs with
+    * the narrow 256-cell q8 space while per-cell populations still
+    * fit single tasks, and the wide 4×16-bit growing-universe lattice
+    * ([[semanticDedupWide]]) once the measured Σc²/vec says within-
+    * cell enumeration has gone quadratic. Both branches are
+    * hash-green standalone queries at the same τ=0.30 reporting
+    * point; the dispatched form's oracle is the narrow branch — the
+    * one that fires at every driver-verified store size.
+    * SemanticDispatchSpec pins the pick by canonical-plan equality at
+    * the sf fixtures AND hard 10× (narrow — the measured wall says
+    * cell sharding still wins there) and at hard 100× (wide). */
+  def semanticDedupAuto(spark: SparkSession, sfDir: String): DataFrame =
+    if (semanticWorkPerVec(spark, sfDir) >= SemanticSaturationCutPerVec)
+      semanticDedupWide(spark, sfDir)
+    else semanticDedup(spark, sfDir)
+
   /** The WIDE-signature simhash dedup — the measured mitigation for the
     * fixed-bucket-universe caveat BASELINE.md round-13 records: the
     * 64-bit form's (source, band, 7-bit chunk) key space is fixed at

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.operators.SimilarityOps
+
+/** The narrow/wide SEMANTIC dispatcher (round-14, completing the
+  * simhash-family symmetry): one operator that picks the cell space
+  * from the measured 256-cell population profile — narrow while
+  * per-cell candidate blocks stay small, the wide 4×16-bit lattice
+  * once Σc²/vec says within-cell enumeration has gone quadratic.
+  * Dispatch is pinned by CANONICAL-PLAN EQUALITY (the
+  * SimhashDispatchSpec convention). Measured profiles: sf0.01 46/vec,
+  * sf0.1 142/vec, hard-10× 1,494/vec — all under the 5,000 cut (the
+  * hard-10× wall measurement has the narrow incremental verdict still
+  * BEATING the wide twin there, 2.09 s vs 2.62 s) — and hard-100×
+  * 15,312/vec, far above it (narrow 19.0 s vs wide 7.74 s); the
+  * scale-fixture tests cancel when the built ScaleProbe dirs are
+  * absent (the ScaleAuditSpec policy). */
+class SemanticDispatchSpec extends SparkSuite {
+
+  private def canon(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.analyzed.canonicalized
+
+  test("healthy profile routes the narrow cell form (sf fixture)") {
+    val stats = SimilarityOps.q8CellStats(spark, sf).head()
+    val perVec = stats.getLong(stats.fieldIndex("work_per_vec"))
+    assert(perVec < SimilarityOps.SemanticSaturationCutPerVec,
+      s"spec premise broken: sf fixture measured $perVec/vec")
+    assert(canon(SimilarityOps.semanticDedupAuto(spark, sf)) ==
+      canon(SimilarityOps.semanticDedup(spark, sf)),
+      "expected the narrow cell form on the healthy sf fixture")
+  }
+
+  test("hard 10x still routes narrow (measured: narrow wins wall there)") {
+    val dir = "/tmp/sfx10h"
+    assume(Files.exists(Paths.get(s"$dir/embeddings.parquet")),
+      s"$dir absent — run graft.BenchHard first")
+    val stats = SimilarityOps.q8CellStats(spark, dir).head()
+    val perVec = stats.getLong(stats.fieldIndex("work_per_vec"))
+    assert(perVec < SimilarityOps.SemanticSaturationCutPerVec,
+      s"spec premise broken: hard 10x measured $perVec/vec")
+    assert(canon(SimilarityOps.semanticDedupAuto(spark, dir)) ==
+      canon(SimilarityOps.semanticDedup(spark, dir)),
+      "expected the narrow cell form at hard 10x")
+  }
+
+  test("saturated profile routes the wide lattice (hard 100x fixture)") {
+    val dir = "/tmp/sfx100h"
+    assume(Files.exists(Paths.get(s"$dir/embeddings.parquet")),
+      s"$dir absent — run graft.BenchHard first")
+    val stats = SimilarityOps.q8CellStats(spark, dir).head()
+    val perVec = stats.getLong(stats.fieldIndex("work_per_vec"))
+    assert(perVec >= SimilarityOps.SemanticSaturationCutPerVec,
+      s"spec premise broken: hard 100x measured $perVec/vec")
+    assert(canon(SimilarityOps.semanticDedupAuto(spark, dir)) ==
+      canon(SimilarityOps.semanticDedupWide(spark, dir)),
+      "expected the wide lattice at hard 100x")
+  }
+
+  test("cell stats row is internally consistent") {
+    val r = SimilarityOps.q8CellStats(spark, sf).head()
+    val (vecs, cells, maxC, sumSq, perVec) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(vecs > 0 && cells > 0 && cells <= 256,
+      s"narrow cell universe is 8-bit: got $cells cells")
+    assert(maxC <= vecs)
+    // Σc² bounds: ≥ rows (all singletons) and ≤ rows·max
+    assert(sumSq >= vecs && sumSq <= vecs * maxC)
+    assert(perVec == sumSq / vecs)
+  }
+}
