@@ -1753,7 +1753,8 @@ object Oracles {
         |      SELECT doc_id, source, text,
         |             (xor(h0, h0 >> 16) * 48271) % 2147483647 AS h2 FROM (
         |        SELECT doc_id, source, text,
-        |               (doc_id * 2654435761 + 77003177) % 2147483647 AS h0
+        |               ((xor(doc_id, doc_id >> 31) % 2147483647)
+        |                * 2654435761 + 77003177) % 2147483647 AS h0
         |        FROM documents)))
         |)""".stripMargin,
       """SELECT m.doc_id, m.source, m.n_tokens, m.u
@@ -1950,7 +1951,8 @@ object Oracles {
         |             (xor(h0, h0 >> 16) * 48271) % 2147483647 AS h2 FROM (
         |        SELECT doc_id,
         |               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
-        |               (doc_id * 2654435761 + 20260814) % 2147483647 AS h0
+        |               ((xor(doc_id, doc_id >> 31) % 2147483647)
+        |                * 2654435761 + 20260814) % 2147483647 AS h0
         |        FROM documents)))
         |)""".stripMargin,
       """SELECT doc_id, CAST(h % 32 AS INT) AS shard,

@@ -49,8 +49,10 @@ import org.apache.spark.sql.functions._
   *  5. the [[Bench100x.top]] probe set + dispatcher decisions +
   *     CellProbe bucket histograms over the result.
   *
-  * Usage: runMain graft.RealCorpus [outDir] [srcRoots...]
-  * (default outDir /tmp/realcorpus; rebuilds only if absent).
+  * Usage: runMain graft.RealCorpus [outDir] [mode]
+  * (default outDir /tmp/realcorpus, mode `all`; mode `build` stops
+  * after the corpus write so the timed `report` half can run alone on
+  * an otherwise-idle host; rebuilds only if the corpus is absent).
   */
 object RealCorpus {
 
@@ -69,14 +71,15 @@ object RealCorpus {
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/tmp/realcorpus")
-    val roots = if (args.length > 1) args.drop(1).toSeq else DefaultRoots
+    val mode = if (args.length > 1) args(1) else "all"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.builder(cpus).master(s"local[$cpus]").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
-    if (!Files.exists(Paths.get(s"$outDir/documents.parquet")))
-      build(spark, roots, outDir)
-    report(spark, outDir)
+    if (mode != "report" &&
+        !Files.exists(Paths.get(s"$outDir/documents.parquet")))
+      build(spark, DefaultRoots, outDir)
+    if (mode != "build") report(spark, outDir)
     spark.stop()
   }
 
@@ -275,13 +278,13 @@ object RealCorpus {
     * timed with the exact Bench loop. */
   private def report(spark: SparkSession, dir: String): Unit = {
     val docCount = graft.sources.Tables.documents(spark, dir).count()
-    val ds = graft.operators.TextOps.shingleDfStats(spark, dir).head()
-    val ss = graft.operators.SimilarityOps.simhashBucketStats(spark, dir).head()
+    def statline(tag: String, r: org.apache.spark.sql.Row): Unit =
+      println(s"REALCORPUS $tag: " + r.schema.fieldNames.zipWithIndex
+        .map { case (f, i) => s"$f=${r.get(i)}" }.mkString(" "))
     println(s"REALCORPUS $dir docs=$docCount")
-    println(s"REALCORPUS shingle-df: " + ds.schema.fieldNames.zipWithIndex
-      .map { case (f, i) => s"$f=${ds.get(i)}" }.mkString(" "))
-    println(s"REALCORPUS polysimhash: " + ss.schema.fieldNames.zipWithIndex
-      .map { case (f, i) => s"$f=${ss.get(i)}" }.mkString(" "))
+    statline("shingle-df", graft.operators.TextOps.shingleDfStats(spark, dir).head())
+    statline("polysimhash", graft.operators.SimilarityOps.simhashBucketStats(spark, dir).head())
+    statline("q8cells", graft.operators.SimilarityOps.q8CellStats(spark, dir).head())
 
     Bench.warmUp(spark, dir, "realcorpus")
     val selected = (Bench100x.top :+ "simhash_dedup_auto")

@@ -168,8 +168,13 @@ object LayoutOps {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         Exprs.tokenCount(col("text")).cast("long").as("n_tokens"))
+      // id pre-fold into the Mersenne field — identity for ids < 2³¹−1
+      // (every driver fixture: oracle hashes unchanged) but keeps
+      // full-range 64-bit fingerprint ids inside int64 at the multiply
+      // (the round-14 real-corpus smoke measured the ANSI overflow)
+      .withColumn("id0", pmod(fold(col("doc_id"), 31), lit(2147483647L)))
       .withColumn("h0",
-        pmod(col("doc_id") * lit(2654435761L) + lit(seed), lit(2147483647L)))
+        pmod(col("id0") * lit(2654435761L) + lit(seed), lit(2147483647L)))
       .withColumn("h2", pmod(fold(col("h0"), 16) * lit(48271L),
         lit(2147483647L)))
       .withColumn("h4", pmod(fold(col("h2"), 13) * lit(69621L),

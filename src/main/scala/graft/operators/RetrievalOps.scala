@@ -185,7 +185,14 @@ object RetrievalOps {
     * chain under a DIFFERENT seed — sampling must be independent of
     * shard assignment): keep ⟺ u·src_tokens < alloc·2¹⁶ with
     * u = h mod 2¹⁶, all int64-exact (u·src_tokens ≤ 6.5e16 at
-    * 10¹²-token sources — inside int64 at any real corpus). RNG-free
+    * 10¹²-token sources — inside int64 at any real corpus). The id
+    * enters the chain through a pre-fold into the Mersenne field
+    * (xor-shift-31 then mod 2³¹−1): doc_id·2654435761 overflows int64
+    * for ids ≥ ~3.5e9, and real corpora carry full-range 64-bit
+    * fingerprint ids — the round-14 real-corpus smoke measured
+    * exactly that ANSI overflow. The pre-fold is the IDENTITY for
+    * ids < 2³¹−1 (every driver fixture), so oracle hashes are
+    * unchanged. RNG-free
     * and content-keyed like split_assign, so the realized mixture is
     * reproducible and stable under re-runs; expected realized tokens
     * per source = the plan's alloc. One scan + one broadcast join of
@@ -198,8 +205,9 @@ object RetrievalOps {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         Exprs.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("id0", pmod(fold(col("doc_id"), 31), lit(2147483647L)))
       .withColumn("h0",
-        pmod(col("doc_id") * lit(2654435761L) + lit(seed), lit(2147483647L)))
+        pmod(col("id0") * lit(2654435761L) + lit(seed), lit(2147483647L)))
       .withColumn("h2", pmod(fold(col("h0"), 16) * lit(48271L),
         lit(2147483647L)))
       .withColumn("h4", pmod(fold(col("h2"), 13) * lit(69621L),
