@@ -138,6 +138,14 @@ object PairProbe {
       n("semantic_clusters_incremental_dups",
         graft.operators.GraphOps.semanticClustersIncremental(spark, dir)
           .filter(!col("kept")))
+      // the wide STRESS-POINT pair queries — their qualifying-output
+      // counts adjudicate the 100× wall ratios (at radius ≤8 / τ=0.30
+      // the output itself is quadratic-by-semantics; these numbers are
+      // the evidence)
+      n("simhash_dedup_wide",
+        graft.operators.SimilarityOps.simhashDedupWide(spark, dir))
+      n("semantic_dedup_wide",
+        graft.operators.SimilarityOps.semanticDedupWide(spark, dir))
     }
     spark.stop()
   }

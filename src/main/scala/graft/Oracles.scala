@@ -2500,6 +2500,13 @@ object Oracles {
         semanticWidePairsCteAt(9025L) + SemanticComponentsCte,
         """SELECT doc_id, component, kept FROM sverdict
           |ORDER BY doc_id""".stripMargin),
+      // the DISPATCHED nightly merge (round-14): oracle = the narrow
+      // chain — the branch the measured Σc²/vec profile fires at every
+      // driver-verified store size
+      "semantic_clusters_incremental_auto" -> qrx(
+        semanticPairsCteAt(9025L) + SemanticComponentsCte,
+        """SELECT doc_id, component, kept FROM sverdict
+          |ORDER BY doc_id""".stripMargin),
       // production τ=0.95: the same CTE chain with one constant — the
       // sparse SemDeDup regime (few/no fixture pairs; the verdict is
       // still the full components+survivor computation)

@@ -201,6 +201,8 @@ object SparkEntry {
     "q8_cell_stats" -> (SimilarityOps.q8CellStats _),
     "semantic_clusters_incremental_wide" ->
       (GraphOps.semanticClustersIncrementalWide _),
+    "semantic_clusters_incremental_auto" ->
+      (GraphOps.semanticClustersIncrementalAuto _),
     "semantic_dedup_stats" -> (GraphOps.semanticDedupStats _),
     // LLM-pipeline: multimodal plumbing
     "multimodal_meta" -> (MultimodalOps.multimodalMeta _),

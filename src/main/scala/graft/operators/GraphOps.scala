@@ -687,6 +687,27 @@ object GraphOps {
     semanticClustersIncrementalWideProbe(spark, sfDir,
       clusterIndexDir(spark, sfDir))
 
+  /** Narrow/wide dispatch of the NIGHTLY semantic merge — the
+    * scale-graded line, routed by the SAME memoized Σc²/vec detector
+    * as the pair dispatcher ([[graft.operators.SimilarityOps
+    * .semanticSaturated]]): in production this is the decision of
+    * WHICH stored index pair (sem_cells/sem_clusters vs the wide
+    * twins) a store builds and maintains, made once per store from
+    * the same ANALYZE that lives beside the index. The measured wall
+    * crossover backs the cut from both sides: narrow 2.09 s vs wide
+    * 2.62 s at hard-10× (~1,490/vec), narrow 19.0 s vs wide 7.74 s at
+    * hard-100× (~15,300/vec). Oracle = the narrow chain (the branch
+    * every driver-verified store size fires). SemanticDispatchSpec
+    * pins the shared verdict at both ends plus row-for-row parity with
+    * the narrow chain at the sf fixture — plan equality cannot pin
+    * this pair because the fixpoint localCheckpoints intermediates
+    * (fresh RDD relations per constructed plan). */
+  def semanticClustersIncrementalAuto(spark: SparkSession,
+      sfDir: String): DataFrame =
+    if (SimilarityOps.semanticSaturated(spark, sfDir))
+      semanticClustersIncrementalWide(spark, sfDir)
+    else semanticClustersIncremental(spark, sfDir)
+
   /** The wide nightly merge against the [[buildClusterIndex]]-persisted
     * artifacts: the batch signs O(batch) vectors with graft_q8cellw,
     * probes the stored wide cell index and itself (band, subcell,

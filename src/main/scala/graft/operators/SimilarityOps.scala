@@ -2153,6 +2153,15 @@ object SimilarityOps {
       r.getLong(r.fieldIndex("work_per_vec"))
     }
 
+  /** The semantic family's ONE saturation verdict — shared by the pair
+    * dispatcher here and the incremental dispatcher
+    * ([[graft.operators.GraphOps.semanticClustersIncrementalAuto]]),
+    * so a store's pair reporting and its nightly maintenance can never
+    * sign with different cell spaces. */
+  private[graft] def semanticSaturated(spark: SparkSession,
+      sfDir: String): Boolean =
+    semanticWorkPerVec(spark, sfDir) >= SemanticSaturationCutPerVec
+
   /** Narrow-vs-wide SEMANTIC dispatch — [[simhashDedupAuto]]'s shape
     * for the embedding family, closing the round-13 verdict's last
     * fixed-key-space item end to end: one operator that signs with
@@ -2167,8 +2176,7 @@ object SimilarityOps {
     * the sf fixtures AND hard 10× (narrow — the measured wall says
     * cell sharding still wins there) and at hard 100× (wide). */
   def semanticDedupAuto(spark: SparkSession, sfDir: String): DataFrame =
-    if (semanticWorkPerVec(spark, sfDir) >= SemanticSaturationCutPerVec)
-      semanticDedupWide(spark, sfDir)
+    if (semanticSaturated(spark, sfDir)) semanticDedupWide(spark, sfDir)
     else semanticDedup(spark, sfDir)
 
   /** The WIDE-signature simhash dedup — the measured mitigation for the

@@ -58,6 +58,29 @@ class SemanticDispatchSpec extends SparkSuite {
       "expected the wide lattice at hard 100x")
   }
 
+  test("incremental dispatch follows the same verdict (sf narrow, 100x wide)") {
+    // One detector, both surfaces: the nightly merge must sign with
+    // the same cell space as the pair reporting (a store that probes a
+    // narrow index while reporting wide pairs would miss merges).
+    // Canonical-plan equality cannot pin THIS pair — the incremental
+    // chain's fixpoint localCheckpoints intermediates, so every
+    // constructed plan embeds fresh RDD-backed relations. Pin the
+    // shared saturation VERDICT at both ends instead, plus row-for-row
+    // parity of the dispatched vs narrow result at the sf fixture
+    // (the branch the verdict selects there).
+    assert(!SimilarityOps.semanticSaturated(spark, sf),
+      "spec premise broken: sf fixture measured saturated")
+    val auto = graft.operators.GraphOps
+      .semanticClustersIncrementalAuto(spark, sf).collect().toSeq
+    val narrow = graft.operators.GraphOps
+      .semanticClustersIncremental(spark, sf).collect().toSeq
+    assert(auto == narrow, "dispatched result differs from the narrow chain")
+    val dir = "/tmp/sfx100h"
+    if (Files.exists(Paths.get(s"$dir/embeddings.parquet")))
+      assert(SimilarityOps.semanticSaturated(spark, dir),
+        "spec premise broken: hard 100x measured unsaturated")
+  }
+
   test("cell stats row is internally consistent") {
     val r = SimilarityOps.q8CellStats(spark, sf).head()
     val (vecs, cells, maxC, sumSq, perVec) =
