@@ -277,3 +277,23 @@ object Bench {
     s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"failed":${failedList(results)},"sf":"$sfName"}"""
   }
 }
+
+/** Ad-hoc named-query timing at any store directory — the same
+  * 3-pass interleaved loop and JSON line as every Bench artifact, for
+  * measuring one rewiring at one fixture without re-running a whole
+  * probe set. Diagnostic only (not part of the driver contract).
+  *
+  * Usage: runMain graft.QueryBench <dir> <query> [query...]
+  */
+object QueryBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.head
+    val names = args.drop(1).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.builder(cpus).master(s"local[$cpus]").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val selected = names.map(n => n -> SparkEntry.queries(n))
+    println(Bench.benchJson(spark, dir, selected, nPasses = 3))
+    spark.stop()
+  }
+}

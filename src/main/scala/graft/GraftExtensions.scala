@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CompressionRatio, CosineSimilarity, LatticeBands, MinHashSig, PolyMinHashSig, PolySimHash, PolySimHashWide, Q8CellSig, Q8CellSigWide, Q8Dot, Q8MomentsGen, RollingFp, SigMatchCount, SimHash64, SortedInterCount, SrpBands, StripDict, TokenChunksGen, TokenChunksPosGen, TokenNGramsGen, TokenShingles}
+import graft.functions.{ChunkHamming, CompressionRatio, CosineSimilarity, LatticeBands, MinHashSig, PolyMinHashSig, PolySimHash, PolySimHashWide, Q8CellSig, Q8CellSigWide, Q8Dot, Q8MomentsGen, RollingFp, SigMatchCount, SimHash64, SortedInterCount, SrpBands, StripDict, TokenChunksGen, TokenChunksPosGen, TokenNGramsGen, TokenShingles}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for the SQL surface. Use either at session build time
@@ -122,6 +122,11 @@ object GraftExtensions {
     (FunctionIdentifier("graft_q8dot"),
       new ExpressionInfo(classOf[Q8Dot].getName, "graft_q8dot"),
       (children: Seq[Expression]) => Q8Dot(children(0), children(1))),
+    (FunctionIdentifier("graft_hamming_chunks"),
+      new ExpressionInfo(classOf[ChunkHamming].getName,
+        "graft_hamming_chunks"),
+      (children: Seq[Expression]) =>
+        ChunkHamming(children(0), children(1))),
     (FunctionIdentifier("graft_strip_dict"),
       new ExpressionInfo(classOf[StripDict].getName, "graft_strip_dict"),
       (children: Seq[Expression]) =>

@@ -287,6 +287,78 @@ case class Q8Dot(left: Expression, right: Expression) extends BinaryExpression {
     copy(left = newLeft, right = newRight)
 }
 
+/** Native chunked-signature Hamming distance:
+  * `graft_hamming_chunks(a, b)` → bigint = Σᵢ popcount(aᵢ xor bᵢ) over
+  * two bigint arrays — the per-CANDIDATE verify of the wide-signature
+  * banded self-joins (the chunks partition the signature's bits, so
+  * the per-chunk popcount sum IS the signature Hamming distance).
+  *
+  * Native for the round-13 fused-loop reason (graft_srpbands /
+  * graft_latticebands): the HOF form it replaces —
+  * aggregate(zip_with(a, b, bit_count∘xor), 0, +) — materializes an
+  * intermediate array and dispatches three lambdas per element FOR
+  * EVERY CANDIDATE PAIR the banded join enumerates, and candidates
+  * are the scale currency here: the hard 100× fixture enumerates
+  * ~116M wide-simhash candidates to emit 652k pairs. One codegen'd
+  * loop, no allocation. Bit-identity with the HOF on the
+  * equal-length non-null arrays every signature generator emits is
+  * pinned by RewireEquivalenceSpec; mismatched lengths score the
+  * common prefix and null elements are skipped (the Q8Dot
+  * convention — signature arrays never carry either). */
+case class ChunkHamming(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_hamming_chunks expects array<bigint> inputs, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_hamming_chunks"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var ham = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i))
+        ham += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    ham
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val ham = ctx.freshName("ham")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $ham = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $ham += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |  }
+         |}
+         |${ev.value} = $ham;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Generator form of the upper-triangle second-moment entries of one
   * q8 vector: `graft_q8moments(q8)` → rows (i, j, v = q8ᵢ·q8ⱼ,
   * qi, qj) for i ≤ j — the input stream of

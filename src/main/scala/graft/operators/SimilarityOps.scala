@@ -2252,10 +2252,11 @@ object SimilarityOps {
       .select(col("doc_id"), col("source"), col("chunks"), col("band"),
         col("chunk"), explode(sequence(lit(0), col("g"))).as("ti"),
         col("g").as("tj"))
-    val ham = aggregate(
-      zip_with(col("a.chunks"), col("b.chunks"),
-        (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-      lit(0L), _ + _)
+    // native fused loop (graft.functions.ChunkHamming): the HOF form
+    // ran interpreted per enumerated candidate — the scale currency
+    // (hard 100×: ~116M candidates → 652k pairs)
+    val ham = call_function("graft_hamming_chunks",
+      col("a.chunks"), col("b.chunks"))
     left.alias("a").join(right.alias("b"),
         col("a.source") === col("b.source") &&
         col("a.band") === col("b.band") &&

@@ -118,6 +118,28 @@ class RewireEquivalenceSpec extends SparkSuite {
     assert(forced == got)
   }
 
+  test("graft_hamming_chunks is bit-identical to the HOF it replaced") {
+    // The banded-vs-naive test above only compares hamming <= 8
+    // survivors; this pins the native fused loop against
+    // aggregate(zip_with(bit_count(xor))) on EVERY pair of a sample
+    // cross join — the unfiltered distances too.
+    GraftExtensions.register(spark)
+    val sh = Tables.documents(spark, sf01).limit(80)
+      .select(col("doc_id"),
+        call_function("graft_polysimhash_wide", col("text")).as("chunks"))
+    val hof = aggregate(
+      zip_with(col("a.chunks"), col("b.chunks"),
+        (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), _ + _)
+    val native = call_function("graft_hamming_chunks",
+      col("a.chunks"), col("b.chunks"))
+    val diff = sh.alias("a").crossJoin(sh.alias("b"))
+      .select(hof.as("h"), native.as("n"))
+      .filter(col("h") =!= col("n"))
+      .count()
+    assert(diff == 0)
+  }
+
   test("simhash pair join is tile-invariant (forced tiles = 4 vs 1)") {
     // At sf0.01 the adaptive simhash fanout computes tiles = 1 (the
     // measured bucket histogram is tiny), so the dispatch-path test
