@@ -1753,8 +1753,12 @@ object Oracles {
         |      SELECT doc_id, source, text,
         |             (xor(h0, h0 >> 16) * 48271) % 2147483647 AS h2 FROM (
         |        SELECT doc_id, source, text,
-        |               ((xor(doc_id, doc_id >> 31) % 2147483647)
-        |                * 2654435761 + 77003177) % 2147483647 AS h0
+        |               -- pmod-equivalent fold (round-15 advice): DuckDB's %
+        |               -- keeps the dividend's sign where Spark's pmod
+        |               -- normalizes, so a negative bigint doc_id (valid in
+        |               -- the schema) must re-fold into [0, m) explicitly
+        |               ((xor(doc_id, doc_id >> 31) % 2147483647 + 2147483647)
+        |                % 2147483647 * 2654435761 + 77003177) % 2147483647 AS h0
         |        FROM documents)))
         |)""".stripMargin,
       """SELECT m.doc_id, m.source, m.n_tokens, m.u
@@ -1951,8 +1955,9 @@ object Oracles {
         |             (xor(h0, h0 >> 16) * 48271) % 2147483647 AS h2 FROM (
         |        SELECT doc_id,
         |               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
-        |               ((xor(doc_id, doc_id >> 31) % 2147483647)
-        |                * 2654435761 + 20260814) % 2147483647 AS h0
+        |               -- pmod-equivalent fold: see mix_sample's h0 note
+        |               ((xor(doc_id, doc_id >> 31) % 2147483647 + 2147483647)
+        |                % 2147483647 * 2654435761 + 20260814) % 2147483647 AS h0
         |        FROM documents)))
         |)""".stripMargin,
       """SELECT doc_id, CAST(h % 32 AS INT) AS shard,
@@ -2474,8 +2479,11 @@ object Oracles {
       // narrow/wide semantic DISPATCH (round-14, the simhash_dedup_auto
       // shape): the oracle is the NARROW branch — the measured Σc²/vec
       // profile routes narrow at every driver-verified store size
+      // the dispatched shape is the branch-COMMON (a_id, b_id, dot,
+      // cos2_e6) — no cell column, so the dispatch verdict can never
+      // change the query's schema (round-15 advice)
       "semantic_dedup_auto" -> qx(SemanticPairsCte,
-        """SELECT a_id, b_id, cell, dot, cos2_e6 FROM spairs
+        """SELECT a_id, b_id, dot, cos2_e6 FROM spairs
           |ORDER BY a_id, b_id""".stripMargin),
       // one-row cell-population ANALYZE of the narrow 256-cell space —
       // the dispatcher's detector as a public query (the

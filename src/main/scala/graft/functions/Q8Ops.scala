@@ -300,13 +300,19 @@ case class Q8Dot(left: Expression, right: Expression) extends BinaryExpression {
   * EVERY CANDIDATE PAIR the banded join enumerates, and candidates
   * are the scale currency here: the hard 100× fixture enumerates
   * ~116M wide-simhash candidates to emit 652k pairs. One codegen'd
-  * loop, no allocation. Bit-identity with the HOF on the
-  * equal-length non-null arrays every signature generator emits is
-  * pinned by RewireEquivalenceSpec; mismatched lengths score the
-  * common prefix and null elements are skipped (the Q8Dot
-  * convention — signature arrays never carry either). */
+  * loop, no allocation. Bit-identity with the HOF is pinned by
+  * RewireEquivalenceSpec — INCLUDING the edge inputs the signature
+  * generators never emit (round-15 advice): mismatched lengths and
+  * null elements yield NULL, exactly as zip_with pads the shorter
+  * array with nulls and aggregate's `+` propagates them. The function
+  * is registered on the public SQL surface, so a user swapping the
+  * HOF for the native form must see identical results on ALL
+  * inputs, not just the well-formed ones. */
 case class ChunkHamming(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // null even on non-null inputs: length mismatch / null elements
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -326,12 +332,13 @@ case class ChunkHamming(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var ham = 0L
     var i = 0
     while (i < n) {
-      if (!a.isNullAt(i) && !b.isNullAt(i))
-        ham += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      ham += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
       i += 1
     }
     ham
@@ -343,14 +350,20 @@ case class ChunkHamming(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val ham = ctx.freshName("ham")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $ham = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-         |    $ham += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $ham = 0L;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      $ham += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |    }
          |  }
+         |  ${ev.value} = $ham;
          |}
-         |${ev.value} = $ham;
        """.stripMargin
     })
 

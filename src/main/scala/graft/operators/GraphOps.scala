@@ -505,6 +505,12 @@ object GraphOps {
       .write.mode("overwrite").parquet(s"$indexDir/sem_clusters_wide")
     SimilarityOps.existCellsWide(spark, sfDir)
       .write.mode("overwrite").parquet(s"$indexDir/sem_cells_wide")
+    // the maintenance COMMIT is the one point where the store's scale
+    // profile can have changed since the dispatchers last measured it
+    // — re-arm the narrow/wide saturation detectors so a store that
+    // crosses a cut mid-session picks up the wide index at the next
+    // run, not the next session restart (round-15 advice)
+    SimilarityOps.invalidateSaturationStats(spark, sfDir)
   }
 
   /** The per-(session, store) index location for the three

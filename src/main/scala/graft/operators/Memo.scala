@@ -309,6 +309,24 @@ private[graft] object Memo {
     persisted
   }
 
+  /** Drop ONE cached key for this session (releasing a built frame's
+    * executor blocks) — the staleness hook for per-store ANALYZE
+    * detectors (round-15 advice): the narrow/wide dispatchers memoize
+    * their saturation verdict per (session, store) exactly like
+    * ANALYZE stats live beside a table, so a long-lived session whose
+    * store GROWS past a saturation cut would keep the stale verdict
+    * until restart. The maintenance commit point
+    * ([[graft.operators.GraphOps.buildClusterIndex]]) clears the
+    * detector keys through this, so the next dispatched run re-runs
+    * the ANALYZE against the store it will actually probe. */
+  def invalidateKey(spark: SparkSession, key: String): Unit = {
+    val cell = store.synchronized {
+      val m = store.get(spark)
+      if (m == null) None else m.synchronized(m.remove(key))
+    }
+    cell.foreach(unpersistCell)
+  }
+
   /** Drop every artifact cached for this session (and release built
     * frames' blocks) — required after regenerating fixture data under
     * an already-memoized path. */

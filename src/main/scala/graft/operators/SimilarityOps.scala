@@ -2146,12 +2146,29 @@ object SimilarityOps {
   /** Memoized Σc²/vec of the narrow cell space — the dispatcher's
     * detector (one ANALYZE aggregate per (session, store); production
     * persists it beside the cell index the way ANALYZE stats live
-    * beside a table). */
+    * beside a table). STALENESS (round-15 advice): a long-lived
+    * session whose store grows past the cut mid-session would keep
+    * the narrow verdict until restart — so the maintenance COMMIT
+    * point re-arms the detector ([[graft.operators.GraphOps
+    * .buildClusterIndex]] calls [[invalidateSaturationStats]] after
+    * persisting the index set), and the next dispatched run re-runs
+    * the ANALYZE against the store it will actually probe. */
   private def semanticWorkPerVec(spark: SparkSession, sfDir: String): Long =
     Memo.cached(spark, s"semanticWorkPerVec:$sfDir") {
       val r = q8CellStats(spark, sfDir).head()
       r.getLong(r.fieldIndex("work_per_vec"))
     }
+
+  /** Re-arm BOTH families' saturation detectors for a store — called
+    * wherever a maintenance job commits new index artifacts (today:
+    * [[graft.operators.GraphOps.buildClusterIndex]]), so the
+    * once-per-store dispatch verdicts track the store across
+    * incremental growth instead of session lifetime. */
+  private[graft] def invalidateSaturationStats(spark: SparkSession,
+      sfDir: String): Unit = {
+    Memo.invalidateKey(spark, s"semanticWorkPerVec:$sfDir")
+    Memo.invalidateKey(spark, s"simhashWorkPerDoc:$sfDir")
+  }
 
   /** The semantic family's ONE saturation verdict — shared by the pair
     * dispatcher here and the incremental dispatcher
@@ -2174,10 +2191,27 @@ object SimilarityOps {
     * one that fires at every driver-verified store size.
     * SemanticDispatchSpec pins the pick by canonical-plan equality at
     * the sf fixtures AND hard 10× (narrow — the measured wall says
-    * cell sharding still wins there) and at hard 100× (wide). */
+    * cell sharding still wins there) and at hard 100× (wide).
+    *
+    * SCHEMA CONTRACT (round-15 advice): both branches project the
+    * COMMON (a_id, b_id, dot, cos2_e6) shape — the narrow branch's
+    * `cell` column is an implementation detail of its 256-key space
+    * that the wide lattice has no analog for, so a public query whose
+    * shape depended on the dispatch verdict would silently break its
+    * own oracle (and every downstream consumer) the day a store
+    * saturates. The dispatch decision can change the PLAN, never the
+    * schema; the simhash dispatcher's branches agree the same way
+    * ((a_id, b_id, hamming) on both). */
   def semanticDedupAuto(spark: SparkSession, sfDir: String): DataFrame =
     if (semanticSaturated(spark, sfDir)) semanticDedupWide(spark, sfDir)
-    else semanticDedup(spark, sfDir)
+    else semanticDedupNarrowCommon(spark, sfDir)
+
+  /** The narrow branch in [[semanticDedupAuto]]'s common shape — also
+    * the plan SemanticDispatchSpec's narrow-side equality pins. */
+  private[graft] def semanticDedupNarrowCommon(spark: SparkSession,
+      sfDir: String): DataFrame =
+    semanticDedup(spark, sfDir)
+      .select(col("a_id"), col("b_id"), col("dot"), col("cos2_e6"))
 
   /** The WIDE-signature simhash dedup — the measured mitigation for the
     * fixed-bucket-universe caveat BASELINE.md round-13 records: the

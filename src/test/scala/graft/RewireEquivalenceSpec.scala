@@ -140,6 +140,40 @@ class RewireEquivalenceSpec extends SparkSuite {
     assert(diff == 0)
   }
 
+  test("graft_hamming_chunks matches the HOF on malformed inputs too") {
+    // round-15 advice: the function is registered on the public SQL
+    // surface, so a user swapping the HOF for the native form must see
+    // identical results on inputs the signature generators never emit
+    // — mismatched lengths (zip_with pads with nulls → NULL) and null
+    // elements (aggregate's + propagates → NULL). Both forced through
+    // codegen AND interpreted eval (the filter below runs codegen'd;
+    // the collect checks values either way).
+    GraftExtensions.register(spark)
+    val rows = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(1L, 2L),       array(1L, 2L, 4L)),
+        |  (array(1L, 2L, 4L),   array(1L, 2L)),
+        |  (array(1L, NULL, 4L), array(1L, 2L, 4L)),
+        |  (array(1L, 2L, 4L),   array(NULL, 2L, 4L)),
+        |  (array(1L, 2L, 4L),   array(1L, 3L, 4L)),
+        |  (CAST(NULL AS ARRAY<BIGINT>), array(1L, 2L))
+        |AS t(a, b)""".stripMargin)
+    val hof = aggregate(
+      zip_with(col("a"), col("b"),
+        (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), _ + _)
+    val native = call_function("graft_hamming_chunks", col("a"), col("b"))
+    val got = rows.select(hof.as("h"), native.as("n")).collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1),
+        s"null parity differs: hof=${r.get(0)} native=${r.get(1)}")
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1))
+    }
+    // the well-formed row survives with the exact distance
+    val ok = rows.filter(native === 1L).count()
+    assert(ok == 1)
+  }
+
   test("simhash pair join is tile-invariant (forced tiles = 4 vs 1)") {
     // At sf0.01 the adaptive simhash fanout computes tiles = 1 (the
     // measured bucket histogram is tiny), so the dispatch-path test

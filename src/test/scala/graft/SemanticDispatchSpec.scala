@@ -28,8 +28,13 @@ class SemanticDispatchSpec extends SparkSuite {
     assert(perVec < SimilarityOps.SemanticSaturationCutPerVec,
       s"spec premise broken: sf fixture measured $perVec/vec")
     assert(canon(SimilarityOps.semanticDedupAuto(spark, sf)) ==
-      canon(SimilarityOps.semanticDedup(spark, sf)),
+      canon(SimilarityOps.semanticDedupNarrowCommon(spark, sf)),
       "expected the narrow cell form on the healthy sf fixture")
+    // the dispatch decision may change the plan, never the schema:
+    // both branches project the common (a_id, b_id, dot, cos2_e6)
+    assert(SimilarityOps.semanticDedupAuto(spark, sf).columns.toSeq ==
+      SimilarityOps.semanticDedupWide(spark, sf).columns.toSeq,
+      "auto's narrow branch schema differs from the wide branch")
   }
 
   test("hard 10x still routes narrow (measured: narrow wins wall there)") {
@@ -41,7 +46,7 @@ class SemanticDispatchSpec extends SparkSuite {
     assert(perVec < SimilarityOps.SemanticSaturationCutPerVec,
       s"spec premise broken: hard 10x measured $perVec/vec")
     assert(canon(SimilarityOps.semanticDedupAuto(spark, dir)) ==
-      canon(SimilarityOps.semanticDedup(spark, dir)),
+      canon(SimilarityOps.semanticDedupNarrowCommon(spark, dir)),
       "expected the narrow cell form at hard 10x")
   }
 
