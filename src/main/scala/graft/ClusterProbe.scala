@@ -40,15 +40,31 @@ object ClusterProbe {
     time("batch signing+banding")(
       SimilarityOps.batchBanded(spark, sfDir).count())
     val newB = SimilarityOps.batchBanded(spark, sfDir)
-    time("cross probe join")(
+    // the production chain's stages (round-15: raw sharded edges, no
+    // pair distinct — the merge's spanning-forest sparsifier owns
+    // dedup), plus the pre-round-15 forms side by side so both the
+    // sharding's and the sparsifier's effects stay measured
+    time("cross probe join (raw)")(
+      SimilarityOps.minhashPolyPairsRoleEdges(newB, existB,
+        within = false).count())
+    time("inner batch join (raw)")(
+      SimilarityOps.minhashPolyPairsRoleEdges(newB, newB,
+        within = true).count())
+    time("cross probe +distinct")(
       SimilarityOps.minhashPolyPairsRole(newB, existB, within = false).count())
-    time("inner batch join")(
-      SimilarityOps.minhashPolyPairsRole(newB, newB, within = true).count())
-    val cross = SimilarityOps.minhashPolyPairsRole(newB, existB, within = false)
-    val inner = SimilarityOps.minhashPolyPairsRole(newB, newB, within = true)
-    val edges = cross.union(inner).distinct()
-    val nEdges = time("edges (union+distinct)")(edges.count())
-    println(s"[clusterprobe] |new edges| = $nEdges, |stored| = ${stored.count()}")
+    time("cross probe UNSHARDED")(
+      SimilarityOps.minhashPolyPairsRoleUnsharded(newB, existB,
+        within = false).count())
+    val cross = SimilarityOps.minhashPolyPairsRoleEdges(newB, existB,
+      within = false)
+    val inner = SimilarityOps.minhashPolyPairsRoleEdges(newB, newB,
+      within = true)
+    val edges = cross.union(inner)
+    val nEdges = time("edges (raw union)")(edges.count())
+    val nForest = time("sparsifyForest")(
+      GraphOps.sparsifyForest(edges).count())
+    println(s"[clusterprobe] |raw edges| = $nEdges, |forest| = $nForest, " +
+      s"|stored| = ${stored.count()}")
     time("componentsIncremental")(
       GraphOps.componentsIncremental(stored, edges).count())
     time("full query")(

@@ -239,6 +239,73 @@ object GraphOps {
     * scalars only. GraphOpsSpec pins engine equality on paths,
     * cycles, cliques, random graphs, and the real fixture pair
     * graphs. */
+  /** Partition-local spanning-forest contraction — the
+    * components-INVARIANT sparsifier in front of the fixpoint engines
+    * (round-15). For any partitioning E = ∪ₚ Eₚ, the union of
+    * per-partition spanning forests Fₚ ⊆ Eₚ has exactly the
+    * components of E: a spanning forest preserves its own subset's
+    * connectivity, and the connectivity of a union of subsets is
+    * determined by the connectivity of the parts; every endpoint of
+    * E stays an endpoint of some Fₚ (a node with an edge in Eₚ sits
+    * in an Fₚ tree with ≥ 1 incident edge), so node sets are
+    * preserved too. Why it matters: a near-dup CLIQUE emits c²
+    * verified edges — the round-15 real-corpus measurement put the
+    * fuzzy family's license-mirror cluster at 33.7M edges from 24k
+    * docs — and no join strategy avoids ENUMERATING them, but nothing
+    * downstream of the components fixpoint needs them: one narrow
+    * map pass (NO exchange) contracts each partition's share to at
+    * most its node count, replacing the clique-sized distinct +
+    * checkpoint + per-round fixpoint shuffles. Duplicate and
+    * multi-band edges collapse in the same pass, so callers feeding a
+    * fixpoint need no pair-distinct at all. Memory: the union-find
+    * holds one entry per distinct node in the partition — the same
+    * order as a shuffle-join task's hash table, and it SHRINKS with
+    * higher parallelism. Output orientation/order is
+    * partitioning-dependent; only its COMPONENTS are contractual
+    * (GraphOpsSpec pins components(sparsify(E)) ≡ components(E) on
+    * cliques, paths, random graphs, and the fixture pair frames). */
+  private[graft] def sparsifyForest(edges: DataFrame): DataFrame = {
+    val session = edges.sparkSession
+    // iterate the columnar output directly (queryExecution.toRdd):
+    // the input is clique-sized by contract — 124M rows on the real
+    // corpus — and a Dataset[(Long, Long)] pass allocates a boxed
+    // tuple per row (measured: 4.05 s of the probe chain's wall);
+    // reading the two longs off the InternalRow allocates only for
+    // the ≤ nodes-per-partition survivors
+    val norm = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val forest = norm.queryExecution.toRdd.mapPartitions { it =>
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var root = x
+        var p = parent.getOrDefault(root, root)
+        while (p != root) { root = p; p = parent.getOrDefault(root, root) }
+        var cur = x
+        while (cur != root) {
+          val nxt = parent.getOrDefault(cur, cur)
+          parent.put(cur, root); cur = nxt
+        }
+        root
+      }
+      // lazy flatMap: an edge survives iff it merges two trees — the
+      // surviving set IS a spanning forest of this partition's edges
+      it.flatMap { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        val ra = find(a); val rb = find(b)
+        if (ra == rb) Iterator.empty
+        else {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          Iterator(org.apache.spark.sql.Row(a, b))
+        }
+      }
+    }
+    session.createDataFrame(forest,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("src",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("dst",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   private[graft] def starContractComponents(rawEdges: DataFrame): DataFrame = {
     val session = rawEdges.sparkSession
     val ckptDir = session.conf.get("spark.graft.checkpointDir", "")
@@ -248,7 +315,15 @@ object GraphOps {
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
 
-    var edges = ckpt(rawEdges
+    // spanning-forest contraction FIRST (round-15): a near-dup CLIQUE
+    // emits c² verified edges (the real corpus's license-mirror
+    // cluster: 33.7M edges from 24k docs) and every one of them would
+    // otherwise ride the normalize-distinct exchange, the checkpoint,
+    // and each fixpoint round. The forest is components-identical by
+    // construction (see [[sparsifyForest]]) and at most nodes-per-
+    // partition rows, so the distinct + fixpoint below run on the
+    // contracted graph — usually straight into the small-graph path.
+    var edges = ckpt(sparsifyForest(rawEdges)
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -418,8 +493,14 @@ object GraphOps {
     // materialize the batch edge set ONCE: it feeds the contraction
     // AND the new-node scan, and Catalyst inlines an un-checkpointed
     // subtree per consumer (the round-8 double-computation lesson) —
-    // at the 10× probe the banding+probe lineage costs ~1 s per copy
-    val newEdges = newEdges0.localCheckpoint()
+    // at the 10× probe the banding+probe lineage costs ~1 s per copy.
+    // Contracted through [[sparsifyForest]] first (round-15): the
+    // probe joins may emit a clique-sized edge mass (33.7M on the
+    // 24k-doc real corpus), but the merge only needs its
+    // connectivity — the checkpoint materializes the forest, node
+    // set and merged labels identical by the sparsifier's invariant,
+    // and callers feed raw (non-distinct) probe output.
+    val newEdges = sparsifyForest(newEdges0).localCheckpoint()
     val la = stored.select(col("doc").as("src"), col("comp").as("ca"))
     val lb = stored.select(col("doc").as("dst"), col("comp").as("cb"))
     val contracted = newEdges
@@ -592,7 +673,7 @@ object GraphOps {
       .filter(size(col("docs")) > 1)
       .select(col("src"), explode(col("docs")).as("dst"))
       .filter(col("dst") =!= col("src"))
-    val comp = componentsIncremental(stored, cross.union(batchStars).distinct())
+    val comp = componentsIncremental(stored, cross.union(batchStars))
     val sizes = comp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, Seq("comp"))
       .select(col("doc").as("doc_id"), col("comp").as("component"),
@@ -652,7 +733,8 @@ object GraphOps {
       within = false, tauE2 = 95L)
     val inner = SimilarityOps.semanticPairsRole(newC, newC, within = true,
       tauE2 = 95L)
-    val comp = componentsIncremental(stored, cross.union(inner).distinct())
+    // no edge distinct: the merge's sparsifier collapses duplicates
+    val comp = componentsIncremental(stored, cross.union(inner))
       .select(col("doc").as("doc_id"), col("comp").as("component"))
     val docs = Tables.embeddings(spark, sfDir).select(col("vec_id"))
       .join(Tables.documents(spark, sfDir)
@@ -731,7 +813,9 @@ object GraphOps {
       within = false)
     val inner = SimilarityOps.semanticPairsRoleWide(newB, newB,
       within = true)
-    val comp = componentsIncremental(stored, cross.union(inner).distinct())
+    // no edge distinct: the merge's sparsifier collapses the
+    // multi-band duplicate edges this union used to exchange away
+    val comp = componentsIncremental(stored, cross.union(inner))
       .select(col("doc").as("doc_id"), col("comp").as("component"))
     val docs = Tables.embeddings(spark, sfDir).select(col("vec_id"))
       .join(Tables.documents(spark, sfDir)
@@ -778,9 +862,16 @@ object GraphOps {
     val existB = spark.read.parquet(s"$indexDir/fuzzy_bands")
       .select(col("doc_id"), col("sig"), col("band"), col("bucket"))
     val newB = SimilarityOps.batchBanded(spark, sfDir)
-    val cross = SimilarityOps.minhashPolyPairsRole(newB, existB, within = false)
-    val inner = SimilarityOps.minhashPolyPairsRole(newB, newB, within = true)
-    val comp = componentsIncremental(stored, cross.union(inner).distinct())
+    // raw (non-distinct) probe edges: componentsIncremental's
+    // spanning-forest sparsifier collapses multi-band duplicates AND
+    // cliques in one narrow pass, so the two pair-distinct exchanges
+    // and the union-distinct this chain used to pay (clique-sized on
+    // the real corpus) buy nothing here
+    val cross = SimilarityOps.minhashPolyPairsRoleEdges(newB, existB,
+      within = false)
+    val inner = SimilarityOps.minhashPolyPairsRoleEdges(newB, newB,
+      within = true)
+    val comp = componentsIncremental(stored, cross.union(inner))
       .select(col("doc").as("doc_id"), col("comp").as("component"))
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
     canonicalVerdict(docs, comp).orderBy("doc_id")

@@ -1710,8 +1710,9 @@ object SimilarityOps {
     * integer verify, partner-hash sharding spreading hot subcells
     * exactly like [[semanticPairsRole]] (same [[RoleShards]], same
     * meets-in-the-partner's-one-shard identity). Multi-band collisions
-    * emit duplicate edges — callers run `.distinct()` on the edge
-    * union (both do already). */
+    * emit duplicate edges — harmless: the components merge's
+    * spanning-forest sparsifier collapses them without an exchange
+    * (round-15; callers used to pay a pair-distinct here). */
   private[graft] def semanticPairsRoleWide(newBanded: DataFrame,
       partnerBanded: DataFrame, within: Boolean,
       tauE2: Long = SemTau95): DataFrame = {
@@ -1908,8 +1909,61 @@ object SimilarityOps {
     * batch (id-ordered half); cross-role needs only a ≠ guard. The
     * estimate is computed per band-hit row and filtered before the
     * pair distinct — since round 10 the whole family works this way
-    * (native graft_sigmatch; see minhashDedup's note). */
+    * (native graft_sigmatch; see minhashDedup's note).
+    *
+    * PARTNER-HASH SHARDED (round-15, the verdict's one measured
+    * hot-cluster straggler): this was the ONE pair family whose probe
+    * joined on (band, bucket) alone, so a hot band bucket — the
+    * round-14 real corpus's license/changelog mirror cluster — landed
+    * its whole batch×bucket candidate block in ONE task
+    * (`fuzzy_clusters_incremental` 12.4 s on 24k real docs vs 3.7 s on
+    * 500k synthetic). Same treatment as [[semanticPairsRole]]: each
+    * PARTNER row keeps exactly one of [[RoleShards]] shards (hash of
+    * its id), the batch side replicates to all shards, the join re-keys
+    * on (band, bucket, shard) — identical edge set (every pair meets in
+    * the partner's one shard; PolyDedupSpec pins sharded ≡ unsharded),
+    * but the hot bucket's enumeration now splits across RoleShards
+    * tasks. Replication multiplies only the batch-sized side. */
   private[graft] def minhashPolyPairsRole(newBanded: DataFrame,
+      partnerBanded: DataFrame, within: Boolean): DataFrame =
+    minhashPolyPairsRoleEdges(newBanded, partnerBanded, within).distinct()
+
+  /** [[minhashPolyPairsRole]] WITHOUT the final pair distinct — the
+    * cluster-maintenance input form: multi-band duplicate edges are
+    * harmless to the components merge, whose spanning-forest
+    * sparsifier ([[graft.operators.GraphOps.sparsifyForest]])
+    * collapses them in the same narrow pass that contracts cliques —
+    * so the per-pair distinct would be a clique-sized exchange bought
+    * for nothing (round-15 real corpus: 33.7M verified edges from 24k
+    * docs). Pair-REPORTING surfaces keep the distinct form. */
+  private[graft] def minhashPolyPairsRoleEdges(newBanded: DataFrame,
+      partnerBanded: DataFrame, within: Boolean): DataFrame = {
+    graft.GraftExtensions.register(newBanded.sparkSession)
+    val cond =
+      if (within) col("b.doc_id") < col("a.doc_id")
+      else col("a.doc_id") =!= col("b.doc_id")
+    val matches =
+      call_function("graft_sigmatch", col("a.sig"), col("b.sig"))
+    val n = newBanded.withColumn("shard",
+      explode(sequence(lit(0), lit(RoleShards - 1))))
+    val p = partnerBanded.withColumn("shard",
+      pmod(xxhash64(col("doc_id")), lit(RoleShards)).cast("int"))
+    n.alias("a").join(p.alias("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.shard") === col("b.shard") && cond)
+      .withColumn("est", round(lit(1000.0) * matches / PolyPerms).cast("long"))
+      .filter(col("est") >= 500)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("src"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("dst"))
+  }
+
+  /** UNSHARDED reference form of [[minhashPolyPairsRole]] — the
+    * comparison pair PolyDedupSpec pins the sharded plan against
+    * (identical edge set by the meets-in-the-partner's-one-shard
+    * argument; asserted, not argued — the
+    * [[semanticPairsRoleUnsharded]] convention). */
+  private[graft] def minhashPolyPairsRoleUnsharded(newBanded: DataFrame,
       partnerBanded: DataFrame, within: Boolean): DataFrame = {
     graft.GraftExtensions.register(newBanded.sparkSession)
     val cond =
@@ -1942,21 +1996,67 @@ object SimilarityOps {
   /** The pair stream behind [[minhashDedupPoly]], unsorted — the
     * composition form: downstream consumers (fuzzy_dedup_canonical's
     * component build) join or aggregate these pairs, so a sort here
-    * would be dead work the optimizer may not always remove. */
-  private[graft] def minhashPolyPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.GraftExtensions.register(spark)
-    val banded = polyBandedBuckets(spark, sfDir)
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    // est per band-hit row, BEFORE the distinct (deterministic per
-    // pair — see minhashDedup's note): the distinct exchanges 3 longs
-    // per row instead of ids + two 32-long signatures
+    * would be dead work the optimizer may not always remove.
+    * Round-15: routed through the adaptive triangular tiling
+    * ([[minhashPolyPairsTiled]]) — the fuzzy self-join was the one
+    * pair family without straggler-bound tiles, and the real corpus's
+    * license-mirror cluster showed why that matters (see
+    * [[minhashPolyPairsRole]]'s sharding note). */
+  private[graft] def minhashPolyPairs(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPolyPairsTiled(polyBandedBuckets(spark, sfDir),
+      polyTileFanout(spark, sfDir))
+
+  /** Adaptive tile fanout for the poly-MinHash banded self-join — the
+    * straggler-bound sizing every other pair family already carries
+    * ([[simhashTileFanout]] / [[simhashWideTileFanout]] /
+    * [[semanticWideTileFanout]]): tiles ≈ ⌈√(cores · max_c² / Σc²)⌉
+    * from the (band, bucket) population histogram — 1 when the
+    * histogram is flat (the sf fixtures: zero overhead on the healthy
+    * path), up to 16 when one bucket dominates (the real corpus's
+    * mirror cluster). One ANALYZE aggregate per (session, store),
+    * memoized like the other fanouts. */
+  private[graft] def polyTileFanout(spark: SparkSession, sfDir: String): Int =
+    Memo.cached(spark, s"polyTileFanout:$sfDir") {
+      val r = polyBandedBuckets(spark, sfDir)
+        .groupBy("band", "bucket").count()
+        .agg(max("count"), sum(col("count") * col("count"))).head()
+      val maxC = r.getLong(0).toDouble
+      val sumSq = math.max(1L, r.getLong(1)).toDouble
+      val cores = spark.sparkContext.defaultParallelism.toDouble
+      val t = math.ceil(math.sqrt(cores * maxC * maxC / sumSq)).toInt
+      math.min(16, math.max(1, t))
+    }
+
+  /** The tiled poly-MinHash pair stage — [[simhashWidePairsTiled]]'s
+    * triangular (ti, tj) routing with the signature-agreement
+    * estimate: every pair meets in exactly one (band, bucket, ti, tj)
+    * tile per colliding band (multi-band collisions collapse in the
+    * distinct), so a hot bucket's c² enumeration splits across
+    * tiles·(tiles+1)/2 tasks instead of serializing on one.
+    * PolyDedupSpec pins tiled ≡ untiled (forced fanouts). est per
+    * band-hit row, BEFORE the distinct (deterministic per pair — see
+    * minhashDedup's note): the distinct exchanges 3 longs per row
+    * instead of ids + two 32-long signatures. */
+  private[graft] def minhashPolyPairsTiled(banded: DataFrame,
+      tiles: Int): DataFrame = {
+    graft.GraftExtensions.register(banded.sparkSession)
     val matches = call_function("graft_sigmatch", col("a.sig"), col("b.sig"))
-    a.join(b,
+    val g = pmod(xxhash64(col("doc_id")), lit(tiles)).cast("int")
+    val left = banded.withColumn("g", g)
+      .select(col("doc_id"), col("sig"), col("band"), col("bucket"),
+        col("g").as("ti"),
+        explode(sequence(col("g"), lit(tiles - 1))).as("tj"))
+    val right = banded.withColumn("g", g)
+      .select(col("doc_id"), col("sig"), col("band"), col("bucket"),
+        explode(sequence(lit(0), col("g"))).as("ti"),
+        col("g").as("tj"))
+    left.alias("a").join(right.alias("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.ti") === col("b.ti") && col("a.tj") === col("b.tj") &&
+        (col("a.ti") =!= col("a.tj") || col("a.doc_id") < col("b.doc_id")))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"),
         round(lit(1000.0) * matches / PolyPerms).cast("long")
           .as("est_jaccard_milli"))
       .distinct()

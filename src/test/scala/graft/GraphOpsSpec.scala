@@ -207,4 +207,39 @@ class GraphOpsSpec extends SparkSuite {
       operators.Memo.invalidate(spark)
     }
   }
+
+  test("sparsifyForest preserves components on cliques, paths, dups, random") {
+    import spark.implicits._
+    // round-15: the spanning-forest contraction in front of the
+    // fixpoint engines must be components-INVARIANT for any
+    // partitioning — forced to 8 partitions so cross-partition merges
+    // are exercised; duplicate/multi-band edges must collapse.
+    val clique = for (a <- 1L to 60L; b <- (a + 1) to 60L) yield (a, b)
+    val path = (1L until 50L).map(i => (i, i + 1))
+    val dups = Seq.fill(500)((1L, 2L)) ++ Seq.fill(500)((2L, 3L))
+    val rng = new scala.util.Random(7)
+    val random = Seq.fill(400)(
+      (rng.nextInt(100).toLong + 1, rng.nextInt(100).toLong + 1))
+      .filter { case (a, b) => a != b }
+    for (g <- Seq(clique, path, dups, random)) {
+      val edges = g.toDF("src", "dst").repartition(8)
+      val forest = operators.GraphOps.sparsifyForest(edges)
+      // the forest is a sub-multigraph with the same endpoints
+      val nodes = g.flatMap { case (a, b) => Seq(a, b) }.toSet
+      val fRows = forest.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(fRows.flatMap { case (a, b) => Seq(a, b) }.toSet == nodes)
+      assert(fRows.length < math.max(2, g.length) || g.length <= nodes.size)
+      // and components are identical to the unsparsified graph's
+      def comps(df: org.apache.spark.sql.DataFrame) =
+        operators.GraphOps.starContractComponents(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comps(forest.toDF("src", "dst")) == comps(g.toDF("src", "dst")))
+    }
+    // a clique's forest collapses to node-count scale even split 8 ways
+    val cliqueForest = operators.GraphOps
+      .sparsifyForest(clique.toDF("src", "dst").repartition(8)).count()
+    assert(cliqueForest <= 8 * 60,
+      s"clique forest should be ~partitions*nodes, got $cliqueForest " +
+        s"of ${clique.length} edges")
+  }
 }

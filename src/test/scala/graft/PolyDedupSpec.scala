@@ -198,4 +198,50 @@ class PolyDedupSpec extends SparkSuite {
         if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3))).toSeq
     assert(got == expected)
   }
+
+  test("fuzzy role probes: sharded equals unsharded, batch and cross") {
+    // round-15: the (band, bucket, shard) re-key that spreads a hot
+    // band bucket's candidate block across RoleShards tasks — the one
+    // pair family that lacked it (the real corpus's license-mirror
+    // cluster serialized fuzzy_clusters_incremental on one task) —
+    // must not change the edge set: every pair meets in the partner's
+    // one shard.
+    val batch = SimilarityOps.batchBanded(spark, sf)
+    val exist = SimilarityOps.existBanded(spark, sf)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(
+      key(SimilarityOps.minhashPolyPairsRole(batch, exist, within = false)) ==
+      key(SimilarityOps.minhashPolyPairsRoleUnsharded(batch, exist,
+        within = false)), "cross edges differ")
+    val within = key(SimilarityOps.minhashPolyPairsRole(batch, batch,
+      within = true))
+    assert(within ==
+      key(SimilarityOps.minhashPolyPairsRoleUnsharded(batch, batch,
+        within = true)), "within edges differ")
+    assert(within.forall { case (s, d) => s < d })
+  }
+
+  test("fuzzy pair self-join is tile-invariant (forced tiles 4 vs 1 vs adaptive)") {
+    // every pair meets in exactly one (band, bucket, ti, tj) tile per
+    // colliding band, so the emitted (a_id, b_id, est) set is
+    // identical for any fanout — and tiles = 1 is the pre-round-15
+    // untiled plan, so this also pins no-regression of the pair set.
+    import org.apache.spark.sql.functions.col
+    val banded = SimilarityOps.polyBandedBuckets(spark, sf)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+    val untiled = key(SimilarityOps.minhashPolyPairsTiled(banded, 1))
+    val tiled = key(SimilarityOps.minhashPolyPairsTiled(banded, 4))
+    assert(untiled.nonEmpty)
+    assert(tiled == untiled)
+    val adaptive = key(SimilarityOps.minhashPolyPairs(spark, sf))
+    assert(adaptive == untiled)
+    // ordering contract downstream consumers rely on
+    assert(untiled.forall { case (a, b, _) => a < b })
+    // the adaptive fanout is sane on the healthy fixture
+    val t = SimilarityOps.polyTileFanout(spark, sf)
+    assert(t >= 1 && t <= 16, s"fanout out of range: $t")
+  }
 }
