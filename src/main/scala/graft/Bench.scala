@@ -61,7 +61,11 @@ object Bench {
     "minhash_dedup_poly", "fuzzy_dedup_canonical", "cross_source_dups",
     "dedup_incremental",
     // round-6 surface: embedding-space (SemDeDup-style) dedup
-    "semantic_dedup", "semantic_incremental",
+    // (round-15: semantic_incremental retired from the headline for
+    // the tail-window budget — its stored-index probe shape is the
+    // one semantic_clusters_incremental times every round; still
+    // oracle-gated in Verify)
+    "semantic_dedup",
     // round-7 surface: production-τ semantic dedup (sparse regime);
     // ann_ivf_topk's slot above became
     // ann_ivf_probe (the stored-index probe — production search cost;
@@ -94,9 +98,17 @@ object Bench {
     // mitigation, measured at scale in Bench100x/BenchHard)
     "ann_ivf_q8_topk", "simhash_dedup_wide",
     // round-14: the wide 4×16-bit semantic lattice (the q8 family's
-    // fixed-universe fix) — pairs at the τ=0.30 stress point and the
-    // production-τ incremental verdict over the stored wide index
-    "semantic_dedup_wide", "semantic_clusters_incremental_wide")
+    // fixed-universe fix), pairs at the τ=0.30 stress point
+    "semantic_dedup_wide",
+    // round-15 (verdict item 2): the DISPATCHED lines — what
+    // production actually runs at each store size — tracked beside
+    // the pinned branches. To keep the compact line inside the
+    // driver's 2000-byte tail window, simhash_dedup_wide and
+    // semantic_clusters_incremental_wide retire from the sf0.1
+    // headline: both exist FOR saturating scales and stay first-class
+    // lines of Bench100x.top (BENCH_10x/100x_hard + BENCH_100x carry
+    // them every round), and both remain oracle-gated in Verify
+    "simhash_dedup_auto", "semantic_clusters_incremental_auto")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2828,15 +2828,73 @@ object Oracles {
       // BIGINT overflow, nonneg operands so % agrees across engines),
       // 9 chunks of 14 bits, radius <= 8 over the chunk-partitioned
       // hamming.
-      "simhash_dedup_wide" -> qx(
-        """, wh AS (
+      "simhash_dedup_wide" -> qx(simhashWideCteFrom("documents"),
+
+        """SELECT a_id, b_id, hamming FROM hams WHERE hamming <= 8
+          |ORDER BY a_id, b_id""".stripMargin),
+      "simhash_dedup_poly" -> qx(PolySimhashBandedCte + PolySimhashPairsCte,
+        PolySimhashPairsSelect),
+      // round-15: the WIDE dispatch branch oracle-FIRED — the
+      // engineered saturated store (one source replicated
+      // SatReplicas x, the id stride mirroring
+      // SimilarityOps.satSimhashDir exactly) crosses the measured
+      // saturation cut, so the UNCHANGED public dispatcher routes the
+      // wide 126-bit lattice and this replay checks it hash-for-hash;
+      // output = exact pair mass per Hamming radius
+      "simhash_dedup_auto_sat" -> qx(
+        s""", satdocs AS (
+          |  SELECT doc_id, source, text FROM documents
+          |  UNION ALL
+          |  SELECT 1000000 + doc_id * ${graft.operators.SimilarityOps.SatReplicas}
+          |           + r AS doc_id, source, text
+          |  FROM documents
+          |  CROSS JOIN (SELECT unnest(range(1,
+          |    ${graft.operators.SimilarityOps.SatReplicas})) AS r)
+          |  WHERE source = 'src0'
+          |)""".stripMargin + simhashWideCteFrom("satdocs"),
+        """SELECT hamming, COUNT(*) AS n_pairs FROM hams
+          |WHERE hamming <= 8 GROUP BY hamming ORDER BY hamming""".stripMargin),
+      // the DISPATCHED narrow/wide operator (round-14): the oracle is
+      // the NARROW poly branch — the one the measured Σc²/doc profile
+      // fires at every driver-verified store size (sf0.01 13/doc,
+      // sf0.1 117/doc, cut 200); SimhashDispatchSpec pins the wide
+      // pick at the saturated scale fixtures by canonical-plan
+      // equality, where no driver oracle runs
+      "simhash_dedup_auto" -> qx(PolySimhashBandedCte + PolySimhashPairsCte,
+        PolySimhashPairsSelect),
+      // one-row bucket-profile ANALYZE of the narrow poly space — the
+      // dispatcher's detector as a public query (the shingle_df_stats
+      // idiom); all-integer aggregates over the replayed signature
+      "simhash_bucket_stats" -> qx(PolySimhashBandedCte +
+        """, bk AS (
+          |  SELECT source, band,
+          |         (simhash >> CAST(band*10 AS INT)) & 1023 AS chunk,
+          |         CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM banded GROUP BY 1, 2, 3
+          |)""".stripMargin,
+        """SELECT CAST(SUM(c) // 3 AS BIGINT) AS n_docs,
+          |       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+          |       CAST(MAX(c) AS BIGINT) AS max_bucket,
+          |       CAST(SUM(c*c) AS BIGINT) AS sum_sq,
+          |       CAST(SUM(c*c) AS BIGINT) // CAST(SUM(c) // 3 AS BIGINT)
+          |         AS work_per_doc
+          |FROM bk""".stripMargin),
+    )
+  }
+
+  /** The WIDE 126-bit poly simhash chain ending in the `hams` CTE,
+    * parametrized on the source relation so the round-15 engineered
+    * saturated store (`satdocs`) replays the SAME arithmetic the
+    * fixture-wide oracle uses. */
+  private def simhashWideCteFrom(rel: String): String =
+    s""", wh AS (
           |  SELECT doc_id, source,
           |         list_transform(string_split(text, ' '),
           |           w -> CASE WHEN length(w) = 0 THEN 0 ELSE list_reduce(
           |                  list_transform(range(1, length(w)+1),
           |                    i -> CAST(unicode(substr(w, CAST(i AS INT), 1)) AS BIGINT)),
           |                  (a, b) -> (a * 31 + b) % 1000000007) END) AS wh
-          |  FROM documents
+          |  FROM $rel
           |), bits AS (
           |  SELECT doc_id, source,
           |         list_transform(range(126), b ->
@@ -2867,38 +2925,7 @@ object Oracles {
           |           bit_count(xor(ca[CAST(i AS INT) + 1],
           |                         cb[CAST(i AS INT) + 1])))) AS INT) AS hamming
           |  FROM pairs
-          |)""".stripMargin,
-        """SELECT a_id, b_id, hamming FROM hams WHERE hamming <= 8
-          |ORDER BY a_id, b_id""".stripMargin),
-      "simhash_dedup_poly" -> qx(PolySimhashBandedCte + PolySimhashPairsCte,
-        PolySimhashPairsSelect),
-      // the DISPATCHED narrow/wide operator (round-14): the oracle is
-      // the NARROW poly branch — the one the measured Σc²/doc profile
-      // fires at every driver-verified store size (sf0.01 13/doc,
-      // sf0.1 117/doc, cut 200); SimhashDispatchSpec pins the wide
-      // pick at the saturated scale fixtures by canonical-plan
-      // equality, where no driver oracle runs
-      "simhash_dedup_auto" -> qx(PolySimhashBandedCte + PolySimhashPairsCte,
-        PolySimhashPairsSelect),
-      // one-row bucket-profile ANALYZE of the narrow poly space — the
-      // dispatcher's detector as a public query (the shingle_df_stats
-      // idiom); all-integer aggregates over the replayed signature
-      "simhash_bucket_stats" -> qx(PolySimhashBandedCte +
-        """, bk AS (
-          |  SELECT source, band,
-          |         (simhash >> CAST(band*10 AS INT)) & 1023 AS chunk,
-          |         CAST(COUNT(*) AS BIGINT) AS c
-          |  FROM banded GROUP BY 1, 2, 3
-          |)""".stripMargin,
-        """SELECT CAST(SUM(c) // 3 AS BIGINT) AS n_docs,
-          |       CAST(COUNT(*) AS BIGINT) AS n_buckets,
-          |       CAST(MAX(c) AS BIGINT) AS max_bucket,
-          |       CAST(SUM(c*c) AS BIGINT) AS sum_sq,
-          |       CAST(SUM(c*c) AS BIGINT) // CAST(SUM(c) // 3 AS BIGINT)
-          |         AS work_per_doc
-          |FROM bk""".stripMargin),
-    )
-  }
+          |)""".stripMargin
 
   /** The narrow 30-bit poly simhash banded frame (wh word hashes →
     * majority-bit signature → 3×10-bit chunk bands) — shared by the

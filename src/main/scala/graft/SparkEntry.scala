@@ -182,6 +182,7 @@ object SparkEntry {
     "simhash_dedup_poly" -> (SimilarityOps.simhashDedupPoly _),
     "simhash_dedup_wide" -> (SimilarityOps.simhashDedupWide _),
     "simhash_dedup_auto" -> (SimilarityOps.simhashDedupAuto _),
+    "simhash_dedup_auto_sat" -> (SimilarityOps.simhashDedupAutoSat _),
     "simhash_bucket_stats" -> (SimilarityOps.simhashBucketStats _),
     "fuzzy_dedup_canonical" -> (GraphOps.fuzzyDedupCanonical _),
     "fuzzy_dedup_stats" -> (GraphOps.fuzzyDedupStats _),

@@ -55,4 +55,32 @@ class SimhashDispatchSpec extends SparkSuite {
     assert(sumSq >= 3 * docs && sumSq <= 3 * docs * maxB)
     assert(perDoc == sumSq / docs)
   }
+
+  test("engineered saturated store routes WIDE on the sf fixture (oracle-fired branch)") {
+    // round-15 verdict item 4: the dispatchers' wide branch had never
+    // fired where a DuckDB oracle runs — every driver-verified store
+    // measures narrow. The satSimhashDir store (one source ×128)
+    // crosses the cut at sf sizes, so simhash_dedup_auto_sat's
+    // CORRECTNESS row exercises the wide branch hash-for-hash; this
+    // pins that the dispatch there IS the wide plan, and that the
+    // replication arithmetic measured what it was engineered to.
+    val satDir = graft.operators.SimilarityOps.satSimhashDir(spark, sf)
+    val stats = graft.operators.SimilarityOps
+      .simhashBucketStats(spark, satDir).head()
+    val perDoc = stats.getLong(stats.fieldIndex("work_per_doc"))
+    assert(perDoc >= graft.operators.SimilarityOps.SimhashSaturationCutPerDoc,
+      s"engineered store measured only $perDoc/doc — below the cut")
+    assert(graft.operators.SimilarityOps.simhashSaturated(spark, satDir))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.canonicalized
+    assert(canon(SimilarityOps.simhashDedupAuto(spark, satDir)) ==
+      canon(SimilarityOps.simhashDedupWide(spark, satDir)),
+      "saturated store must dispatch the wide lattice")
+    // and the public rollup is non-trivial: replica pairs land at
+    // hamming 0, so the mass there is at least 25·C(128,2)
+    val rows = SimilarityOps.simhashDedupAutoSat(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows.getOrElse(0, 0L) >= 25L * 128 * 127 / 2,
+      s"hamming-0 mass too small: $rows")
+  }
 }
