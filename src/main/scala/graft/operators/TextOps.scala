@@ -1234,7 +1234,19 @@ object TextOps {
       .select(col("tok"),
         round(lit(1e6) * log(col("total_toks").cast("double") / col("freq")))
           .cast("long").as("sur_micro"))
-    toks.join(scored, Seq("tok"))
+    // size-gated broadcast (round-15, the measured fix for the LM
+    // lines on the open-vocabulary real corpus): the scoring join was
+    // exchanging the corpus-sized token stream AND the model on the
+    // hash key, and with a broadcast model the stream never shuffles
+    // at full width — the per-doc aggregation partial-aggregates
+    // map-side and only (doc_id, sums) rows reach an exchange. Past
+    // [[lmMaxModelBroadcast]] the model flips back to the shuffle
+    // join — the plan that survives any vocabulary.
+    val uniModel =
+      if (vocabApprox(spark, sfDir) <= lmMaxModelBroadcast(spark))
+        broadcast(scored)
+      else scored
+    toks.join(uniModel, Seq("tok"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("sur_micro").as("sum_sur_micro"))
       .select(col("doc_id"), col("n_tokens"),
@@ -1282,17 +1294,57 @@ object TextOps {
     val c12 = bi.groupBy("h12", "h1").agg(count(lit(1)).as("c12"))
       .persist()
     val c1 = c12.groupBy("h1").agg(sum("c12").as("c1"))
-    val scored = c12.join(c1, Seq("h1"))
+    // c1 is UNIGRAM-vocab-sized — one order below c12 — and on the
+    // real corpus (~700k first-words ≈ 11 MB) it sits just past AQE's
+    // auto-broadcast threshold, so the model build was paying a
+    // sort-merge exchange of BOTH model frames on h1. Same size gate
+    // as the scoring model: under the ceiling the c12 side never
+    // re-shuffles (it is already partitioned by its own aggregation).
+    val c1Side =
+      if (vocabApprox(spark, sfDir) <= lmMaxModelBroadcast(spark))
+        broadcast(c1)
+      else c1
+    val scored = c12.join(c1Side, Seq("h1"))
       .select(col("h12"),
         round(lit(1e6) * log(col("c1").cast("double") / col("c12")))
           .cast("long").as("sur_micro"))
-    bi.join(scored, Seq("h12"))
+    // size-gated broadcast of the scored model — see
+    // [[unigramSurprisal]]'s note; the gate here is the BIGRAM
+    // vocabulary (the model is keyed by h12). Real-corpus
+    // decomposition (BigramProbe, 24k docs / 9.4M instances / 1.86M
+    // bigram vocab): the model⋈stream shuffle join was 4.65 s of the
+    // 5.57 s wall — the model agg is NOT the binding stage.
+    val biModel =
+      if (bigramVocabApprox(spark, sfDir) <= lmMaxModelBroadcast(spark))
+        broadcast(scored)
+      else scored
+    bi.join(biModel, Seq("h12"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("sur_micro").as("sum_sur_micro"))
       .select(col("doc_id"), col("n_bigrams"),
         expr("sum_sur_micro DIV n_bigrams").as("mean_sur_micro"))
       .orderBy("doc_id")
   }
+
+  /** Broadcast ceiling for the LM scoring models (rows): under it
+    * the scored model ships as a broadcast local relation (~16 B/row
+    * of longs — the 4M default is ~64 MB serialized, routine torrent
+    * size on a large cluster) and the scoring scan is exchange-free;
+    * over it the scorer keeps the hash-shuffle join. Conf-tunable so
+    * a cluster owner can match executor memory. */
+  private def lmMaxModelBroadcast(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.lm.maxModelBroadcast")
+      .map(_.toLong).getOrElse(4000000L)
+
+  /** Memoized approx distinct-bigram count — [[vocabApprox]]'s idiom
+    * one order up, gating the bigram model broadcast (the model is
+    * keyed by (w1, w2), so its size is the bigram vocabulary). */
+  private def bigramVocabApprox(spark: SparkSession, sfDir: String): Long =
+    Memo.cached(spark, s"bigramVocabApprox:$sfDir") {
+      bigramsOf(Tables.documents(spark, sfDir))
+        .agg(approx_count_distinct(xxhash64(col("w1"), col("w2"))))
+        .head().getLong(0)
+    }
 
   /** (doc_id, w1, w2) bigram stream via zip-with-shift on the token
     * array — per-row projection, shared by both bigram scorers. */
@@ -1321,35 +1373,39 @@ object TextOps {
   def bigramSurprisalTopV(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val bi = bigramsOf(Tables.documents(spark, sfDir))
-    // The scored model tables are COLLECTED once per (session, store)
-    // and re-enter the scoring pass as broadcast LOCAL relations —
-    // round-11 shipped them as a persisted exchange read back through
-    // a TakeOrdered + two joins on EVERY invocation, which regressed
-    // the sf0.1 min to 1.4 s (the ledger's round-11 caveat). The
-    // model IS dim-sized by construction — topv is capped at
-    // [[BigramTopV]] rows and the unigram table is |vocab| rows — so
-    // per invocation the plan is ONE corpus scoring scan with two
-    // broadcast hash joins, nothing else. The driver collect of
-    // |vocab| rows is now GUARDED (round-12 advice): a memoized
-    // approx-distinct vocab count gates the path, and past
-    // [[topVMaxVocabBroadcast]] tokens the UNI side flips back to a
-    // shuffle join against the memoized model frame — slower but
-    // driver-safe, the exact fallback the old comment promised
-    // without enforcing. The 512-row topv table broadcasts in either
-    // regime. Scoring math is identical in both arms (bit-same
-    // oracle hash).
-    val scored =
-      if (vocabApprox(spark, sfDir) <= topVMaxVocabBroadcast(spark)) {
-        val m = bigramTopVModel(spark, sfDir)
-        val topv = m.topv.toDF("w1", "w2", "sur_micro")
-        val uni = m.uni.toDF("w2", "uni_sur_micro")
-        bi.join(broadcast(topv), Seq("w1", "w2"), "left")
-          .join(broadcast(uni), Seq("w2"))
-      } else {
-        val (topv, uni) = bigramTopVModelFrames(spark, sfDir)
-        bi.join(broadcast(topv), Seq("w1", "w2"), "left")
-          .join(uni, Seq("w2"))
-      }
+    // The scored model tables are memoized FRAMES (localCheckpoints,
+    // built once per (session, store)) and re-enter every scoring
+    // pass as broadcast sides — round-11 shipped them as a persisted
+    // exchange read back through a TakeOrdered + two joins on EVERY
+    // invocation (the ledger's round-11 caveat), and rounds 12–14
+    // COLLECTED them to driver Seqs that re-entered as LocalRelations,
+    // which serialized the |vocab|-row table into the plan on every
+    // execution. Round 15 (the BigramProbe measurement: this was the
+    // slowest LM line at 4.99 s on the real corpus) unifies both
+    // regimes on the frames: per invocation the plan is ONE corpus
+    // scoring scan with two broadcast hash joins; the memoized
+    // approx-distinct vocab gate now only decides whether the UNI
+    // side broadcasts (executor-memory-sized) or flips to the
+    // shuffle join past [[topVMaxVocabBroadcast]] tokens — the plan
+    // that survives any vocabulary. Scoring math is identical in
+    // both arms (bit-same oracle hash), pinned in BigramSurprisalSpec.
+    // Join currency is the xxhash64 of the gram (the shingleDocs
+    // convention): lookups by hash equal lookups by word, so sur
+    // values are unchanged while the probe keys are 8-byte longs
+    // instead of strings.
+    val biH = bi.select(col("doc_id"),
+      xxhash64(col("w1"), col("w2")).as("h12"),
+      xxhash64(col("w2")).as("h2"))
+    val (topvF, uniF) = bigramTopVModelFrames(spark, sfDir)
+    val topvH = broadcast(topvF.select(
+      xxhash64(col("w1"), col("w2")).as("h12"), col("sur_micro")))
+    val uniH = uniF.select(
+      xxhash64(col("w2")).as("h2"), col("uni_sur_micro"))
+    val uniSide =
+      if (vocabApprox(spark, sfDir) <= topVMaxVocabBroadcast(spark))
+        broadcast(uniH)
+      else uniH
+    val scored = biH.join(topvH, Seq("h12"), "left").join(uniSide, Seq("h2"))
     scored
       .select(col("doc_id"),
         coalesce(col("sur_micro"), col("uni_sur_micro")).as("tok_sur"),
@@ -1362,11 +1418,11 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** Driver-collect ceiling for the unigram model table, in distinct
-    * tokens. Default 8M rows ≈ a few hundred MB of (String, Long)
-    * tuples on the driver — comfortably inside a 4 GB driver while
-    * still covering any natural-language vocabulary the fixture
-    * family can produce. Tunable per deployment. */
+  /** Broadcast ceiling for the unigram model table, in distinct
+    * tokens. Default 8M rows ≈ ~128 MB of (long, long) pairs as a
+    * broadcast hash relation — routine torrent size on a large
+    * cluster while still covering any natural-language vocabulary
+    * the fixture family can produce. Tunable per deployment. */
   private def topVMaxVocabBroadcast(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.topv.maxVocabBroadcast")
       .map(_.toLong).getOrElse(8000000L)
@@ -1383,45 +1439,24 @@ object TextOps {
         .agg(approx_count_distinct("tok")).head().getLong(0)
     }
 
-  private case class TopVModel(topv: Seq[(String, String, Long)],
-      uni: Seq[(String, Long)])
-
   /** The stupid-backoff model build — ONE corpus pass for BOTH model
     * tables (unigram vocab + bigram counts), memoized per (session,
-    * store) like every other stored model artifact. The trick is a
-    * SENTINEL end-of-doc token: bigrams over ws ++ [EOD] give every
-    * token exactly one appearance as w1 (each token has a successor),
-    * so
+    * store) as localCheckpoint frames (|topv| = 512 and |vocab| rows
+    * respectively) like every other stored model artifact. The trick
+    * is a SENTINEL end-of-doc token: bigrams over ws ++ [EOD] give
+    * every token exactly one appearance as w1 (each token has a
+    * successor), so
     *   vocab(t)  = Σ_w2 count(w1 = t, w2)   — exact unigram counts,
     *   c12       = the rows with w2 ≠ EOD    — exact bigram counts,
     *   c1        = Σ_w2≠EOD c12              — bigram occurrences by
     *                                           first word,
-    * all from ONE aggregated frame (persisted for the build's three
-    * consumers, UNPERSISTED before return — the round-11 leak
-    * advice). The bigram kernel stays whole-stage-codegen
-    * (concat/slice/zip_with explode — same as bigramsOf). EOD is a
-    * SPACE, and a split-on-space token cannot contain one —
-    * collision-free by construction for ANY corpus. Scoring math
-    * (round(1e6·ln…)) runs in Spark BEFORE the collect, so the
-    * literal tables are bit-identical to the round-11 frames. */
-  private def bigramTopVModel(spark: SparkSession, sfDir: String): TopVModel =
-    Memo.cached(spark, s"bigramTopV:$sfDir") {
-      val model = bigramModelAgg(spark, sfDir).persist()
-      try {
-        val (topvF, uniF) = topVScoreFrames(model)
-        val topv = topvF.collect().toSeq
-          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-        val uni = uniF.collect().toSeq
-          .map(r => (r.getString(0), r.getLong(1)))
-        TopVModel(topv, uni)
-      } finally { model.unpersist(false); () }
-    }
-
-  /** The shuffle-regime twin of [[bigramTopVModel]]: the same scored
-    * tables left AS FRAMES (memoized localCheckpoints — |topv| = 512
-    * and |vocab| rows respectively), for vocabularies past the driver
-    * broadcast ceiling. Same plans up to the collect, so the scores
-    * are bit-identical to the broadcast arm's local relations. */
+    * all from ONE aggregated frame. The bigram kernel stays
+    * whole-stage-codegen (concat/slice/zip_with explode — same as
+    * bigramsOf). EOD is a SPACE, and a split-on-space token cannot
+    * contain one — collision-free by construction for ANY corpus.
+    * Scoring math (round(1e6·ln…)) runs in Spark, so the frames are
+    * bit-identical to the collected literal tables rounds 12–14
+    * shipped. */
   private def bigramTopVModelFrames(spark: SparkSession,
       sfDir: String): (DataFrame, DataFrame) = {
     val model = Memo.frame(spark, s"bigramModelAgg:$sfDir")(
