@@ -867,10 +867,15 @@ object GraphOps {
     // cliques in one narrow pass, so the two pair-distinct exchanges
     // and the union-distinct this chain used to pay (clique-sized on
     // the real corpus) buy nothing here
+    // adaptive shard fanout (round-15 follow-up): 1 on flat bucket
+    // histograms — the probe join stays un-replicated on every
+    // synthetic fixture — up to RoleShards when one bucket dominates
+    // (the real corpus's mirror cluster)
+    val shards = SimilarityOps.polyRoleShardFanout(spark, sfDir)
     val cross = SimilarityOps.minhashPolyPairsRoleEdges(newB, existB,
-      within = false)
+      within = false, shards)
     val inner = SimilarityOps.minhashPolyPairsRoleEdges(newB, newB,
-      within = true)
+      within = true, shards)
     val comp = componentsIncremental(stored, cross.union(inner))
       .select(col("doc").as("doc_id"), col("comp").as("component"))
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))

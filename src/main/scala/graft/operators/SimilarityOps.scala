@@ -1925,8 +1925,10 @@ object SimilarityOps {
     * but the hot bucket's enumeration now splits across RoleShards
     * tasks. Replication multiplies only the batch-sized side. */
   private[graft] def minhashPolyPairsRole(newBanded: DataFrame,
-      partnerBanded: DataFrame, within: Boolean): DataFrame =
-    minhashPolyPairsRoleEdges(newBanded, partnerBanded, within).distinct()
+      partnerBanded: DataFrame, within: Boolean,
+      shards: Int = RoleShards): DataFrame =
+    minhashPolyPairsRoleEdges(newBanded, partnerBanded, within, shards)
+      .distinct()
 
   /** [[minhashPolyPairsRole]] WITHOUT the final pair distinct — the
     * cluster-maintenance input form: multi-band duplicate edges are
@@ -1937,25 +1939,44 @@ object SimilarityOps {
     * for nothing (round-15 real corpus: 33.7M verified edges from 24k
     * docs). Pair-REPORTING surfaces keep the distinct form. */
   private[graft] def minhashPolyPairsRoleEdges(newBanded: DataFrame,
-      partnerBanded: DataFrame, within: Boolean): DataFrame = {
+      partnerBanded: DataFrame, within: Boolean,
+      shards: Int = RoleShards): DataFrame = {
     graft.GraftExtensions.register(newBanded.sparkSession)
     val cond =
       if (within) col("b.doc_id") < col("a.doc_id")
       else col("a.doc_id") =!= col("b.doc_id")
     val matches =
       call_function("graft_sigmatch", col("a.sig"), col("b.sig"))
-    val n = newBanded.withColumn("shard",
-      explode(sequence(lit(0), lit(RoleShards - 1))))
-    val p = partnerBanded.withColumn("shard",
-      pmod(xxhash64(col("doc_id")), lit(RoleShards)).cast("int"))
-    n.alias("a").join(p.alias("b"),
-        col("a.band") === col("b.band") &&
-        col("a.bucket") === col("b.bucket") &&
-        col("a.shard") === col("b.shard") && cond)
-      .withColumn("est", round(lit(1000.0) * matches / PolyPerms).cast("long"))
-      .filter(col("est") >= 500)
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("src"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("dst"))
+    // shards = 1 (flat bucket histograms — the adaptive fanout's
+    // verdict on every synthetic fixture) skips the shard columns
+    // entirely: the round-15 fixed-32 replication of the batch side
+    // cost the hard-100× nightly merge 2.3× on a corpus with NO hot
+    // bucket to spread (BENCH_100x_hard 3.7 → 8.6 s, caught by the
+    // per-round artifact diff; see [[polyRoleShardFanout]]).
+    if (shards <= 1)
+      newBanded.alias("a").join(partnerBanded.alias("b"),
+          col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") && cond)
+        .withColumn("est",
+          round(lit(1000.0) * matches / PolyPerms).cast("long"))
+        .filter(col("est") >= 500)
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("src"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("dst"))
+    else {
+      val n = newBanded.withColumn("shard",
+        explode(sequence(lit(0), lit(shards - 1))))
+      val p = partnerBanded.withColumn("shard",
+        pmod(xxhash64(col("doc_id")), lit(shards)).cast("int"))
+      n.alias("a").join(p.alias("b"),
+          col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.shard") === col("b.shard") && cond)
+        .withColumn("est",
+          round(lit(1000.0) * matches / PolyPerms).cast("long"))
+        .filter(col("est") >= 500)
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("src"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("dst"))
+    }
   }
 
   /** UNSHARDED reference form of [[minhashPolyPairsRole]] — the
@@ -2015,17 +2036,43 @@ object SimilarityOps {
     * path), up to 16 when one bucket dominates (the real corpus's
     * mirror cluster). One ANALYZE aggregate per (session, store),
     * memoized like the other fanouts. */
-  private[graft] def polyTileFanout(spark: SparkSession, sfDir: String): Int =
-    Memo.cached(spark, s"polyTileFanout:$sfDir") {
+  /** One memoized (max c, Σc²) ANALYZE over the poly (band, bucket)
+    * histogram — shared by [[polyTileFanout]] and
+    * [[polyRoleShardFanout]] so the corpus is signed once per
+    * (session, store) for both sizing decisions. */
+  private def polyBucketMoments(spark: SparkSession,
+      sfDir: String): (Double, Double) =
+    Memo.cached(spark, s"polyBucketMoments:$sfDir") {
       val r = polyBandedBuckets(spark, sfDir)
         .groupBy("band", "bucket").count()
         .agg(max("count"), sum(col("count") * col("count"))).head()
-      val maxC = r.getLong(0).toDouble
-      val sumSq = math.max(1L, r.getLong(1)).toDouble
-      val cores = spark.sparkContext.defaultParallelism.toDouble
-      val t = math.ceil(math.sqrt(cores * maxC * maxC / sumSq)).toInt
-      math.min(16, math.max(1, t))
+      (r.getLong(0).toDouble, math.max(1L, r.getLong(1)).toDouble)
     }
+
+  private[graft] def polyTileFanout(spark: SparkSession, sfDir: String): Int = {
+    val (maxC, sumSq) = polyBucketMoments(spark, sfDir)
+    val cores = spark.sparkContext.defaultParallelism.toDouble
+    val t = math.ceil(math.sqrt(cores * maxC * maxC / sumSq)).toInt
+    math.min(16, math.max(1, t))
+  }
+
+  /** Adaptive shard count for the fuzzy ROLE probes — the
+    * straggler-bound argument without the square root: the hot
+    * bucket's c² work serializes on one task unless split into
+    * ≥ cores·max_c²/Σc² shards (the share of total pair work the one
+    * bucket holds, times the core count it should spread over). 1 on
+    * flat histograms (every synthetic fixture: the probe join keeps
+    * its plain (band, bucket) key and the batch side never
+    * replicates), ~9 on the 24k real corpus (max bucket 13,588 of
+    * Σc² 685.5M at 32 cores), capped at [[RoleShards]]. Same memoized
+    * ANALYZE as the tile fanout — one corpus signing buys both. */
+  private[graft] def polyRoleShardFanout(spark: SparkSession,
+      sfDir: String): Int = {
+    val (maxC, sumSq) = polyBucketMoments(spark, sfDir)
+    val cores = spark.sparkContext.defaultParallelism.toDouble
+    val s = math.ceil(cores * maxC * maxC / sumSq).toInt
+    math.min(RoleShards, math.max(1, s))
+  }
 
   /** The tiled poly-MinHash pair stage — [[simhashWidePairsTiled]]'s
     * triangular (ti, tj) routing with the signature-agreement

@@ -220,6 +220,15 @@ class PolyDedupSpec extends SparkSuite {
       key(SimilarityOps.minhashPolyPairsRoleUnsharded(batch, batch,
         within = true)), "within edges differ")
     assert(within.forall { case (s, d) => s < d })
+    // shards = 1 takes the un-replicated plain-key path (the adaptive
+    // fanout's verdict on flat histograms) — same edge set again
+    assert(within == key(SimilarityOps.minhashPolyPairsRole(batch, batch,
+      within = true, shards = 1)), "shards=1 edges differ")
+    assert(
+      key(SimilarityOps.minhashPolyPairsRole(batch, exist,
+        within = false, shards = 1)) ==
+      key(SimilarityOps.minhashPolyPairsRoleUnsharded(batch, exist,
+        within = false)), "shards=1 cross edges differ")
   }
 
   test("fuzzy pair self-join is tile-invariant (forced tiles 4 vs 1 vs adaptive)") {
