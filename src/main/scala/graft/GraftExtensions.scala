@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{ChunkHamming, CompressionRatio, CosineSimilarity, LatticeBands, MinHashSig, PolyMinHashSig, PolySimHash, PolySimHashWide, Q8CellSig, Q8CellSigWide, Q8Dot, Q8MomentsGen, RollingFp, SigMatchCount, SimHash64, SortedInterCount, SrpBands, StripDict, TokenChunksGen, TokenChunksPosGen, TokenNGramsGen, TokenShingles}
+import graft.functions.{BpeTokenCount, ChunkHamming, CompressionRatio, CosineSimilarity, LatticeBands, MinHashSig, PolyMinHashSig, PolySimHash, PolySimHashWide, Q8CellSig, Q8CellSigWide, Q8Dot, Q8MomentsGen, RollingFp, SigMatchCount, SimHash64, SortedInterCount, SrpBands, StripDict, TokenChunksGen, TokenChunksPosGen, TokenNGramsGen, TokenShingles}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for the SQL surface. Use either at session build time
@@ -163,6 +163,17 @@ object GraftExtensions {
           " if(x = y, 1, 0)), 0, (s,v) -> s + ifnull(v, 0))).",
         ""),
       (children: Seq[Expression]) => SigMatchCount(children(0), children(1))),
+    (FunctionIdentifier("graft_bpe_count"),
+      new ExpressionInfo(classOf[BpeTokenCount].getName, null,
+        "graft_bpe_count",
+        "graft_bpe_count(text, merges) - TRUE-BPE token count of" +
+          " single-spaced word text under a rank-ordered merge table" +
+          " (foldable flat array<string>: left0, right0, left1, …)." +
+          " Byte-exact fusion of the two-pass replace-chain encoder:" +
+          " same count as the guarded char-spaced replace chain on any" +
+          " input, one compiled pass instead of ~2|merges| string nodes.",
+        ""),
+      (children: Seq[Expression]) => BpeTokenCount(children(0), children(1))),
     (FunctionIdentifier("graft_pqencode"),
       new ExpressionInfo(classOf[graft.functions.PqEncode].getName, "graft_pqencode"),
       (children: Seq[Expression]) => graft.functions.PqEncode(

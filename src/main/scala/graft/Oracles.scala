@@ -403,7 +403,14 @@ object Oracles {
     * [[semanticPairsCteAt]] (900 = the τ=0.30 stress point the pairs
     * query reports at; 9025 = the production τ=0.95 the incremental
     * verdict maintains at). */
-  private def semanticWidePairsCteAt(tauSq: Long): String = Sq8Cte +
+  private def semanticWidePairsCteAt(tauSq: Long): String =
+    Sq8Cte + semanticWideTailCteAt(tauSq)
+
+  /** The wide-lattice chain WITHOUT the [[Sq8Cte]] prefix — so it can
+    * compose after [[SemanticCellCte]] (which already embeds sq8) in
+    * oracles that need BOTH the narrow cells and the wide pairs
+    * (semantic_dedup_auto_sat's saturated-store replay). */
+  private def semanticWideTailCteAt(tauSq: Long): String =
     s""", swdims AS (
       |  SELECT unnest(range(0, (SELECT MAX(len(embedding)) FROM embeddings))) AS pos
       |), swbit AS (
@@ -2286,6 +2293,41 @@ object Oracles {
         |       CAST(32 + (doc_id % 3) * 16 AS BIGINT) AS width,
         |       CAST(24 + (doc_id % 2) * 8 AS BIGINT) AS height
         |FROM vf ORDER BY doc_id, frame_idx""".stripMargin),
+    // round-16: the REAL javax.imageio decode path driver-gated (the
+    // video_framesample recipe) — the engineered payload is a LOSSLESS
+    // uniform-gray PNG, so dims, channel count AND the exact Rec.601
+    // mean luma are closed-form per doc_id: for r=g=b=g the integer
+    // luma is g per pixel, mean_luma_milli = g*1000 DIV 255.
+    "image_decode" -> qx(
+      """, imd AS (
+        |  SELECT doc_id, ((doc_id % 2147483647) * 37 + 11) % 256 AS g
+        |  FROM documents WHERE doc_id % 50 = 11
+        |)""".stripMargin,
+      """SELECT doc_id,
+        |       CAST(16 + (doc_id % 5) * 8 AS BIGINT) AS width,
+        |       CAST(12 + (doc_id % 3) * 8 AS BIGINT) AS height,
+        |       CAST(3 AS BIGINT) AS n_channels,
+        |       CAST((g * 1000) // 255 AS BIGINT) AS mean_luma_milli
+        |FROM imd ORDER BY doc_id""".stripMargin),
+    // the javax.sound twin: engineered RIFF/WAVE around a ±A square
+    // wave — PCM is lossless and the square wave's RMS is exactly A,
+    // so rms_milli = round(A*1000/32768) in exact double arithmetic
+    // (A*1000 integer-exact, /32768 a power-of-two scale) and the
+    // whole row is a closed-form function of doc_id.
+    "audio_decode" -> qx(
+      """, aud AS (
+        |  SELECT doc_id,
+        |         8000 + (doc_id % 3) * 4000 AS rate,
+        |         400 + (doc_id % 5) * 80 AS n,
+        |         1000 + (doc_id % 2147483647) % 20000 AS amp
+        |  FROM documents WHERE doc_id % 50 = 23
+        |)""".stripMargin,
+      """SELECT doc_id, CAST(rate AS BIGINT) AS sample_rate,
+        |       CAST(1 AS BIGINT) AS n_channels,
+        |       CAST(n AS BIGINT) AS n_frames,
+        |       CAST((n * 1000) // rate AS BIGINT) AS duration_ms,
+        |       CAST(ROUND(amp * 1000.0 / 32768.0) AS BIGINT) AS rms_milli
+        |FROM aud ORDER BY doc_id""".stripMargin),
   ) ++ aggSql
 
   private def aggSql: Map[String, String] = {
@@ -2485,6 +2527,50 @@ object Oracles {
       "semantic_dedup_auto" -> qx(SemanticPairsCte,
         """SELECT a_id, b_id, dot, cos2_e6 FROM spairs
           |ORDER BY a_id, b_id""".stripMargin),
+      // round-16: the semantic dispatcher's WIDE branch oracle-FIRED —
+      // the engineered saturated store (every member of the hottest
+      // narrow cell replicated until the cell holds SemSatTarget
+      // occupants, mirroring SimilarityOps.satSemanticDir) crosses the
+      // measured 5,000/vec cut, so the UNCHANGED public dispatcher
+      // routes the wide 4x16-bit lattice. Replicas carry their
+      // original's exact embedding (hence q8, hence every wide band
+      // signature), so the sat store's wide pair set is the BASE
+      // store's wide pair set with a multiplicity — xR^2 when both
+      // endpoints are members, xR when one is — plus the C(R,2)
+      // identical within-group pairs per member at cos2_e6 = 10^6 with
+      // dot = that member's na2. The replay is that combinatorial
+      // expansion, exact to the pair.
+      "semantic_dedup_auto_sat" -> qx(
+        SemanticCellCte + semanticWideTailCteAt(900L) +
+        s""", satstar AS (
+          |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS c FROM scell
+          |  GROUP BY cell ORDER BY c DESC, cell LIMIT 1
+          |), satreps AS (
+          |  SELECT (${graft.operators.SimilarityOps.SemSatTarget} + c - 1)
+          |           // c AS reps
+          |  FROM satstar
+          |), satmem AS (
+          |  SELECT s.vec_id, s.na2 FROM scell s, satstar t
+          |  WHERE s.cell = t.cell
+          |), satexp AS (
+          |  SELECT p.cos2_e6, p.dot,
+          |         CASE WHEN am.vec_id IS NOT NULL AND bm.vec_id IS NOT NULL
+          |                THEN r.reps * r.reps
+          |              WHEN am.vec_id IS NOT NULL OR bm.vec_id IS NOT NULL
+          |                THEN r.reps
+          |              ELSE 1 END AS mult
+          |  FROM spairs p CROSS JOIN satreps r
+          |  LEFT JOIN satmem am ON p.a_id = am.vec_id
+          |  LEFT JOIN satmem bm ON p.b_id = bm.vec_id
+          |  UNION ALL
+          |  SELECT 1000000 AS cos2_e6, m.na2 AS dot,
+          |         r.reps * (r.reps - 1) // 2 AS mult
+          |  FROM satmem m CROSS JOIN satreps r WHERE m.na2 > 0
+          |)""".stripMargin,
+        """SELECT cos2_e6 // 100000 AS cos2_bucket,
+          |       CAST(SUM(mult) AS BIGINT) AS n_pairs,
+          |       CAST(SUM(dot * mult) AS BIGINT) AS sum_dot
+          |FROM satexp GROUP BY 1 ORDER BY 1""".stripMargin),
       // one-row cell-population ANALYZE of the narrow 256-cell space —
       // the dispatcher's detector as a public query (the
       // simhash_bucket_stats idiom); all-integer aggregates over the

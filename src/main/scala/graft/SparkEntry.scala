@@ -199,6 +199,7 @@ object SparkEntry {
     "semantic_clusters_incremental" -> (GraphOps.semanticClustersIncremental _),
     "semantic_dedup_wide" -> (SimilarityOps.semanticDedupWide _),
     "semantic_dedup_auto" -> (SimilarityOps.semanticDedupAuto _),
+    "semantic_dedup_auto_sat" -> (SimilarityOps.semanticDedupAutoSat _),
     "q8_cell_stats" -> (SimilarityOps.q8CellStats _),
     "semantic_clusters_incremental_wide" ->
       (GraphOps.semanticClustersIncrementalWide _),
@@ -211,6 +212,8 @@ object SparkEntry {
     "multimodal_resize" -> (MultimodalOps.multimodalResize _),
     "multimodal_framesample" -> (MultimodalOps.multimodalFrameSample _),
     "video_framesample" -> (MultimodalOps.videoFrameSample _),
+    "image_decode" -> (MultimodalOps.imageDecode _),
+    "audio_decode" -> (MultimodalOps.audioDecode _),
     // §2.10 UDAF + SQL surface + LB strategies + native expression
     "source_token_stats" -> (AggOps.sourceTokenStats _),
     "profile_orders" -> (AggOps.profileOrders _),

@@ -62,7 +62,18 @@ object MultimodalOps {
       .orderBy("doc_id")
 
   /** STUB: deterministic fake decode standing in for an image codec.
-    * Derives pseudo-features from the bytes so tests are stable. */
+    * Derives pseudo-features from the bytes so tests are stable.
+    *
+    * STATUS (round-16): this stub is the documented ASCII-FIXTURE TWIN
+    * — the driver fixture's media payloads are text bytes, which no
+    * real codec accepts, so `multimodal_decode`/`multimodal_resize`
+    * keep the deterministic pseudo-features as the oracle-checkable
+    * plumbing queries (schema, partitioning, batch shape). The REAL
+    * codec paths are driver-gated by their own hash-green queries over
+    * engineered binary payloads: `image_decode` ([[imageDecode]],
+    * javax.imageio on lossless PNG), `audio_decode` ([[audioDecode]],
+    * javax.sound on RIFF/WAVE PCM) and `video_framesample`
+    * ([[videoFrameSample]], MJPEG AVI mux→demux→decode). */
   private def fakeDecode(payload: Array[Byte]): (Int, Int, Int, Double) = {
     // ??? <- real codec goes here (e.g. javax.imageio / ffmpeg bindings)
     val n = payload.length
@@ -760,5 +771,117 @@ object MultimodalOps {
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"))
       .orderBy("doc_id", "frame_idx")
+  }
+
+  /** PNG-encode a deterministic uniform-gray image — the fixture
+    * renderer behind [[imageDecode]]. PNG is LOSSLESS, so unlike the
+    * JPEG frames the decoded pixels are bit-equal to the rendered ones
+    * and the mean luma is exactly closed-form: for r=g=b=g the Rec.601
+    * integer luma is (299+587+114)·g/1000 = g per pixel, so
+    * mean_luma_milli = g·1000 DIV 255 independent of the dimensions. */
+  private[graft] def grayPng(width: Int, height: Int,
+      gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(gray, gray, gray))
+    g.fillRect(0, 0, width, height)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Handcrafted canonical RIFF/WAVE container around 16-bit signed
+    * little-endian PCM — the fixture muxer behind [[audioDecode]]
+    * (the [[muxMjpegAvi]] convention: build the container byte for
+    * byte so the REAL JDK parser is exercised on real bytes). */
+  private[graft] def wavPcm16(samples: Array[Short], rate: Int,
+      channels: Int = 1): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(channels.toShort)
+    bb.putInt(rate); bb.putInt(rate * channels * 2)
+    bb.putShort((channels * 2).toShort); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** END-TO-END real IMAGE decode query, HASH-CHECKED (round-16: the
+    * [[videoFrameSample]] recipe for the javax.imageio path, which was
+    * spec-only — a codec-path regression surfaced in sbt test but
+    * never in the per-round CORRECTNESS artifact): per selected doc,
+    * render a deterministic uniform-gray PNG → decode with the REAL
+    * JDK codec ([[decodeImages]]) → report dimensions, channel count
+    * and exact mean luma from the DECODED pixels. PNG is lossless, so
+    * every reported value is a closed-form function of doc_id and
+    * DuckDB replays the expected output without a codec — a decode
+    * defect (mangled dims, wrong raster, luma drift) breaks the hash.
+    * Subsampled 1-in-50: the point is the codec path, not scan cost.
+    * The id fold into the Mersenne field is the [[videoFrameSample]]
+    * guard (full-range 64-bit ids stay in [0, 2³¹) for the gray). */
+  def imageDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).filter(col("doc_id") % 50 === 11)
+      .as[Long]
+    val media = ids.mapPartitions { part =>
+      part.map { id =>
+        val w = (16 + (id % 5) * 8).toInt
+        val h = (12 + (id % 3) * 8).toInt
+        val idF = Math.floorMod(id ^ (id >> 31), 2147483647L)
+        val g = ((idF * 37 + 11) % 256).toInt
+        val png = grayPng(w, h, g)
+        MediaRecord(id, png, "image/png", png.length.toLong)
+      }
+    }
+    decodeImages(media).filter(col("ok"))
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_channels").cast("long").as("n_channels"),
+        col("mean_luma_milli"))
+      .orderBy("doc_id")
+  }
+
+  /** END-TO-END real AUDIO decode query, HASH-CHECKED (the
+    * [[imageDecode]] twin for the javax.sound path): per selected doc,
+    * synthesize a deterministic ±A square wave, mux it into a real
+    * RIFF/WAVE container ([[wavPcm16]]) → parse + decode with the REAL
+    * JDK parser ([[decodeAudio]]) → report format metadata and the
+    * exact integer RMS from the DECODED samples. PCM is lossless and
+    * the square wave's RMS is exactly A, so every value is closed-form
+    * (rms_milli = round(A·1000/32768), computed in exact doubles —
+    * A·1000 is integer-exact and /32768 a power-of-two scale) and
+    * DuckDB replays the output without an audio stack. A header-parse
+    * or sample-decode defect (wrong rate, byte-order flip, truncated
+    * data chunk) breaks the hash. */
+  def audioDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).filter(col("doc_id") % 50 === 23)
+      .as[Long]
+    val media = ids.mapPartitions { part =>
+      part.map { id =>
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val n = (400 + (id % 5) * 80).toInt
+        val idF = Math.floorMod(id ^ (id >> 31), 2147483647L)
+        val amp = (1000 + idF % 20000).toInt
+        val samples = Array.tabulate[Short](n)(i =>
+          (if (i % 2 == 0) amp else -amp).toShort)
+        val wav = wavPcm16(samples, rate)
+        MediaRecord(id, wav, "audio/wav", wav.length.toLong)
+      }
+    }
+    decodeAudio(media).filter(col("ok"))
+      .select(col("doc_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_channels").cast("long").as("n_channels"),
+        col("n_frames"), col("duration_ms"), col("rms_milli"))
+      .orderBy("doc_id")
   }
 }

@@ -126,8 +126,10 @@ object RetrievalOps {
     * spent in tokenizer tokens, not whitespace splits, so the mixture
     * rates should be planned in the same currency. Identical two-stage
     * plan; the counter is a pure projection fused into the scan. */
-  def tokenBudgetMixBpe(spark: SparkSession, sfDir: String): DataFrame =
+  def tokenBudgetMixBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
     tokenBudgetMixBy(spark, sfDir, TextOps.bpeDocTokenCount(col("text")))
+  }
 
   /** MAX-MIN FAIR (water-filling) budget allocation — the standard
     * alternative to [[tokenBudgetMix]]'s temperature weights for

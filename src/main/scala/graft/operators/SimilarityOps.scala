@@ -2416,6 +2416,73 @@ object SimilarityOps {
     semanticDedup(spark, sfDir)
       .select(col("a_id"), col("b_id"), col("dot"), col("cos2_e6"))
 
+  /** Target post-replication population of the HOTTEST narrow q8 cell
+    * behind [[semanticDedupAutoSat]]. With the hottest cell grown to
+    * S ≈ 8192 occupants, the narrow detector reads
+    * Σc²/vec ≈ S²/(|base| + S) ≈ 7.7k at the sf fixtures — 1.5× the
+    * 5,000 cut — INDEPENDENT of the fixture's own max-cell count
+    * (the replication factor divides it out), while the wide-side
+    * enumeration the dispatch then runs stays bounded: the replicated
+    * groups split across the hottest cell's c* ≥ Σc²/Σc ≈ 46 distinct
+    * member signatures, so within-group candidate mass is
+    * ≤ 4·c*·C(S/c*, 2) ≈ 3M rows, not C(S,2) ≈ 33M. */
+  private[graft] val SemSatTarget = 8192L
+
+  /** Deterministic SATURATED embedding store derived from the fixture
+    * — [[satSimhashDir]]'s recipe for the semantic family (round-15
+    * verdict item 1): every driver-verified store size routes the
+    * semantic dispatcher NARROW, so [[semanticDedupAuto]]'s wide
+    * branch never fired under a DuckDB replay. Replicating every
+    * member of the MOST-POPULATED narrow cell (deterministic
+    * tie-break: smallest cell id) until the cell holds
+    * [[SemSatTarget]] occupants saturates the fixed 256-key space
+    * exactly the way a template-heavy embedding corpus does — the
+    * narrow ANALYZE crosses the cut from cell mass alone, and the
+    * UNCHANGED public dispatcher routes the wide lattice against a
+    * real parquet store (the dispatch under test is the production
+    * code path, not a test double). Replica ids stride by the
+    * replication factor above a 10⁷ offset: disjoint from base ids,
+    * disjoint across members, deterministic in both engines. */
+  private[graft] def satSemanticDir(spark: SparkSession, sfDir: String): String =
+    Memo.cached(spark, s"satSemanticDir:$sfDir") {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-sat-sem").toString
+      val base = Tables.embeddings(spark, sfDir)
+      val cf = q8CellFrame(spark, sfDir)
+      val top = cf.groupBy("cell").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("cell")).head()
+      val cStar = top.getLong(top.fieldIndex("c"))
+      val cellStar = top.get(top.fieldIndex("cell"))
+      val reps = (SemSatTarget + cStar - 1) / cStar
+      val members = cf.filter(col("cell") === lit(cellStar)).select("vec_id")
+      val repRows = base.join(broadcast(members), Seq("vec_id"))
+        .withColumn("r", explode(sequence(lit(1L), lit(reps - 1))))
+        .withColumn("vec_id",
+          lit(10000000L) + col("vec_id") * lit(reps) + col("r"))
+        .drop("r")
+      base.unionByName(repRows).write.mode("overwrite")
+        .parquet(s"$d/embeddings.parquet")
+      d
+    }
+
+  /** The semantic dispatcher's wide branch, ORACLE-FIRED —
+    * [[semanticDedupAuto]] against the engineered saturated store: the
+    * measured Σc²/vec crosses the cut, the dispatcher routes the WIDE
+    * 4×16-bit lattice (plan-pinned in SemanticDispatchSpec), and the
+    * DuckDB oracle replays the replication combinatorially over the
+    * base store's wide pair frame (replicas carry their original's
+    * exact signature and q8 vector, so every sat-store pair is a base
+    * pair with a multiplicity — ×R² member-member, ×R member-other,
+    * plus the C(R,2) identical within-group mass at cos²=10⁶). Public
+    * shape = exact pair count and Σdot per cos² decile — one dropped
+    * or double-counted pair anywhere in the banded join breaks the
+    * hash. */
+  def semanticDedupAutoSat(spark: SparkSession, sfDir: String): DataFrame =
+    semanticDedupAuto(spark, satSemanticDir(spark, sfDir))
+      .groupBy(expr("cos2_e6 DIV 100000").as("cos2_bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("dot")).as("sum_dot"))
+      .orderBy("cos2_bucket")
+
   /** The WIDE-signature simhash dedup — the measured mitigation for the
     * fixed-bucket-universe caveat BASELINE.md round-13 records: the
     * 64-bit form's (source, band, 7-bit chunk) key space is fixed at

@@ -115,6 +115,26 @@ object TextOps {
   /** [[bpeDocTokenCount]] over an arbitrary merge table — the learned
     * vocab from [[bpeTrainMerges]] plugs in here.
     *
+    * Round 16: the encode is the NATIVE fused expression
+    * [[graft.functions.BpeTokenCount]] (`graft_bpe_count`) — the
+    * column replace-chain ([[bpeDocTokenCountChain]], kept as the
+    * reference form BpeSpec pins bit-identity against) was the
+    * heaviest honest per-doc compute on real corpora: ~36 Catalyst
+    * string nodes each allocating the ~2× char-spaced text per row
+    * (doc_pack_bpe 17.1 s at BENCH_realcorpus10x). The native form is
+    * the same arithmetic byte for byte (it SIMULATES each replace
+    * pass, non-overlapping semantics included), so the DuckDB oracle
+    * replay — which runs the replace chain verbatim — is unchanged.
+    * The graft_ngrams precedent (gopher_repetition 4.9 → 1.1 s). */
+  private[graft] def bpeDocTokenCountWith(text: Column,
+      merges: Seq[(String, String)]): Column =
+    call_function("graft_bpe_count", text,
+      typedLit(merges.flatMap { case (a, b) => Seq(a, b) }))
+
+  /** The COLUMN-CHAIN form of [[bpeDocTokenCountWith]] — the replace
+    * chain the DuckDB oracle replays, kept as the reference pair for
+    * BpeSpec's native ≡ chain bit-identity assertion.
+    *
     * The char-spacing runs ONE regex over the whole text instead of a
     * per-word HOF (split → transform(regexp_replace) → array_join was
     * ~4× slower at sf0.1: a lambda + regex-engine entry per word):
@@ -123,7 +143,7 @@ object TextOps {
     * one literal replace turns word boundaries into the ' ~ ' guard.
     * Relies on the documents contract (single-spaced text) the
     * whitespace counter already assumes. */
-  private[graft] def bpeDocTokenCountWith(text: Column,
+  private[graft] def bpeDocTokenCountChain(text: Column,
       merges: Seq[(String, String)]): Column = {
     val spaced = concat(lit(" "), regexp_replace(text, "(.)", "$1 "))
     val guarded = call_function("replace", spaced, lit("   "), lit(" ~ "))
@@ -242,6 +262,7 @@ object TextOps {
     * Emits the whitespace count beside it so the compression the
     * learned merges buy is visible per document. */
   def tokenCountBpeTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
     val merges = trainedMerges(spark, sfDir).map { case (l, r, _) => l -> r }
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
@@ -1129,8 +1150,10 @@ object TextOps {
     * bounds, so packing by the real tokenizer's counts is what a
     * training-data pipeline actually ships. Identical plan; only the
     * per-doc counter column changes. */
-  def docPackBpe(spark: SparkSession, sfDir: String): DataFrame =
+  def docPackBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
     docPackBy(spark, sfDir, bpeDocTokenCount(col("text")))
+  }
 
   private def docPackBy(spark: SparkSession, sfDir: String,
       tokens: Column): DataFrame = {

@@ -47,6 +47,8 @@ class BpeSpec extends SparkSuite {
   }
 
   test("document counter ≡ textbook greedy BPE over every fixture document") {
+    // the counter is the native expression — register like its callers do
+    graft.GraftExtensions.register(spark)
     val counted = sources.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1)))
@@ -155,5 +157,40 @@ class BpeSpec extends SparkSuite {
     }
     assert(merged == got.length,
       "every payload contains 'row'/'id'/'cust' — all should merge")
+  }
+
+  test("native graft_bpe_count ≡ column replace chain, corpus-wide and adversarial") {
+    // round-16: the encoder is the fused native expression; the column
+    // chain (the form the DuckDB oracle replays verbatim) is kept as
+    // the reference pair. The native form claims BYTE-EXACT simulation
+    // of every replace pass — assert it on the whole fixture corpus
+    // for BOTH merge tables (static + learned)…
+    graft.GraftExtensions.register(spark)
+    val learned = TextOps.bpeTrainQuery(spark, sf).collect()
+      .map(r => r.getString(1) -> r.getString(2)).toSeq
+    for (merges <- Seq(TextOps.DocBpeMerges, learned)) {
+      val diff = sources.Tables.documents(spark, sf)
+        .select(col("doc_id"),
+          TextOps.bpeDocTokenCountWith(col("text"), merges).as("native"),
+          TextOps.bpeDocTokenCountChain(col("text"), merges).as("chain"))
+        .filter(col("native") =!= col("chain"))
+      assert(diff.isEmpty, s"native != chain: ${diff.take(5).mkString(", ")}")
+    }
+    // …and on adversarial NON-contract strings where the replace
+    // chain's quirks (multi-space runs, unicode, tabs, edges) bite:
+    // the native form must reproduce the quirks, not "fix" them.
+    import spark.implicits._
+    val nasty = Seq(
+      "", " ", "  ", "   ", "the", " the", "the ", "a  b", "a   b",
+      "th e", "t h e", "~", "~~", "the ~ the", "\tthe\tdata\t",
+      "émigré café ñ", "日本語 テキスト", "🎉 the 🎉", "éclair",
+      "the the the the", "a", "ab", "aa bb aa bb", "t t t t t t")
+      .toDF("text")
+    val bad = nasty
+      .select(col("text"),
+        TextOps.bpeDocTokenCountWith(col("text"), TextOps.DocBpeMerges).as("native"),
+        TextOps.bpeDocTokenCountChain(col("text"), TextOps.DocBpeMerges).as("chain"))
+      .filter(col("native") =!= col("chain")).collect()
+    assert(bad.isEmpty, s"adversarial mismatch: ${bad.mkString(", ")}")
   }
 }
