@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RetrievalOps
+
+/** Round-16 retrieval fusion: tfidf_terms moved to ONE corpus pass
+  * (native graft_tokcounts generator + a tok-window df instead of the
+  * vocab broadcast join) and bm25_search's per-doc counters to one
+  * native byte scan (graft_qterms). Both claim byte-equality with the
+  * column forms they replaced — asserted here, not argued (the
+  * BpeSpec native ≡ chain convention). */
+class RetrievalNativeSpec extends SparkSuite {
+
+  test("graft_tokcounts ≡ explode(split) tf/df aggregates, corpus-wide") {
+    graft.GraftExtensions.register(spark)
+    val docs = sources.Tables.documents(spark, sf)
+    val gen = docs
+      .select(col("source"), call_function("graft_tokcounts", col("text")))
+    val tfNew = gen.groupBy("source", "tok").agg(sum("cnt").as("tf"))
+    val tfOld = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+    assert(tfNew.except(tfOld).isEmpty && tfOld.except(tfNew).isEmpty,
+      "tf aggregate differs between generator and explode forms")
+    val dfNew = gen.groupBy("tok").agg(count(lit(1)).as("df"))
+    val dfOld = docs
+      .select(explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    assert(dfNew.except(dfOld).isEmpty && dfOld.except(dfNew).isEmpty,
+      "df aggregate differs between generator and explode forms")
+  }
+
+  test("graft_qterms ≡ split + filter HOF per term, corpus and adversarial") {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    val terms = Seq("hash", "merge", "scan")
+    val lit3 = typedLit(terms)
+    def both(df: org.apache.spark.sql.DataFrame) = {
+      val toks = split(col("text"), " ")
+      val c = call_function("graft_qterms", col("text"), lit3)
+      df.select(
+        (c.getItem(0).cast("int") ===
+          functions.Exprs.tokenCount(col("text"))).as("dl_eq") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          (c.getItem(i + 1).cast("int") ===
+            size(filter(toks, x => x === t))).as(s"eq_$t") }: _*)
+        .filter(terms.map(t => !col(s"eq_$t"))
+          .foldLeft(!col("dl_eq"))(_ || _))
+    }
+    assert(both(sources.Tables.documents(spark, sf)).isEmpty,
+      "graft_qterms differs from the HOF form on the corpus")
+    val nasty = Seq("", " ", "hash", " hash", "hash ", "hash  merge",
+      "hashhash", "has h", "merge merge merge", "scan\tscan",
+      "émigré hash café", "日本語 merge").toDF("text")
+    assert(both(nasty).isEmpty,
+      "graft_qterms differs from the HOF form on adversarial strings")
+  }
+
+  test("single-pass tfidf ≡ the two-pass broadcast-join formulation") {
+    graft.GraftExtensions.register(spark)
+    val docs = sources.Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    val tf = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+    val dfv = docs
+      .select(explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val old = tf.join(broadcast(dfv), Seq("tok"))
+      .withColumn("tfidf_micro",
+        round(lit(1e6) * col("tf") *
+          log(lit(nDocs).cast("double") / col("df"))).cast("long"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(desc("tfidf_micro"), asc("tok"))))
+      .filter(col("rn") <= 3)
+      .select(col("source"), col("rn"), col("tok"), col("tf"), col("df"),
+        col("tfidf_micro"))
+      .orderBy("source", "rn")
+    val neu = RetrievalOps.tfidfTerms(spark, sf)
+    assert(neu.collect().toSeq == old.collect().toSeq,
+      "single-pass tfidf differs from the broadcast-join form")
+  }
+}
