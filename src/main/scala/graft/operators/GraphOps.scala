@@ -289,6 +289,13 @@ object GraphOps {
       // lazy flatMap: an edge survives iff it merges two trees — the
       // surviving set IS a spanning forest of this partition's edges
       it.flatMap { row =>
+        // round-16 advice: getLong on a null slot silently reads 0 and
+        // would fuse unrelated components into node 0 — a null endpoint
+        // is an upstream contract violation, surface it loudly the way
+        // the old distinct()-based path surfaced the null row
+        if (row.isNullAt(0) || row.isNullAt(1))
+          throw new IllegalStateException(
+            "sparsifyForest: null edge endpoint (upstream contract violation)")
         val a = row.getLong(0); val b = row.getLong(1)
         val ra = find(a); val rb = find(b)
         if (ra == rb) Iterator.empty

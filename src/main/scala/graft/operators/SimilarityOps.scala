@@ -319,6 +319,8 @@ object SimilarityOps {
       .groupBy("vec_id")
       .agg(min_by(col("cid"), col("d2")).as("cid"))
       .write.mode("append").partitionBy("cid").parquet(s"$indexDir/cells")
+    // the per-mutator re-arm hook (round-16): store-derived stats die
+    invalidateSaturationStats(spark, indexDir)
   }
 
   /** The ONLINE search over a [[buildIvfIndex]]-persisted index —
@@ -1204,6 +1206,12 @@ object SimilarityOps {
     import spark.implicits._
     cbRows.toDF("j", "k", "cw")
       .write.mode("overwrite").parquet(s"$indexDir/codebook")
+    // REBUILD commit: the memoized driver codebook for this path is
+    // now stale by the [[readPqCodebook]] contract (an inserted batch
+    // keeps it; an overwrite at the same path must not) — round-16
+    // advice: every mutating commit point re-arms what it invalidates
+    Memo.invalidateKey(spark, s"pqCodebookAt:$indexDir")
+    invalidateSaturationStats(spark, indexDir)
   }
 
   /** Append new vectors to a [[buildIvfPqIndex]]-persisted index
@@ -1221,6 +1229,10 @@ object SimilarityOps {
       .write.mode("append").partitionBy("band").parquet(s"$indexDir/bands")
     q8new.select(col("vec_id"), pqCodesCol(cb).as("codes"))
       .write.mode("append").parquet(s"$indexDir/codes")
+    // APPEND commit: the codebook memo stays valid by contract, but
+    // any ANALYZE statistic derived from this store is now stale —
+    // the same re-arm hook every store-mutating path calls (round-16)
+    invalidateSaturationStats(spark, indexDir)
   }
 
   /** The stored codebook as driver arrays (PqM·PqK rows — dim-sized),
@@ -2362,15 +2374,31 @@ object SimilarityOps {
       r.getLong(r.fieldIndex("work_per_vec"))
     }
 
-  /** Re-arm BOTH families' saturation detectors for a store — called
-    * wherever a maintenance job commits new index artifacts (today:
-    * [[graft.operators.GraphOps.buildClusterIndex]]), so the
-    * once-per-store dispatch verdicts track the store across
-    * incremental growth instead of session lifetime. */
+  /** Re-arm EVERY memoized ANALYZE statistic of a store — called
+    * wherever a maintenance job commits new artifacts for it (the
+    * cluster-index build, the IVF/PQ inserts, the bucketed signature
+    * build), so once-per-store verdicts track the store across
+    * incremental growth instead of session lifetime. Round-16 (advice):
+    * the round-15 form re-armed only the two dispatch detectors while
+    * the same-policy memos added beside them stayed stale —
+    * polyBucketMoments (the fuzzy role-probe shard fanout: a store
+    * growing a hot cluster mid-session kept shards=1 and reintroduced
+    * the straggler), the three adaptive tile fanouts, and the
+    * vocabulary ANALYZE gates routing the LM broadcasts. The rule is
+    * now categorical: a statistic DERIVED from the store dies at the
+    * store's commit point; a built ARTIFACT (index dir, codebook,
+    * model frame) lives by its own lifecycle contract (rebuilds
+    * invalidate, appends don't — see [[buildIvfPqIndex]]). */
   private[graft] def invalidateSaturationStats(spark: SparkSession,
       sfDir: String): Unit = {
     Memo.invalidateKey(spark, s"semanticWorkPerVec:$sfDir")
     Memo.invalidateKey(spark, s"simhashWorkPerDoc:$sfDir")
+    Memo.invalidateKey(spark, s"polyBucketMoments:$sfDir")
+    Memo.invalidateKey(spark, s"simhashTileFanout:$sfDir")
+    Memo.invalidateKey(spark, s"simhashWideTileFanout:$sfDir")
+    Memo.invalidateKey(spark, s"semWideTileFanout:$sfDir")
+    Memo.invalidateKey(spark, s"embTileFanout:$sfDir")
+    TextOps.invalidateVocabStats(spark, sfDir)
   }
 
   /** The semantic family's ONE saturation verdict — shared by the pair
@@ -2655,6 +2683,9 @@ object SimilarityOps {
     bandedSigs(spark, docs).write.mode("overwrite").format("parquet")
       .bucketBy(32, "band", "bucket").sortBy("band", "bucket")
       .saveAsTable(table)
+    // the per-mutator re-arm hook (round-16): the table name is the
+    // store key for anything a future probe memoizes against it
+    invalidateSaturationStats(spark, table)
   }
 
   /** [[dedupIncrementalProbe]] against a [[buildSigIndexBucketed]]
