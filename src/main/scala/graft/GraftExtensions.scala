@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BpeTokenCount, ChunkHamming, CompressionRatio, CosineSimilarity, LatticeBands, MinHashSig, PolyMinHashSig, PolySimHash, PolySimHashWide, Q8CellSig, Q8CellSigWide, Q8Dot, Q8MomentsGen, QueryTermCounts, RollingFp, SigMatchCount, SimHash64, SortedInterCount, SrpBands, StripDict, TokenChunksGen, TokenChunksPosGen, TokenCountsGen, TokenNGramsGen, TokenShingles}
+import graft.functions.{BpeTokenCount, ChunkHamming, CompressionRatio, CosineSimilarity, LatticeBands, MinHashSig, PolyMinHashSig, PolySimHash, PolySimHashWide, Q8CellSig, Q8CellSigWide, Q8Dot, Q8MomentsGen, QueryTermCounts, RollingFp, SigMatchCount, SimHash64, SortedInterCount, SpaceTokenCount,SrpBands, StripDict, TokenChunksGen, TokenChunksPosGen, TokenCountsGen, TokenNGramsGen, TokenShingles, TokenShinglesHashedGen}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for the SQL surface. Use either at session build time
@@ -163,6 +163,15 @@ object GraftExtensions {
           " if(x = y, 1, 0)), 0, (s,v) -> s + ifnull(v, 0))).",
         ""),
       (children: Seq[Expression]) => SigMatchCount(children(0), children(1))),
+    (FunctionIdentifier("graft_tokcount"),
+      new ExpressionInfo(classOf[SpaceTokenCount].getName, null,
+        "graft_tokcount",
+        "graft_tokcount(text) - whitespace token count of single-spaced" +
+          " text: (number of 0x20 chars) + 1 as int, null on null —" +
+          " identical to length(text) - length(translate(text, ' '," +
+          " '')) + 1 without the space-stripped copy per evaluation.",
+        ""),
+      (children: Seq[Expression]) => SpaceTokenCount(children(0))),
     (FunctionIdentifier("graft_tokcounts"),
       new ExpressionInfo(classOf[TokenCountsGen].getName, null,
         "graft_tokcounts",
@@ -173,6 +182,19 @@ object GraftExtensions {
           " ' ')) aggregates with 3-5x fewer shuffle-input rows.",
         ""),
       (children: Seq[Expression]) => TokenCountsGen(children(0))),
+    (FunctionIdentifier("graft_shingles_h"),
+      new ExpressionInfo(classOf[TokenShinglesHashedGen].getName, null,
+        "graft_shingles_h",
+        "graft_shingles_h(text, n) - generator of the document's" +
+          " DISTINCT n-token shingle xxhash64 values (seed 42), one" +
+          " bigint row each; null text emits one null row (the" +
+          " explode_outer keep-the-doc convention). Hash currency for" +
+          " contamination probes: overlap-by-hash = overlap-by-shingle" +
+          " at the engine's accepted 2^-64 collision odds.",
+        ""),
+      (children: Seq[Expression]) =>
+        TokenShinglesHashedGen(children(0),
+          litInt("graft_shingles_h", children(1)))),
     (FunctionIdentifier("graft_qterms"),
       new ExpressionInfo(classOf[QueryTermCounts].getName, null,
         "graft_qterms",

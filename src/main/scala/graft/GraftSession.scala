@@ -23,6 +23,12 @@ object GraftSession {
     // keep derby.log out of the repo working dir
     System.setProperty("derby.stream.error.file", s"/tmp/graft-derby-$pid.log")
     SparkSession.builder()
+      // every graft session carries the native-function surface from
+      // birth (round-16): query builders still call
+      // GraftExtensions.register defensively for foreign sessions,
+      // but shared column helpers (Exprs.tokenCount) may now assume
+      // the functions resolve without a session in scope
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

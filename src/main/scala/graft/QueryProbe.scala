@@ -17,9 +17,14 @@ object QueryProbe {
     val spark = GraftSession.builder(cpus)
       .master(s"local[$cpus]").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val explainOnly = sys.env.get("GRAFT_PROBE_EXPLAIN").contains("1")
     for (n <- names) {
       val q = SparkEntry.queries.getOrElse(n,
         sys.error(s"unknown query $n"))
+      if (explainOnly) {
+        println(s"=== $n ===")
+        println(q(spark, sfDir).queryExecution.executedPlan.toString)
+      } else {
       q(spark, sfDir).queryExecution.executedPlan // analyze w/o run
       var best = Double.MaxValue
       var rows = -1L
@@ -30,6 +35,7 @@ object QueryProbe {
         if (pass > 0 && dt < best) best = dt // pass 0 = warm-up
       }
       println(f"""{"query":"$n","min_sec":$best%.3f,"rows":$rows}""")
+      }
     }
     spark.stop()
   }

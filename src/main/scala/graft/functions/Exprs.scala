@@ -51,7 +51,14 @@ object Exprs {
     ((length(haystack) - length(call_function("replace", haystack, lit(needle), lit("")))) / needle.length).cast("int")
 
   /** Whitespace token count for single-space-separated text:
-    * spaces + 1. (Fixture documents are single-spaced ASCII.) */
+    * spaces + 1. (Fixture documents are single-spaced ASCII.)
+    * Round-16: the NATIVE zero-alloc byte scan
+    * ([[graft.functions.SpaceTokenCount]]) — the translate-based
+    * column form allocated a space-stripped copy of the text per
+    * evaluation; byte-identical result (space is one UTF-8 byte).
+    * Resolves in every [[graft.GraftSession]]-built session (the
+    * extensions config installs the functions at birth); foreign
+    * sessions need `GraftExtensions.register` first. */
   def tokenCount(text: Column): Column =
-    (length(text) - length(translate(text, " ", "")) + 1).cast("int")
+    call_function("graft_tokcount", text)
 }

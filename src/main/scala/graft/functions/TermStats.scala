@@ -72,6 +72,107 @@ case class TokenCountsGen(child: Expression)
     copy(child = newChild)
 }
 
+/** Native Catalyst expression: the whitespace token count —
+  * `graft_tokcount(text)` → int = (number of 0x20 bytes) + 1, the
+  * single-spaced-documents convention every text operator shares
+  * (Exprs.tokenCount). The column form it replaces,
+  * `length(text) − length(translate(text, ' ', '')) + 1`, ALLOCATES a
+  * full space-stripped copy of the text per evaluation — and the
+  * quality-gate expressions reference the count several times across
+  * Filter and Project operators (codegen CSE dedupes within an
+  * operator, not across), so a curation pass was paying several full
+  * text copies per document. This is one zero-alloc byte scan
+  * (a space is one UTF-8 byte, so byte count ≡ char count exactly);
+  * null text → null, like length(null). */
+case class SpaceTokenCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_tokcount expects a string, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  /** Public so generated code can call it via an expression ref. */
+  def count(text: UTF8String): Int = {
+    val b = text.getBytes
+    var spaces = 0
+    var i = 0
+    while (i < b.length) {
+      if (b(i) == ' ') spaces += 1
+      i += 1
+    }
+    spaces + 1
+  }
+
+  override def nullSafeEval(t: Any): Any =
+    count(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val ref = ctx.addReferenceObj("tokCounter", this,
+        classOf[SpaceTokenCount].getName)
+      s"${ev.value} = $ref.count($t);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native Catalyst generator: per-document DISTINCT 3-gram shingle
+  * HASHES — `graft_shingles_h(text, n)` → rows of (h bigint), one per
+  * distinct n-token shingle, xxhash64 (seed 42, the builtin's seed) of
+  * the space-joined window; null text emits ONE null-h row so callers
+  * keep explode_outer's keep-the-doc semantics without an outer
+  * generate.
+  *
+  * This is the HASH-CURRENCY form of `explode(graft_shingles(text, n))`
+  * for the contamination probes (doc_contamination, pipeline_curate's
+  * flags): the string form materializes every distinct shingle as a
+  * UTF8String, ships it through the broadcast hash probe, and hashes
+  * it there anyway — this form hashes each window in place (one
+  * StringBuilder reused per window, zero UTF8String allocation, a
+  * long-keyed distinct set) and the probe joins 8-byte longs against
+  * an 8-byte broadcast set. Lookups by hash equal lookups by shingle
+  * (the bigram-LM join-currency convention: a 2⁻⁶⁴ collision is the
+  * same accepted odds as every hash-keyed dedup in this engine), so
+  * overlap counts are unchanged and the DuckDB oracles — which replay
+  * the string form — stay hash-green. Window semantics are
+  * [[TokenGrams.foreachWindow]]'s, identical to `graft_shingles`
+  * (distinct by first occurrence, always ≥1 window). */
+case class TokenShinglesHashedGen(child: Expression, n: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && n > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles_h expects (string, positive int literal), got " +
+        s"${child.dataType.simpleString}, n=$n")
+
+  override def elementSchema: StructType = StructType(
+    StructField("h", LongType, nullable = true) :: Nil)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Iterator.single(InternalRow(null))
+    else {
+      val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+      val seen = new java.util.LinkedHashSet[java.lang.Long]
+      TokenGrams.foreachWindow(toks, n, 1, toks.length - n)(s =>
+        seen.add(XXH64.hashUTF8String(UTF8String.fromString(s), 42L)))
+      val it = seen.iterator()
+      new Iterator[InternalRow] {
+        override def hasNext: Boolean = it.hasNext
+        override def next(): InternalRow = InternalRow(it.next().longValue())
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native Catalyst expression: per-document length + query-term
   * frequencies in ONE byte scan — `graft_qterms(text, terms)` →
   * array<bigint> of [dl, tf(terms[0]), tf(terms[1]), …] where dl is

@@ -585,16 +585,20 @@ object TextOps {
     (w1, w2, thr)
   }
 
-  /** Corpus word frequency: explode tokens → count → top 50 with a
-    * total order (the generator/explode surface as a first-class
-    * oracle-checked query; TakeOrdered, no global sort). */
-  def tokenFreq(spark: SparkSession, sfDir: String): DataFrame =
+  /** Corpus word frequency: per-doc pre-counted tokens (the native
+    * graft_tokcounts generator, round-16 — ~4× fewer aggregate-input
+    * rows than the per-occurrence explode on natural text, same exact
+    * counts: freq = Σ per-doc cnt) → top 50 with a total order
+    * (TakeOrdered, no global sort). */
+  def tokenFreq(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
     Tables.documents(spark, sfDir)
-      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(call_function("graft_tokcounts", col("text")))
       .groupBy("tok")
-      .agg(count(lit(1)).as("freq"))
+      .agg(sum("cnt").as("freq"))
       .orderBy(desc("freq"), asc("tok"))
       .limit(50)
+  }
 
   /** Document fingerprint: md5 content hash (cross-engine exact). */
   def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
@@ -981,23 +985,37 @@ object TextOps {
     * Flag threshold: ≥25% of the doc's shingles appear in the
     * benchmark (4·overlap ≥ |sh|). */
   def docContamination(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
     val bench = Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 100 === 0)
-      .select(explode(shingles3Native(spark, col("text"))).as("tok")).distinct()
+      .select(call_function("graft_shingles_h", col("text"), lit(3)))
+      .distinct()
     // ONE corpus pass (the curationFlags shape — the former
     // shingle-scan + overlap-scan + verdict-scan counted 3 in the
-    // round-10 audit): explode + broadcast probe + per-doc regroup;
-    // partial aggregation collapses to one row per doc per mapper, so
-    // the exchange stays doc-sized. explode_outer keeps zero-shingle
-    // docs alive (n_overlap 0, contaminated vacuously true at sz=0 —
-    // same as the former left-join null path).
+    // round-10 audit): the probe rides HASH currency end to end
+    // (round-16): graft_shingles_h streams each doc's distinct shingle
+    // xxhash64s as bigint rows — no UTF8String shingle array, no
+    // string keys through the broadcast probe (which hashed them
+    // anyway); overlap-by-hash ≡ overlap-by-shingle at the accepted
+    // 2⁻⁶⁴ odds, so the string-replaying oracle stays hash-green.
+    // Partial aggregation still collapses to one row per doc per
+    // mapper; the generator's null-h row on null text keeps the
+    // explode_outer keep-the-doc semantics.
+    // sz = COUNT of the generator's rows — the same distinct-shingle
+    // count graft_shingle_count computes, WITHOUT a second window
+    // pass over the document (and kept out of the pre-Generate
+    // projection entirely: a projection above the Generate would
+    // re-evaluate an O(windows) count once per GENERATED ROW,
+    // O(windows²) per document — caught live on the real corpus,
+    // round-16; count(h) skips the null sentinel row, so a null text
+    // reads sz = 0)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        size(shingles3Native(spark, col("text"))).cast("long").as("sz"),
-        explode_outer(shingles3Native(spark, col("text"))).as("tok"))
-      .join(broadcast(bench.withColumn("hit", lit(1L))), Seq("tok"), "left")
-      .groupBy("doc_id", "sz")
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+        call_function("graft_shingles_h", col("text"), lit(3)))
+      .join(broadcast(bench.withColumn("hit", lit(1L))), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("h")).cast("long").as("sz"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
       .select(col("doc_id"), col("sz"), col("n_overlap"),
         (lit(4) * col("n_overlap") >= col("sz")).as("contaminated"))
       .orderBy("doc_id")
@@ -1072,31 +1090,48 @@ object TextOps {
     * join carries only (doc_id, tok) — never text or shingle arrays —
     * and the flags join back on doc_id with narrow columns. */
   private def curationFlags(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
     val nTokens = Exprs.tokenCount(col("text"))
     val bench = Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 100 === 0)
-      .select(explode(shingles3Native(spark, col("text"))).as("tok")).distinct()
+      .select(call_function("graft_shingles_h", col("text"), lit(3)))
+      .distinct()
     // ONE corpus pass (the round-10 judge measured the former
     // flags-scan + overlap-scan shape as 3 documents scans): flags,
-    // shingle explode, the broadcast contamination probe, and the
-    // per-doc regroup all ride a single scan. Only quality docs explode
-    // their shingles (contamination only gates quality docs — the
-    // others keep n_overlap = 0, exactly the former left-join null);
-    // explode_outer keeps zero-shingle docs alive. Partial aggregation
-    // collapses the exploded stream back to one row per doc per mapper
-    // before the exchange, so the shuffle stays doc-sized.
+    // the shingle-hash generate, the broadcast contamination probe,
+    // and the per-doc regroup all ride a single scan — in HASH
+    // currency end to end (round-16, the docContamination note): the
+    // probe joins 8-byte longs, no shingle strings materialize. Only
+    // quality docs generate their shingles (contamination only gates
+    // quality docs — the gated NULL text emits the generator's one
+    // null-h row, which no join key ever matches: exactly the former
+    // explode_outer null); partial aggregation collapses the generated stream back
+    // to one row per doc per mapper before the exchange, so the
+    // shuffle stays doc-sized.
+    // doc-level columns in the FIRST select (a Project BELOW the
+    // Generate — evaluated once per doc; see the docContamination
+    // note: one select would re-evaluate md5 + the shingle count per
+    // generated row), generator alone in the second
+    // sz = COUNT of the generator's rows (the docContamination note:
+    // same distinct count, no second window pass, and never in a
+    // projection above the Generate). For non-quality docs the gated
+    // NULL text makes sz read 0 where the old form carried the full
+    // count — invisible to both consumers: pipelineCurate filters
+    // is_quality && is_clean, and the funnel's stage conditions are
+    // all quality-gated, so a non-quality row's is_clean never
+    // reaches an output.
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), md5(col("text")).as("fp"),
         nTokens.as("n_tokens"),
         isQuality(col("text")).as("is_quality"),
-        size(shingles3Native(spark, col("text"))).cast("long").as("sz"),
-        when(isQuality(col("text")), shingles3Native(spark, col("text")))
-          .otherwise(array().cast("array<string>")).as("sh"))
+        when(isQuality(col("text")), col("text"))
+          .otherwise(lit(null).cast("string")).as("gated"))
       .select(col("doc_id"), col("fp"), col("n_tokens"), col("is_quality"),
-        col("sz"), explode_outer(col("sh")).as("tok"))
-      .join(broadcast(bench.withColumn("hit", lit(1L))), Seq("tok"), "left")
-      .groupBy("doc_id", "fp", "n_tokens", "is_quality", "sz")
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+        call_function("graft_shingles_h", col("gated"), lit(3)))
+      .join(broadcast(bench.withColumn("hit", lit(1L))), Seq("h"), "left")
+      .groupBy("doc_id", "fp", "n_tokens", "is_quality")
+      .agg(count(col("h")).cast("long").as("sz"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
       .withColumn("is_clean",
         lit(4) * col("n_overlap") < col("sz"))
       .select("doc_id", "fp", "n_tokens", "is_quality", "sz", "n_overlap",
@@ -1250,12 +1285,19 @@ object TextOps {
     * out-of-vocabulary surprisal default, which restores the broadcast
     * at any corpus size. */
   def unigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
     // token-hash shuffle currency (the bigramSurprisal/shingleDocs
     // convention): counts by xxhash64 equal counts by token, sur
-    // values and the oracle hash unchanged, 8-byte exchange keys
+    // values and the oracle hash unchanged, 8-byte exchange keys.
+    // Round-16: the stream is PRE-COUNTED per doc by the native
+    // graft_tokcounts generator (the tfidf_terms fusion) — tokens
+    // repeat heavily within natural-language docs, so the (doc, tok,
+    // cnt) stream is ~4× fewer rows than the per-occurrence explode
+    // it replaces, and every downstream aggregate is the same integer
+    // weighted by cnt (n_tokens = Σcnt, sum_sur = Σcnt·sur — exact).
     val toks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("tok"))
+      .select(col("doc_id"), call_function("graft_tokcounts", col("text")))
+      .select(col("doc_id"), xxhash64(col("tok")).as("tok"), col("cnt"))
     // vocab-sized model table, CACHED once (persist, not an eager
     // localCheckpoint — lazy, so no blocking barrier job; the cache
     // build dedupes across consumers inside the one action): `total`
@@ -1263,7 +1305,7 @@ object TextOps {
     // Catalyst re-inlines the corpus scan+explode into each (3
     // documents scans measured by the round-10 plan audit; now 1
     // model pass + 1 scoring pass).
-    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+    val vocab = toks.groupBy("tok").agg(sum("cnt").as("freq"))
       .persist()
     val total = vocab.agg(sum("freq").as("total_toks"))
     val scored = vocab.crossJoin(broadcast(total))
@@ -1284,7 +1326,8 @@ object TextOps {
       else scored
     toks.join(uniModel, Seq("tok"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("sur_micro").as("sum_sur_micro"))
+      .agg(sum("cnt").as("n_tokens"),
+        sum(col("cnt") * col("sur_micro")).as("sum_sur_micro"))
       .select(col("doc_id"), col("n_tokens"),
         // integer DIV, not float /: exact in both engines
         expr("sum_sur_micro DIV n_tokens").as("mean_sur_micro"))

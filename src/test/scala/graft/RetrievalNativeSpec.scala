@@ -57,6 +57,30 @@ class RetrievalNativeSpec extends SparkSuite {
       "graft_qterms differs from the HOF form on adversarial strings")
   }
 
+  test("graft_shingles_h ≡ xxhash64 over graft_shingles, per doc") {
+    // the contamination probes' hash currency: the generator's row set
+    // must equal the builtin xxhash64 over the string shingle array
+    // (same distinct, same windows, same seed) — asserted per doc.
+    graft.GraftExtensions.register(spark)
+    val viaGen = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), call_function("graft_shingles_h", col("text"), lit(3)))
+      .groupBy("doc_id").agg(sort_array(collect_list("h")).as("hs"))
+    val viaStr = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        sort_array(transform(
+          call_function("graft_shingles", col("text"), lit(3)),
+          t => xxhash64(t))).as("hs"))
+    assert(viaGen.except(viaStr).isEmpty && viaStr.except(viaGen).isEmpty,
+      "hashed shingle generator differs from xxhash64(graft_shingles)")
+    // and the null-text sentinel: one null-h row, not a dropped doc
+    import spark.implicits._
+    val nullRows = Seq[(Long, String)]((1L, null)).toDF("doc_id", "text")
+      .select(col("doc_id"), call_function("graft_shingles_h", col("text"), lit(3)))
+      .collect()
+    assert(nullRows.length == 1 && nullRows.head.isNullAt(1),
+      "null text must emit exactly one null-h row")
+  }
+
   test("single-pass tfidf ≡ the two-pass broadcast-join formulation") {
     graft.GraftExtensions.register(spark)
     val docs = sources.Tables.documents(spark, sf)
