@@ -109,7 +109,10 @@ object Bench {
     // saturating scales and stays a first-class line of Bench100x.top
     // (BENCH_10x/100x_hard + BENCH_100x carry it every round), and
     // both remain oracle-gated in Verify
-    "simhash_dedup_auto", "semantic_clusters_incremental_auto")
+    "simhash_dedup_auto", "semantic_clusters_incremental_auto",
+    // round-17: BM25 ∪ ANN reciprocal-rank fusion — the RAG-serving
+    // composite; times both underlying chains plus the k-row fusion
+    "hybrid_search_rrf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -235,15 +235,28 @@ object GraftExtensions {
     templateFn("graft_backoff_sec", 1,
       "CASE WHEN arg0 <= 0 THEN 0 ELSE CAST(2 * POW(2, arg0 - 1) AS INT) END"))
 
+  /** Sessions already registered — lets [[register]] be called from hot
+    * chokepoints ([[graft.sources.Tables.table]] calls it on every
+    * fixture read, so NO query builder depends on its caller having
+    * registered; round-16 advice: builders reaching Exprs.tokenCount on
+    * a foreign session threw AnalysisException). Weak keys: dead
+    * sessions release their marker. */
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   /** Idempotently register graft functions + optimizer rules on a live
     * session (experimentalMethods is the post-build injection point —
-    * same rule object the extensions class injects at build time). */
+    * same rule object the extensions class injects at build time).
+    * Constant-time after the first call per session. */
   def register(spark: SparkSession): Unit = {
+    if (registered.containsKey(spark)) return
     descriptors.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
     val ex = spark.experimental
     if (!ex.extraOptimizations.contains(graft.plans.CountOnlyShingles))
       ex.extraOptimizations = ex.extraOptimizations :+ graft.plans.CountOnlyShingles
+    registered.put(spark, java.lang.Boolean.TRUE)
   }
 }

@@ -24,10 +24,10 @@ object GraftSession {
     System.setProperty("derby.stream.error.file", s"/tmp/graft-derby-$pid.log")
     SparkSession.builder()
       // every graft session carries the native-function surface from
-      // birth (round-16): query builders still call
-      // GraftExtensions.register defensively for foreign sessions,
-      // but shared column helpers (Exprs.tokenCount) may now assume
-      // the functions resolve without a session in scope
+      // birth (round-16); foreign sessions get it from the
+      // Tables.table chokepoint (round-17: every fixture-reading
+      // builder registers on first read, so shared column helpers
+      // like Exprs.tokenCount resolve on ANY session)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")

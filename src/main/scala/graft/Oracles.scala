@@ -2300,7 +2300,9 @@ object Oracles {
     // luma is g per pixel, mean_luma_milli = g*1000 DIV 255.
     "image_decode" -> qx(
       """, imd AS (
-        |  SELECT doc_id, ((doc_id % 2147483647) * 37 + 11) % 256 AS g
+        |  SELECT doc_id,
+        |         (((xor(doc_id, doc_id >> 31) % 2147483647 + 2147483647)
+        |           % 2147483647) * 37 + 11) % 256 AS g
         |  FROM documents WHERE doc_id % 50 = 11
         |)""".stripMargin,
       """SELECT doc_id,
@@ -2319,7 +2321,8 @@ object Oracles {
         |  SELECT doc_id,
         |         8000 + (doc_id % 3) * 4000 AS rate,
         |         400 + (doc_id % 5) * 80 AS n,
-        |         1000 + (doc_id % 2147483647) % 20000 AS amp
+        |         1000 + ((xor(doc_id, doc_id >> 31) % 2147483647 + 2147483647)
+        |                 % 2147483647) % 20000 AS amp
         |  FROM documents WHERE doc_id % 50 = 23
         |)""".stripMargin,
       """SELECT doc_id, CAST(rate AS BIGINT) AS sample_rate,
@@ -2529,8 +2532,10 @@ object Oracles {
           |ORDER BY a_id, b_id""".stripMargin),
       // round-16: the semantic dispatcher's WIDE branch oracle-FIRED —
       // the engineered saturated store (every member of the hottest
-      // narrow cell replicated until the cell holds SemSatTarget
-      // occupants, mirroring SimilarityOps.satSemanticDir) crosses the
+      // narrow cell replicated until the cell holds the STORE-DERIVED
+      // semSatTarget(N) occupants — round-17: a fixed target failed to
+      // cross the cut at scaled bases, mirroring
+      // SimilarityOps.satSemanticDir) crosses the
       // measured 5,000/vec cut, so the UNCHANGED public dispatcher
       // routes the wide 4x16-bit lattice. Replicas carry their
       // original's exact embedding (hence q8, hence every wide band
@@ -2545,10 +2550,22 @@ object Oracles {
         s""", satstar AS (
           |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS c FROM scell
           |  GROUP BY cell ORDER BY c DESC, cell LIMIT 1
+          |), satn AS (
+          |  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings
           |), satreps AS (
-          |  SELECT (${graft.operators.SimilarityOps.SemSatTarget} + c - 1)
+          |  -- store-derived target S = smallest S with S²/(N+S) ≥ M
+          |  -- (M = 1.5× the dispatch cut): EXACT replay of
+          |  -- SimilarityOps.semSatTarget — double products/sums below
+          |  -- are exact and SQRT/CEIL correctly rounded, so both
+          |  -- engines derive the identical reps from the same parquet
+          |  SELECT (CAST(CEIL((
+          |            ${graft.operators.SimilarityOps.SemSatMarginPerVec.toDouble}
+          |            + SQRT(${graft.operators.SimilarityOps.SemSatMarginPerVec.toDouble}
+          |                   * ${graft.operators.SimilarityOps.SemSatMarginPerVec.toDouble}
+          |                   + 4.0 * ${graft.operators.SimilarityOps.SemSatMarginPerVec.toDouble}
+          |                   * sn.n)) / 2.0) AS BIGINT) + c - 1)
           |           // c AS reps
-          |  FROM satstar
+          |  FROM satstar, satn sn
           |), satmem AS (
           |  SELECT s.vec_id, s.na2 FROM scell s, satstar t
           |  WHERE s.cell = t.cell
@@ -2686,6 +2703,87 @@ object Oracles {
           |  )) AS BIGINT) AS bm25_micro
           |FROM bd CROSS JOIN st
           |ORDER BY bm25_micro DESC, doc_id ASC LIMIT 20""".stripMargin),
+      // round-17: BM25 ∪ ANN reciprocal-rank fusion — the replay
+      // composes the two existing hash-green chains verbatim (bm25 CTE
+      // + q8/pairs CTE), then fuses by pure integer rank arithmetic:
+      // rrf = Σ 1e6 // (60 + rank); ties break on doc_id. Absent ranks
+      // surface as -1.
+      "hybrid_search_rrf" -> qx(
+        """, bd AS (
+          |  SELECT doc_id,
+          |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS dl,
+          |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'hash')) AS INT) AS tf_hash,
+          |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'merge')) AS INT) AS tf_merge,
+          |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'scan')) AS INT) AS tf_scan
+          |  FROM documents
+          |), st AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |         CAST(SUM(dl) AS BIGINT) AS sum_dl,
+          |         CAST(SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_hash,
+          |         CAST(SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_merge,
+          |         CAST(SUM(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_scan
+          |  FROM bd
+          |), bmr AS (
+          |  SELECT doc_id,
+          |         CAST(ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id ASC) AS BIGINT) AS bm25_rank
+          |  FROM (
+          |    SELECT doc_id,
+          |      CAST(ROUND(1000000.0 * (
+          |          ln((n_docs - df_hash + 0.5) / (df_hash + 0.5) + 1.0)
+          |            * (CAST(tf_hash AS DOUBLE) * 2.2)
+          |            / (tf_hash + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+          |        + ln((n_docs - df_merge + 0.5) / (df_merge + 0.5) + 1.0)
+          |            * (CAST(tf_merge AS DOUBLE) * 2.2)
+          |            / (tf_merge + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+          |        + ln((n_docs - df_scan + 0.5) / (df_scan + 0.5) + 1.0)
+          |            * (CAST(tf_scan AS DOUBLE) * 2.2)
+          |            / (tf_scan + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+          |      )) AS BIGINT) AS bm25_micro
+          |    FROM bd CROSS JOIN st
+          |    ORDER BY bm25_micro DESC, doc_id ASC LIMIT 20)
+          |), hq8 AS (
+          |  SELECT vec_id,
+          |         list_transform(embedding, x ->
+          |           CASE WHEN mx = 0 THEN 0
+          |                ELSE CAST(floor(CAST(x AS DOUBLE) * 127 / mx + 0.5) AS BIGINT)
+          |           END) AS q8
+          |  FROM (SELECT vec_id, embedding,
+          |               list_max(list_transform(embedding,
+          |                 x -> abs(CAST(x AS DOUBLE)))) AS mx
+          |        FROM embeddings)
+          |), hdims AS (
+          |  SELECT unnest(range(0, (SELECT MAX(len(embedding)) FROM embeddings))) AS pos
+          |), hpairs AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id,
+          |         CAST(SUM(q.q8[CAST(pos AS INT) + 1]
+          |                   * c.q8[CAST(pos AS INT) + 1]) AS BIGINT) AS dot
+          |  FROM hq8 q
+          |  JOIN hq8 c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+          |  CROSS JOIN hdims
+          |  GROUP BY 1, 2
+          |), annr AS (
+          |  SELECT query_id, vec_id AS doc_id, CAST(rank AS BIGINT) AS ann_rank
+          |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          |          ORDER BY dot DESC, vec_id) AS rank FROM hpairs)
+          |  WHERE rank <= 10
+          |), bmq AS (
+          |  SELECT q.query_id, r.doc_id, r.bm25_rank
+          |  FROM (SELECT DISTINCT query_id FROM annr) q CROSS JOIN bmr r
+          |), fused AS (
+          |  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+          |         COALESCE(a.doc_id, b.doc_id) AS doc_id,
+          |         CAST(COALESCE(1000000 // (60 + a.ann_rank), 0)
+          |            + COALESCE(1000000 // (60 + b.bm25_rank), 0) AS BIGINT) AS rrf_micro,
+          |         CAST(COALESCE(b.bm25_rank, -1) AS INT) AS bm25_rank,
+          |         CAST(COALESCE(a.ann_rank, -1) AS INT) AS ann_rank
+          |  FROM annr a FULL OUTER JOIN bmq b
+          |    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+          |)""".stripMargin,
+        """SELECT query_id, doc_id, rrf_micro, bm25_rank, ann_rank,
+          |       CAST(rrf_rank AS INT) AS rrf_rank
+          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          |        ORDER BY rrf_micro DESC, doc_id ASC) AS rrf_rank FROM fused)
+          |WHERE rrf_rank <= 10 ORDER BY query_id, rrf_rank""".stripMargin),
       "token_budget_mix" -> qx(
         """, psw AS (
           |  SELECT source, n_docs, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS w

@@ -143,6 +143,7 @@ object SparkEntry {
     // LLM-pipeline: retrieval scoring + corpus mixture planning
     "tfidf_terms" -> (RetrievalOps.tfidfTerms _),
     "bm25_search" -> (RetrievalOps.bm25Search _),
+    "hybrid_search_rrf" -> (RetrievalOps.hybridSearchRrf _),
     "token_budget_mix" -> (RetrievalOps.tokenBudgetMix _),
     "token_budget_mix_bpe" -> (RetrievalOps.tokenBudgetMixBpe _),
     "token_budget_waterfill" -> (RetrievalOps.tokenBudgetWaterfill _),

@@ -19,7 +19,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *   1. spaced  = ' ' ++ (each code point ++ ' ')        — the
   *      `concat(lit(" "), regexp_replace(text, "(.)", "$1 "))` step,
-  *      done as one UTF-8 lead-byte walk instead of a regex pass;
+  *      done as one UTF-8 lead-byte walk instead of a regex pass.
+  *      Java's `.` never matches a LINE TERMINATOR (\n \r U+0085
+  *      U+2028 U+2029), so those code points pass through with no
+  *      trailing space — the walk reproduces exactly that (round-16
+  *      advice; BpeSpec's adversarial list pins \n/\r/U+2028 cases).
+  *      (DuckDB's RE2 `.` excludes only \n, so the ORACLE-facing
+  *      contract stays what it always was: single-spaced,
+  *      line-terminator-free document text — the chain itself, not
+  *      just this fusion, diverges from RE2 on a raw \r.);
   *   2. guarded = replace(spaced, "   ", " ~ ")           — original
   *      single spaces become the '~' word guard; same-length, done in
   *      place with the exact non-overlapping left-to-right scan of
@@ -130,14 +138,28 @@ case class BpeTokenCount(left: Expression, right: Expression)
       if ((tb(i) & 0xC0) != 0x80) nChars += 1
       i += 1
     }
-    // step 1: ' ' ++ (code point ++ ' ')*
+    // step 1: ' ' ++ (code point ++ ' ')* — except LINE TERMINATORS,
+    // which Java's `.` never matches (\n \r U+0085 U+2028 U+2029), so
+    // the chain's regexp_replace passes them through with NO trailing
+    // space; the walk must reproduce that, not "fix" it (round-16
+    // advice: JSONL-carried newlines silently diverged).
     var cur = new Array[Byte](1 + tb.length + nChars)
     cur(0) = ' '
     var p = 1
     i = 0
     while (i < tb.length) {
+      val s0 = i
       cur(p) = tb(i); p += 1; i += 1
-      if (i == tb.length || (tb(i) & 0xC0) != 0x80) { cur(p) = ' '; p += 1 }
+      while (i < tb.length && (tb(i) & 0xC0) == 0x80) {
+        cur(p) = tb(i); p += 1; i += 1
+      }
+      val cpLen = i - s0
+      val lineTerm =
+        (cpLen == 1 && (tb(s0) == '\n' || tb(s0) == '\r')) ||
+        (cpLen == 2 && (tb(s0) & 0xFF) == 0xC2 && (tb(s0 + 1) & 0xFF) == 0x85) ||
+        (cpLen == 3 && (tb(s0) & 0xFF) == 0xE2 && (tb(s0 + 1) & 0xFF) == 0x80 &&
+          ((tb(s0 + 2) & 0xFF) == 0xA8 || (tb(s0 + 2) & 0xFF) == 0xA9))
+      if (!lineTerm) { cur(p) = ' '; p += 1 }
     }
     var curLen = p
     // step 2: replace("   ", " ~ ") — same length, in place

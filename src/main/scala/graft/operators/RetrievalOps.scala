@@ -118,6 +118,53 @@ object RetrievalOps {
       .limit(20)
   }
 
+  /** HYBRID retrieval — BM25 ∪ ANN reciprocal-rank fusion (round-16
+    * verdict item 1: the first query a RAG-corpus user runs once both
+    * the keyword index and the vector index exist). Per embedding
+    * query (the [[graft.operators.SimilarityOps.annQ8Topk]] query set,
+    * vec_id < 5), fuse that query's ANN top-10 with the corpus-wide
+    * BM25 top-20 ([[bm25Search]], the fixed 3-term keyword query) by
+    * Cormack-RRF: score = Σ_lists 1e6 DIV (60 + rank) — pure integer
+    * rank arithmetic (no float score mixing, the whole point of RRF),
+    * so the fusion is exactly oracle-replayable from the two existing
+    * hash-green chains. Docs present in only one list take that list's
+    * contribution (standard RRF); absent ranks surface as −1 so the
+    * output exposes provenance. Ties on the fused score break on
+    * doc_id — fully deterministic.
+    *
+    * Scale shape: both inputs are top-k bounded, so everything past
+    * the two underlying retrieval chains is |queries|·k rows — dims at
+    * ANY corpus scale. The heavy lifting stays in bm25/annQ8's already
+    * scale-shaped plans (one scan + broadcast stats; broadcast query
+    * set + per-query window); the fusion itself adds a k-row outer
+    * join and a k-row window, nothing corpus-sized. */
+  def hybridSearchRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val bmRanked = bm25Search(spark, sfDir)
+      .select(col("doc_id"), row_number().over(
+        // global window over the ALREADY-LIMITED 20-row list — bounded
+        // by construction, never a corpus-wide single partition
+        Window.orderBy(desc("bm25_micro"), asc("doc_id"))).as("bm25_rank"))
+    val ann = SimilarityOps.annQ8Topk(spark, sfDir)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank").as("ann_rank"))
+    // the BM25 list is query-independent (one keyword query) — cross
+    // it with the distinct ANN query ids so the outer join fuses
+    // per-query; 5 × 20 rows, a literal dim
+    val bmPerQ = ann.select("query_id").distinct().crossJoin(bmRanked)
+    ann.join(bmPerQ, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(expr("1000000 DIV (60 + ann_rank)"), lit(0L)) +
+          coalesce(expr("1000000 DIV (60 + bm25_rank)"), lit(0L)))
+          .as("rrf_micro"),
+        coalesce(col("bm25_rank"), lit(-1)).cast("int").as("bm25_rank"),
+        coalesce(col("ann_rank"), lit(-1)).cast("int").as("ann_rank"))
+      .withColumn("rrf_rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(desc("rrf_micro"), asc("doc_id"))).cast("int"))
+      .filter(col("rrf_rank") <= 10)
+      .orderBy("query_id", "rrf_rank")
+  }
+
   /** Source-mixture planning under a token budget — the sampling-weight
     * step of corpus assembly: temperature-smoothed weights
     * w_s ∝ n_tokens_s^0.5 (α = 0.5 flattens the head the way

@@ -2294,10 +2294,22 @@ object SimilarityOps {
     * (session, fixture) as a real parquet store so the UNCHANGED
     * public dispatcher runs against it — the dispatch decision under
     * test is the production code path, not a test double. */
+  /** Stable per-fixture scratch dir under the system temp root:
+    * repeated sessions OVERWRITE the same store instead of leaking a
+    * fresh store-sized temp directory each (round-16 advice). Keyed by
+    * the fixture path's digest so distinct stores never collide. */
+  private[graft] def stableScratchDir(kind: String, sfDir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val d = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft-$kind-$key")
+    java.nio.file.Files.createDirectories(d)
+    d.toString
+  }
+
   private[graft] def satSimhashDir(spark: SparkSession, sfDir: String): String =
     Memo.cached(spark, s"satSimhashDir:$sfDir") {
-      val d = java.nio.file.Files
-        .createTempDirectory("graft-sat-store").toString
+      val d = stableScratchDir("sat-simhash", sfDir)
       val base = Tables.documents(spark, sfDir)
       val reps = base.filter(col("source") === "src0")
         .withColumn("r", explode(sequence(lit(1L), lit(SatReplicas - 1L))))
@@ -2444,17 +2456,28 @@ object SimilarityOps {
     semanticDedup(spark, sfDir)
       .select(col("a_id"), col("b_id"), col("dot"), col("cos2_e6"))
 
-  /** Target post-replication population of the HOTTEST narrow q8 cell
-    * behind [[semanticDedupAutoSat]]. With the hottest cell grown to
-    * S ≈ 8192 occupants, the narrow detector reads
-    * Σc²/vec ≈ S²/(|base| + S) ≈ 7.7k at the sf fixtures — 1.5× the
-    * 5,000 cut — INDEPENDENT of the fixture's own max-cell count
-    * (the replication factor divides it out), while the wide-side
-    * enumeration the dispatch then runs stays bounded: the replicated
-    * groups split across the hottest cell's c* ≥ Σc²/Σc ≈ 46 distinct
-    * member signatures, so within-group candidate mass is
-    * ≤ 4·c*·C(S/c*, 2) ≈ 3M rows, not C(S,2) ≈ 33M. */
-  private[graft] val SemSatTarget = 8192L
+  /** Post-replication Σc²/vec the engineered saturated store must
+    * clear: 1.5× the dispatch cut, so host-to-host measurement noise
+    * can never flip the sat fixture's routing. */
+  private[graft] val SemSatMarginPerVec = 3L * SemanticSaturationCutPerVec / 2L
+
+  /** STORE-DERIVED target post-replication population of the hottest
+    * narrow q8 cell behind [[semanticDedupAutoSat]]: the smallest S
+    * with S²/(N+S) ≥ [[SemSatMarginPerVec]], i.e. the closed form of
+    * the quadratic S² − M·S − M·N ≥ 0. Round-16 advice: the previous
+    * FIXED 8192 target crossed the 5,000/vec cut only while the base
+    * store stayed ≲ 8–10k vectors — Σc²/vec ≈ S²/(N+S) shrinks as N
+    * grows, so a 10×-scale store would have routed NARROW while the
+    * oracle unconditionally replayed WIDE. Deriving S from the
+    * measured N keeps the engineered saturation ≥ 1.5× the cut at ANY
+    * base size; the oracle's satreps CTE replays this exact formula
+    * (same operation order — double mul/add are exact here and
+    * IEEE sqrt/ceil are correctly rounded in both engines, so both
+    * derive the identical reps from the identical parquet). */
+  private[graft] def semSatTarget(nBase: Long): Long = {
+    val m = SemSatMarginPerVec.toDouble
+    math.ceil((m + math.sqrt(m * m + 4.0 * m * nBase.toDouble)) / 2.0).toLong
+  }
 
   /** Deterministic SATURATED embedding store derived from the fixture
     * — [[satSimhashDir]]'s recipe for the semantic family (round-15
@@ -2463,25 +2486,30 @@ object SimilarityOps {
     * branch never fired under a DuckDB replay. Replicating every
     * member of the MOST-POPULATED narrow cell (deterministic
     * tie-break: smallest cell id) until the cell holds
-    * [[SemSatTarget]] occupants saturates the fixed 256-key space
+    * [[semSatTarget]] occupants saturates the fixed 256-key space
     * exactly the way a template-heavy embedding corpus does — the
     * narrow ANALYZE crosses the cut from cell mass alone, and the
     * UNCHANGED public dispatcher routes the wide lattice against a
     * real parquet store (the dispatch under test is the production
     * code path, not a test double). Replica ids stride by the
     * replication factor above a 10⁷ offset: disjoint from base ids,
-    * disjoint across members, deterministic in both engines. */
+    * disjoint across members, deterministic in both engines.
+    * Written to a STABLE per-fixture path (round-16 advice: a fresh
+    * temp dir per session leaked one store-sized directory per
+    * bench/verify run; overwrite semantics make repeats idempotent —
+    * the memo still guarantees exactly one write per session, so a
+    * regenerated fixture is re-derived, never served stale). */
   private[graft] def satSemanticDir(spark: SparkSession, sfDir: String): String =
     Memo.cached(spark, s"satSemanticDir:$sfDir") {
-      val d = java.nio.file.Files
-        .createTempDirectory("graft-sat-sem").toString
+      val d = stableScratchDir("sat-sem", sfDir)
       val base = Tables.embeddings(spark, sfDir)
       val cf = q8CellFrame(spark, sfDir)
       val top = cf.groupBy("cell").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("cell")).head()
       val cStar = top.getLong(top.fieldIndex("c"))
       val cellStar = top.get(top.fieldIndex("cell"))
-      val reps = (SemSatTarget + cStar - 1) / cStar
+      val nBase = Tables.cachedCount(spark, sfDir, "embeddings")
+      val reps = (semSatTarget(nBase) + cStar - 1) / cStar
       val members = cf.filter(col("cell") === lit(cellStar)).select("vec_id")
       val repRows = base.join(broadcast(members), Seq("vec_id"))
         .withColumn("r", explode(sequence(lit(1L), lit(reps - 1))))

@@ -44,8 +44,18 @@ object Tables {
   val HeartbeatBase = "2024-01-01 00:00:00"
   val AsOf = "2024-01-01 00:00:40"
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  /** Every fixture read also installs graft's native functions on the
+    * session (constant-time after the first call): query builders build
+    * columns through helpers like [[graft.functions.Exprs.tokenCount]]
+    * that resolve registered functions, and routing ALL of them through
+    * this chokepoint means they work on ANY session — not just ones
+    * built by [[graft.GraftSession]] or callers that registered
+    * defensively (round-16 advice: AggOps/CatalogOps/LayoutOps threw
+    * AnalysisException on foreign sessions). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   /** Memoized driver-side row count of a fixture table, scoped PER
     * SESSION via a WeakHashMap (dead sessions release their entries —

@@ -184,7 +184,12 @@ class BpeSpec extends SparkSuite {
       "", " ", "  ", "   ", "the", " the", "the ", "a  b", "a   b",
       "th e", "t h e", "~", "~~", "the ~ the", "\tthe\tdata\t",
       "émigré café ñ", "日本語 テキスト", "🎉 the 🎉", "éclair",
-      "the the the the", "a", "ab", "aa bb aa bb", "t t t t t t")
+      "the the the the", "a", "ab", "aa bb aa bb", "t t t t t t",
+      // line terminators: Java regex `.` skips these, so the chain
+      // emits them with NO trailing space — the native walk must too
+      "a\nb", "the\ndata", "\n", "a\r\nb", "\rthe", "the\r",
+      "ab", "a b", "a b", "t h\ne",
+      "line one\nline two\n")
       .toDF("text")
     val bad = nasty
       .select(col("text"),

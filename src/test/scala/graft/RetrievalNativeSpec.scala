@@ -81,6 +81,39 @@ class RetrievalNativeSpec extends SparkSuite {
       "null text must emit exactly one null-h row")
   }
 
+  test("hybrid_search_rrf fuses exactly the two source lists' ranks") {
+    // round-17: the fusion must be pure rank arithmetic over the two
+    // existing chains — recompute every fused score driver-side from
+    // the source lists and require bit-equality, plus provenance: a
+    // claimed rank must BE that doc's rank in the source list.
+    val bm = RetrievalOps.bm25Search(spark, sf).collect()
+      .map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1) }.toMap
+    val ann = operators.SimilarityOps.annQ8Topk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val fused = RetrievalOps.hybridSearchRrf(spark, sf).collect()
+    assert(fused.length == 50, s"5 queries × top-10: got ${fused.length}")
+    val perQ = fused.groupBy(_.getLong(0))
+    assert(perQ.keySet == ann.keys.map(_._1).toSet && perQ.values.forall(_.length == 10))
+    fused.foreach { r =>
+      val (q, d) = (r.getLong(0), r.getLong(1))
+      val (score, bmR, annR, rrfR) =
+        (r.getLong(2), r.getInt(3), r.getInt(4), r.getInt(5))
+      assert(bmR == bm.getOrElse(d, -1), s"bm25 rank provenance at ($q,$d)")
+      assert(annR == ann.getOrElse((q, d), -1), s"ann rank provenance at ($q,$d)")
+      val want = (if (annR > 0) 1000000L / (60 + annR) else 0L) +
+        (if (bmR > 0) 1000000L / (60 + bmR) else 0L)
+      assert(score == want, s"rrf arithmetic at ($q,$d): $score != $want")
+      assert(rrfR >= 1 && rrfR <= 10)
+    }
+    // within each query the fused list is (rrf desc, doc_id asc)-sorted
+    perQ.values.foreach { rows =>
+      val ordered = rows.sortBy(_.getInt(5))
+        .map(r => (-r.getLong(2), r.getLong(1)))
+      assert(ordered.sameElements(ordered.sorted), "fused order broken")
+    }
+  }
+
   test("single-pass tfidf ≡ the two-pass broadcast-join formulation") {
     graft.GraftExtensions.register(spark)
     val docs = sources.Tables.documents(spark, sf)

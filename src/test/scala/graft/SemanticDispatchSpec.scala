@@ -90,7 +90,9 @@ class SemanticDispatchSpec extends SparkSuite {
     // round-15 verdict item 1: the semantic dispatcher's wide branch
     // had never fired where a DuckDB oracle runs — every
     // driver-verified store measures narrow. satSemanticDir grows the
-    // hottest narrow cell to SemSatTarget occupants, so
+    // hottest narrow cell to semSatTarget(N) occupants (round-17:
+    // store-derived, so the engineered saturation clears the cut at
+    // ANY base size, not just small fixtures), so
     // semantic_dedup_auto_sat's CORRECTNESS row exercises the wide
     // branch hash-for-hash; this pins that the dispatch there IS the
     // wide plan and that the replication measured what it was
@@ -109,8 +111,9 @@ class SemanticDispatchSpec extends SparkSuite {
     // (bucket 10), at least Σ_members C(reps, 2) of them
     val rows = SimilarityOps.semanticDedupAutoSat(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nBase = graft.sources.Tables.cachedCount(spark, sf, "embeddings")
     assert(rows.getOrElse(10L, 0L) >=
-      SimilarityOps.SemSatTarget / 2,
+      SimilarityOps.semSatTarget(nBase) / 2,
       s"cos2-bucket-10 within-group mass too small: $rows")
   }
 
