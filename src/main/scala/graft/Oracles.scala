@@ -2331,6 +2331,64 @@ object Oracles {
         |       CAST((n * 1000) // rate AS BIGINT) AS duration_ms,
         |       CAST(ROUND(amp * 1000.0 / 32768.0) AS BIGINT) AS rms_milli
         |FROM aud ORDER BY doc_id""".stripMargin),
+    // round-17: the real bilinear RESIZE loop driver-gated (the
+    // image_decode recipe's second half): source is a uniform-gray
+    // landscape PNG wider than the 24-px cap, so the aspect fit is
+    // closed-form (w=24, h=round(h0·24/w0) — mirrored op order) and
+    // bilinear-on-constant + lossless PNG keep the decoded thumb's
+    // luma exactly the source gray.
+    "image_resize" -> qx(
+      """, imr AS (
+        |  SELECT doc_id,
+        |         40 + (doc_id % 5) * 8 AS w0,
+        |         12 + (doc_id % 3) * 8 AS h0,
+        |         (((xor(doc_id, doc_id >> 31) % 2147483647 + 2147483647)
+        |           % 2147483647) * 37 + 11) % 256 AS g
+        |  FROM documents WHERE doc_id % 50 = 31
+        |)""".stripMargin,
+      """SELECT doc_id,
+        |       CAST(24 AS BIGINT) AS width,
+        |       CAST(ROUND(h0 * (24.0 / w0)) AS BIGINT) AS height,
+        |       CAST(3 AS BIGINT) AS n_channels,
+        |       CAST((g * 1000) // 255 AS BIGINT) AS mean_luma_milli
+        |FROM imr ORDER BY doc_id""".stripMargin),
+    // round-17: the deterministic linear-interp RESAMPLE loop
+    // driver-gated: replay the interpolation sample by sample (same
+    // a + (b−a)·frac op order at rational positions; every partial
+    // Σv² is an exact-in-double integer so summation order is moot)
+    // and compare the exact integer Σv² recomputed from the emitted
+    // PCM bytes.
+    "audio_resample" -> qx(
+      """, aur AS (
+        |  SELECT doc_id,
+        |         8000 + (doc_id % 3) * 4000 AS src_rate,
+        |         400 + (doc_id % 5) * 80 AS nf,
+        |         1000 + ((xor(doc_id, doc_id >> 31) % 2147483647 + 2147483647)
+        |                 % 2147483647) % 20000 AS amp
+        |  FROM documents WHERE doc_id % 50 = 37
+        |), aut AS (
+        |  SELECT doc_id, src_rate, nf, amp,
+        |         ((nf - 1) * 16000) // src_rate + 1 AS n_out,
+        |         unnest(range(0, ((nf - 1) * 16000) // src_rate + 1)) AS t
+        |  FROM aur
+        |), auv AS (
+        |  SELECT doc_id, n_out,
+        |         CAST(ROUND(a + (b - a) * frac) AS BIGINT) AS v
+        |  FROM (
+        |    SELECT doc_id, n_out,
+        |      CASE WHEN i0 % 2 = 0 THEN CAST(amp AS DOUBLE) ELSE 0.0 END AS a,
+        |      CASE WHEN i0 + 1 < nf THEN
+        |             CASE WHEN (i0 + 1) % 2 = 0 THEN CAST(amp AS DOUBLE)
+        |                  ELSE 0.0 END
+        |           ELSE CASE WHEN i0 % 2 = 0 THEN CAST(amp AS DOUBLE)
+        |                     ELSE 0.0 END END AS b,
+        |      CAST((t * src_rate) % 16000 AS DOUBLE) / 16000 AS frac
+        |    FROM (SELECT *, (t * src_rate) // 16000 AS i0 FROM aut))
+        |)""".stripMargin,
+      """SELECT doc_id, CAST(16000 AS BIGINT) AS sample_rate,
+        |       CAST(n_out AS BIGINT) AS n_frames,
+        |       CAST(SUM(v * v) AS BIGINT) AS sum_sq
+        |FROM auv GROUP BY doc_id, n_out ORDER BY doc_id""".stripMargin),
   ) ++ aggSql
 
   private def aggSql: Map[String, String] = {
@@ -2521,6 +2579,30 @@ object Oracles {
       "semantic_dedup_wide" -> qx(semanticWidePairsCteAt(900L),
         """SELECT a_id, b_id, dot, cos2_e6 FROM spairs
           |ORDER BY a_id, b_id""".stripMargin),
+      // round-17 (verdict item 5): the τ=0.30 stress signal in bounded
+      // form — per-(source_a, source_b) pair count, Σdot and the
+      // deterministic max-cos² exemplar pair over the SAME wide pair
+      // frame semantic_dedup_wide enumerates (the full form stays the
+      // oracle anchor; this row set is ≤|sources|² at any corpus size)
+      "semantic_dedup_wide_stats" -> qx(semanticWidePairsCteAt(900L) +
+        """, wtag AS (
+          |  SELECT da.source AS source_a, db.source AS source_b,
+          |         p.a_id, p.b_id, p.dot, p.cos2_e6
+          |  FROM spairs p
+          |  JOIN documents da ON p.a_id = da.doc_id
+          |  JOIN documents db ON p.b_id = db.doc_id
+          |), wrn AS (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source_a, source_b
+          |    ORDER BY cos2_e6 DESC, a_id ASC, b_id ASC) AS rn
+          |  FROM wtag
+          |)""".stripMargin,
+        """SELECT source_a, source_b,
+          |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          |       CAST(SUM(dot) AS BIGINT) AS sum_dot,
+          |       CAST(MAX(cos2_e6) AS BIGINT) AS top_cos2_e6,
+          |       CAST(MIN(CASE WHEN rn = 1 THEN a_id END) AS BIGINT) AS top_a_id,
+          |       CAST(MIN(CASE WHEN rn = 1 THEN b_id END) AS BIGINT) AS top_b_id
+          |FROM wrn GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       // narrow/wide semantic DISPATCH (round-14, the simhash_dedup_auto
       // shape): the oracle is the NARROW branch — the measured Σc²/vec
       // profile routes narrow at every driver-verified store size

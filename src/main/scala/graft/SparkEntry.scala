@@ -199,6 +199,7 @@ object SparkEntry {
     "semantic_incremental" -> (SimilarityOps.semanticIncremental _),
     "semantic_clusters_incremental" -> (GraphOps.semanticClustersIncremental _),
     "semantic_dedup_wide" -> (SimilarityOps.semanticDedupWide _),
+    "semantic_dedup_wide_stats" -> (SimilarityOps.semanticDedupWideStats _),
     "semantic_dedup_auto" -> (SimilarityOps.semanticDedupAuto _),
     "semantic_dedup_auto_sat" -> (SimilarityOps.semanticDedupAutoSat _),
     "q8_cell_stats" -> (SimilarityOps.q8CellStats _),
@@ -215,6 +216,8 @@ object SparkEntry {
     "video_framesample" -> (MultimodalOps.videoFrameSample _),
     "image_decode" -> (MultimodalOps.imageDecode _),
     "audio_decode" -> (MultimodalOps.audioDecode _),
+    "image_resize" -> (MultimodalOps.imageResize _),
+    "audio_resample" -> (MultimodalOps.audioResample _),
     // §2.10 UDAF + SQL surface + LB strategies + native expression
     "source_token_stats" -> (AggOps.sourceTokenStats _),
     "profile_orders" -> (AggOps.profileOrders _),

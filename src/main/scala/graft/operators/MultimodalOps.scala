@@ -884,4 +884,94 @@ object MultimodalOps {
         col("n_frames"), col("duration_ms"), col("rms_milli"))
       .orderBy("doc_id")
   }
+
+  /** END-TO-END real image RESIZE, HASH-CHECKED (round-16 verdict item
+    * 3: the decode halves got CORRECTNESS rows but a resize regression
+    * still only surfaced in sbt test): per selected doc, render a
+    * uniform-gray PNG WIDER than the thumbnail cap → [[resizeImages]]
+    * (real bilinear drawImage + PNG re-encode) → re-decode the emitted
+    * THUMB BYTES with the real codec ([[decodeImages]]) and report its
+    * dims + exact mean luma. Bilinear interpolation of a CONSTANT
+    * image is that constant at every output pixel and PNG is lossless,
+    * so the decoded thumb's luma equals the source gray exactly, and
+    * the aspect-preserving dims are closed-form per doc_id: the source
+    * is always landscape (w0 ∈ [40,72] > h0 ∈ [12,28]) and wider than
+    * maxDim=24, so w = 24 and h = round(h0·24/w0) (the Scala
+    * math.round and DuckDB ROUND agree — the value is never a
+    * negative half). A resize defect — wrong scale rounding, blank
+    * async thumbnail, luma drift through the interpolate+re-encode
+    * loop — breaks the hash. */
+  def imageResize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).filter(col("doc_id") % 50 === 31)
+      .as[Long]
+    val media = ids.mapPartitions { part =>
+      part.map { id =>
+        val w = (40 + (id % 5) * 8).toInt
+        val h = (12 + (id % 3) * 8).toInt
+        val idF = Math.floorMod(id ^ (id >> 31), 2147483647L)
+        val g = ((idF * 37 + 11) % 256).toInt
+        val png = grayPng(w, h, g)
+        MediaRecord(id, png, "image/png", png.length.toLong)
+      }
+    }
+    val thumbs = resizeImages(media, maxDim = 24)
+      .map(t => MediaRecord(t.doc_id, t.thumb, "image/png",
+        t.thumb.length.toLong))
+    decodeImages(thumbs).filter(col("ok"))
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_channels").cast("long").as("n_channels"),
+        col("mean_luma_milli"))
+      .orderBy("doc_id")
+  }
+
+  /** END-TO-END real audio RESAMPLE, HASH-CHECKED (the [[imageResize]]
+    * twin for [[resampleAudio]]): per selected doc, synthesize a
+    * 0/A pulse wave (NOT ±A — every interpolated sample stays
+    * non-negative, where Scala's half-up and DuckDB's half-away
+    * rounding agree), mux into a real RIFF/WAVE ([[wavPcm16]]) →
+    * resample to 16 kHz with the deterministic linear-interp loop →
+    * recompute the EXACT integer Σv² from the emitted PCM BYTES. The
+    * oracle replays the interpolation sample by sample with the same
+    * operation order (a + (b−a)·frac at rational positions, every
+    * partial Σv² an exact-in-double integer, so summation order
+    * cannot matter), making the output byte stream itself the checked
+    * artifact — a rate-math, interpolation or byte-packing defect
+    * breaks the hash. rms_milli stays spec-gated (MultimodalSpec): it
+    * is a deterministic function of the checked Σv², and its √/round
+    * could land on a half-ulp boundary no cross-engine replay should
+    * be asked to hit. */
+  def audioResample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).filter(col("doc_id") % 50 === 37)
+      .as[Long]
+    val media = ids.mapPartitions { part =>
+      part.map { id =>
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val n = (400 + (id % 5) * 80).toInt
+        val idF = Math.floorMod(id ^ (id >> 31), 2147483647L)
+        val amp = (1000 + idF % 20000).toInt
+        val samples = Array.tabulate[Short](n)(i =>
+          (if (i % 2 == 0) amp else 0).toShort)
+        val wav = wavPcm16(samples, rate)
+        MediaRecord(id, wav, "audio/wav", wav.length.toLong)
+      }
+    }
+    resampleAudio(media).filter(_.ok)
+      .map { r =>
+        var i = 0
+        var s = 0L
+        while (i + 1 < r.pcm.length) {
+          val v = ((r.pcm(i + 1) << 8) | (r.pcm(i) & 0xff)).toShort
+          s += v.toLong * v
+          i += 2
+        }
+        (r.doc_id, r.sample_rate.toLong, r.n_frames, s)
+      }
+      .toDF("doc_id", "sample_rate", "n_frames", "sum_sq")
+      .orderBy("doc_id")
+  }
 }

@@ -1673,6 +1673,40 @@ object SimilarityOps {
       semanticWideTileFanout(spark, sfDir), SemTauE2)
       .orderBy("a_id", "b_id")
 
+  /** BOUNDED stress reporting over the τ=0.30 WIDE pair frame
+    * (round-16 verdict item 5): [[semanticDedupWide]] enumerates every
+    * stress-point pair — output-QUADRATIC on mirror-heavy corpora
+    * (57 s / 240k real docs), which stops being a committable artifact
+    * long before the enumeration itself stops being computable. This
+    * form carries the same stress signal in ≤|sources|² rows: per
+    * (source_a, source_b), the pair count, Σdot, and ONE deterministic
+    * exemplar pair (the max-cos² pair, ties broken on (a_id, b_id) —
+    * the row a triage run would open first). The full enumeration
+    * stays the oracle anchor; here the quadratic mass is consumed by a
+    * (source_a, source_b) hash aggregate + a same-keyed window, so
+    * nothing output-sized survives the exchange. */
+  def semanticDedupWideStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docsSrc = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+    val tagged = semanticWidePairsTiled(semanticWideBandedFrame(spark, sfDir),
+        semanticWideTileFanout(spark, sfDir), SemTauE2)
+      .join(docsSrc.select(col("doc_id").as("a_id"),
+        col("source").as("source_a")), Seq("a_id"))
+      .join(docsSrc.select(col("doc_id").as("b_id"),
+        col("source").as("source_b")), Seq("b_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source_a", "source_b")
+      .orderBy(desc("cos2_e6"), asc("a_id"), asc("b_id"))
+    tagged.withColumn("rn", row_number().over(w))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("dot").as("sum_dot"),
+        max("cos2_e6").as("top_cos2_e6"),
+        min(when(col("rn") === 1, col("a_id"))).as("top_a_id"),
+        min(when(col("rn") === 1, col("b_id"))).as("top_b_id"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** MEMOIZED full-store wide pair frame at the PRODUCTION τ=0.95
     * point — the stored wide cluster assignment's input (the
     * [[semanticPairsShared]] convention: in production this IS the

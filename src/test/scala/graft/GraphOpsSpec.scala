@@ -242,4 +242,40 @@ class GraphOpsSpec extends SparkSuite {
       s"clique forest should be ~partitions*nodes, got $cliqueForest " +
         s"of ${clique.length} edges")
   }
+
+  test("small-graph collect path evaluates the upstream edge build once") {
+    // round-16 verdict item 8: the measured-count gate runs count()
+    // and then (under the threshold) collect() on the same edge frame
+    // — if the localCheckpoint inside starContractComponents ever
+    // stopped materializing, the upstream pair join would silently
+    // execute twice. Count actual upstream evaluations with an
+    // accumulator threaded through the edge build.
+    import spark.implicits._
+    val raw = Seq((1L, 2L), (2L, 3L), (10L, 11L), (12L, 12L), (5L, 4L))
+    def run(thresholdConf: Option[String]): (Map[Long, Long], Long) = {
+      val acc = spark.sparkContext.longAccumulator("edgeBuildRows")
+      val counted = raw.toDS()
+        .map { p => acc.add(1); p }
+        .toDF("src", "dst")
+      thresholdConf match {
+        case Some(v) => spark.conf.set("spark.graft.smallGraphEdges", v)
+        case None => spark.conf.unset("spark.graft.smallGraphEdges")
+      }
+      try {
+        val comps = operators.GraphOps.starContractComponents(counted)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        (comps, acc.value)
+      } finally spark.conf.unset("spark.graft.smallGraphEdges")
+    }
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 4L -> 4L, 5L -> 4L)
+    val (small, nSmall) = run(None) // default threshold → collect path
+    assert(small == expected, s"collect-path components wrong: $small")
+    assert(nSmall == raw.length,
+      s"collect path evaluated the upstream $nSmall times (want ${raw.length})")
+    val (fix, nFix) = run(Some("0")) // forced distributed fixpoint
+    assert(fix == expected, s"fixpoint components wrong: $fix")
+    assert(nFix == raw.length,
+      s"fixpoint path evaluated the upstream $nFix times (want ${raw.length})")
+  }
 }
