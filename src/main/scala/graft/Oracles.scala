@@ -192,7 +192,7 @@ object Oracles {
     * stored-index probe (bit-identical by IvfPqSpec). */
   private lazy val IvfPqSql: String =
     qx(
-      """, q8 AS (
+      s""", q8 AS (
         |  SELECT vec_id,
         |         list_transform(embedding, x ->
         |           CASE WHEN mx = 0 THEN 0
@@ -221,7 +221,7 @@ object Oracles {
         |), cand AS (
         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
         |  FROM bandkey q JOIN bandkey c ON q.band = c.band AND q.key = c.key
-        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5) AND c.vec_id <> q.vec_id
         |), seeds AS (
         |  SELECT q8, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k
         |  FROM q8 ORDER BY vec_id LIMIT 16
@@ -274,7 +274,7 @@ object Oracles {
         |  SELECT query_id, vec_id FROM (
         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |      ORDER BY adc_dot DESC, vec_id) AS adc_rank FROM pqpairs)
-        |  WHERE adc_rank <= 64
+        |  WHERE adc_rank <= ${graft.operators.SimilarityOps.PqRefine}
         |), exactp AS (
         |  SELECT s.query_id, s.vec_id,
         |         CAST(SUM(a.q8[CAST(pos AS INT)+1]
@@ -902,7 +902,7 @@ object Oracles {
         |         CAST(SUM(q.q8[CAST(pos AS INT) + 1]
         |                   * c.q8[CAST(pos AS INT) + 1]) AS BIGINT) AS dot
         |  FROM q8 q
-        |  JOIN q8 c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+        |  JOIN q8 c ON q.vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5) AND c.vec_id <> q.vec_id
         |  CROSS JOIN dims
         |  GROUP BY 1, 2
         |)""".stripMargin,
@@ -962,7 +962,7 @@ object Oracles {
         |  SELECT query_id, cid FROM (
         |    SELECT vec_id AS query_id, cid,
         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        |    FROM a1 WHERE vec_id < 5) WHERE rn <= 6
+        |    FROM a1 WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)) WHERE rn <= 6
         |), cand AS (
         |  SELECT qp.query_id, cells.vec_id
         |  FROM cells JOIN qp USING (cid) WHERE cells.vec_id <> qp.query_id
@@ -1008,7 +1008,7 @@ object Oracles {
          |), cand AS (
          |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
          |  FROM bandkey q JOIN bandkey c ON q.tbl = c.tbl AND q.key = c.key
-         |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5) AND c.vec_id <> q.vec_id
          |), pairs AS (
          |  SELECT cand.query_id, cand.vec_id,
          |         list_sum(list_transform(range(1, len(a.v) + 1),
@@ -1059,7 +1059,7 @@ object Oracles {
         |), cand AS (
         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
         |  FROM bandkey q JOIN bandkey c ON q.band = c.band AND q.key = c.key
-        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5) AND c.vec_id <> q.vec_id
         |), pairs AS (
         |  SELECT cand.query_id, cand.vec_id,
         |         CAST(SUM(a.q8[CAST(pos AS INT) + 1]
@@ -2178,7 +2178,7 @@ object Oracles {
         |ORDER BY p.a_id, p.b_id""".stripMargin),
     "cosine_topk" -> qx(
       """, qv AS (
-        |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+        |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)
         |), scored AS (
         |  SELECT q.query_id, e.vec_id,
         |    list_sum(list_transform(range(1, len(q.qe)+1),
@@ -2394,7 +2394,7 @@ object Oracles {
   private def aggSql: Map[String, String] = {
     val cosineSql = qx(
       """, qv AS (
-        |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+        |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)
         |), scored AS (
         |  SELECT q.query_id, e.vec_id,
         |    list_sum(list_transform(range(1, len(q.qe)+1),
@@ -2840,7 +2840,7 @@ object Oracles {
           |         CAST(SUM(q.q8[CAST(pos AS INT) + 1]
           |                   * c.q8[CAST(pos AS INT) + 1]) AS BIGINT) AS dot
           |  FROM hq8 q
-          |  JOIN hq8 c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+          |  JOIN hq8 c ON q.vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5) AND c.vec_id <> q.vec_id
           |  CROSS JOIN hdims
           |  GROUP BY 1, 2
           |), annr AS (

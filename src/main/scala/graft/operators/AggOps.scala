@@ -243,7 +243,7 @@ object AggOps {
     graft.GraftExtensions.register(spark)
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-    val q = e.filter(col("vec_id") < 5)
+    val q = e.filter(SimilarityOps.annQueryPred(spark, sfDir))
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))

@@ -37,12 +37,34 @@ object SimilarityOps {
   private def bitsToLong(bits: Column): Column =
     aggregate(bits, lit(0L), (acc, b) => shiftleft(acc, 1).bitwiseOR(b.cast("long")))
 
-  /** Brute-force cosine top-k: for each query vector (vec_id < 5), the
+  /** The ANN family's shared QUERY SET: the 5 smallest vec_ids of the
+    * store (the fixture stand-in for user-provided queries). On the
+    * driver fixtures embedding ids are dense from 0, so this is
+    * value-identical to the historical `vec_id < 5` literal (every
+    * oracle hash unchanged); on real stores carrying full-range 64-bit
+    * fingerprint ids the literal cut matched ZERO queries — round-17
+    * found every ANN line of BENCH_realcorpus{,10x} had been timing an
+    * empty query set, and the real-corpus recall probe had no ground
+    * truth to compare. Driver-side 5-row TakeOrdered, memoized per
+    * (session, store) like the fixture counts — dim-sized at any
+    * corpus scale. The oracles replay it as
+    * `vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)`. */
+  private[graft] def annQueryIds(spark: SparkSession, sfDir: String): Seq[Long] =
+    Memo.cached(spark, s"annQueryIds:$sfDir") {
+      Tables.embeddings(spark, sfDir).select(col("vec_id"))
+        .orderBy("vec_id").limit(5).collect().map(_.getLong(0)).toSeq
+    }
+
+  /** `vec_id` membership predicate over [[annQueryIds]]. */
+  private[graft] def annQueryPred(spark: SparkSession, sfDir: String): Column =
+    col("vec_id").isin(annQueryIds(spark, sfDir): _*)
+
+  /** Brute-force cosine top-k: for each query vector (annQueryIds), the
     * 10 nearest neighbors by cosine, emitted as exact integer e4. */
   def cosineTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val q = e.filter(col("vec_id") < 5)
+    val q = e.filter(annQueryPred(spark, sfDir))
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val cos = dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v")))
     val w = org.apache.spark.sql.expressions.Window
@@ -106,7 +128,7 @@ object SimilarityOps {
     // only, not twice more for query derivation (round-10 audit).
     // Memoized-artifact lifecycle, not a bare persist (round-12 sweep).
     val qraw = Memo.frame(spark, s"annLshQ:$sfDir")(
-      vecs.filter(col("vec_id") < 5))
+      vecs.filter(annQueryPred(spark, sfDir)))
     val q = qraw
       .select(col("vec_id"), col("v"), posexplode(srpBuckets(col("v"))))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
@@ -182,7 +204,7 @@ object SimilarityOps {
   def annIvfTopk(spark: SparkSession, sfDir: String, lloydRounds: Int): DataFrame = {
     val e = ivfEmbeddings(spark, sfDir)
     val (centroids, cells) = ivfTrain(spark, e, lloydRounds)
-    ivfProbeOf(spark, e, centroids, cells)
+    ivfProbeOf(spark, e, centroids, cells, annQueryPred(spark, sfDir))
   }
 
   private[graft] def ivfEmbeddings(spark: SparkSession, sfDir: String): DataFrame =
@@ -239,12 +261,12 @@ object SimilarityOps {
     * from the cell equi-join, exact cosine re-ranks. No training, no
     * corpus×K assignment — the index is an input. */
   private def ivfProbeOf(spark: SparkSession, e: DataFrame,
-      centroids: DataFrame, cells: DataFrame): DataFrame = {
+      centroids: DataFrame, cells: DataFrame, queryPred: Column): DataFrame = {
     graft.GraftExtensions.register(spark)
     val nprobe = 6
     val w = org.apache.spark.sql.expressions.Window
     // The query vectors, MATERIALIZED once (5 rows): in production they
-    // arrive as user input — the vec_id<5 store filter is the fixture
+    // arrive as user input — the annQueryIds store filter is the fixture
     // stand-in for that input — so deriving them twice (centroid probe
     // + re-rank) each with its own point-filtered store scan was plan
     // noise the round-10 audit rightly counted as MULTI_SCAN. After the
@@ -253,7 +275,7 @@ object SimilarityOps {
     // Memoized-artifact lifecycle, not a bare persist (round-12 sweep);
     // keyed by the store plan's semantic hash — this helper has no
     // store path, and different callers hand it different frames.
-    val qraw = e.filter(col("vec_id") < 5)
+    val qraw = e.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val qvecs = Memo.frame(spark, s"annIvfQ:${qraw.semanticHash()}")(qraw)
     val dist2 = -call_function("cosine_sim", col("qv"), col("cv"))
@@ -341,7 +363,8 @@ object SimilarityOps {
     val cells = spark.read.parquet(s"$indexDir/cells")
       .select(col("vec_id"), col("cid").cast("long").as("cid"))
       .dropDuplicates("vec_id")
-    ivfProbeOf(spark, ivfEmbeddings(spark, sfDir), centroids, cells)
+    ivfProbeOf(spark, ivfEmbeddings(spark, sfDir), centroids, cells,
+      annQueryPred(spark, sfDir))
   }
 
   /** [[annIvfProbe]] as a (spark, sfDir) QUERY — the headline form of
@@ -754,7 +777,7 @@ object SimilarityOps {
     * quantization in [[embeddingQuantize]] is FOR: score = Σ qa_i·qb_i,
     * pure integer arithmetic (|dot| ≤ 64·127² — no overflow, no float
     * summation order anywhere), so unlike float ANN this variant is
-    * fully oracle-checkable. Top-10 per query (vec_id < 5) by integer
+    * fully oracle-checkable. Top-10 per query (annQueryIds) by integer
     * dot desc. Scale: query side broadcast; corpus side is one scan
     * with the per-row quantization fused into the projection; ranking
     * is a per-query window over ≤|corpus| candidate rows — the brute
@@ -774,7 +797,7 @@ object SimilarityOps {
       .withColumn("max_abs", array_max(transform(col("v"), x => abs(x))))
       .select(col("vec_id"),
         transform(col("v"), x => q8Elem(x, col("max_abs"))).as("q8"))
-    val q = q8row.filter(col("vec_id") < 5)
+    val q = q8row.filter(annQueryPred(spark, sfDir))
       .select(col("vec_id").as("query_id"), col("q8").as("qa"))
     // Null-safe dot: zip_with pads the shorter array with nulls (and a
     // null ELEMENT yields a null product) — coalesce each term to 0 so
@@ -851,7 +874,7 @@ object SimilarityOps {
     }
     val cells = assign(centroids)
     val qRow = Memo.frame(spark, s"annIvfQ8Q:$sfDir")(
-      q8row.filter(col("vec_id") < 5))
+      q8row.filter(annQueryPred(spark, sfDir)))
     val wp = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(asc("d2"), asc("cid"))
     val qprobe = qRow
@@ -932,7 +955,7 @@ object SimilarityOps {
     // only, not twice more for query derivation (round-10 audit).
     // Memoized-artifact lifecycle, not a bare persist (round-12 sweep).
     val qRow = Memo.frame(spark, s"annQ8LshQ:$sfDir")(
-      q8row.filter(col("vec_id") < 5))
+      q8row.filter(annQueryPred(spark, sfDir)))
     val qBands = latticeBandedOf(qRow)
       .select(col("vec_id").as("query_id"), col("band"), col("key"))
     val candIds = banded.join(broadcast(qBands), Seq("band", "key"))
@@ -1094,8 +1117,14 @@ object SimilarityOps {
 
   /** ADC shortlist size — the exact-refine budget (FAISS
     * IndexRefineFlat convention: ADC orders the candidates, the top R
-    * get their TRUE dot from R point-fetches of the raw store). */
-  private[graft] val PqRefine = 64
+    * get their TRUE dot from R point-fetches of the raw store).
+    * Round-17: 64 → 256 — the real-corpus RecallProbe measured
+    * recall@10 0.58/0.50 at 64 (below the 0.6 fixture floor) with the
+    * loss entirely in ADC misranking past the shortlist cut (the
+    * integer-IVF twin with the same pruning measured 1.0); 256
+    * restores 0.84/0.82 while the refine fetch stays dim-sized. The
+    * oracle splices this constant, so both engines always agree. */
+  private[graft] val PqRefine = 256
 
   /** IVF-PQ top-k, fully HASH-CHECKED: lattice-banded candidate
     * pruning (shared [[latticeBandedOf]] — the inverted-file half) →
@@ -1125,7 +1154,7 @@ object SimilarityOps {
     // stop re-inlining point-filtered store scans (round-10 audit).
     // Memoized-artifact lifecycle, not a bare persist (round-12 sweep).
     val qRow = Memo.frame(spark, s"annIvfPqQ:$sfDir")(
-      q8row.filter(col("vec_id") < 5))
+      q8row.filter(annQueryPred(spark, sfDir)))
     val banded = latticeBandedOf(q8row)
     val qBands = latticeBandedOf(qRow)
       .select(col("vec_id").as("query_id"), col("band"), col("key"))
@@ -1300,14 +1329,14 @@ object SimilarityOps {
       .dropDuplicates("vec_id")
     val q8row = q8Frame(spark, sfDir)
     // query derivation materialized ONCE (5 rows — in production these
-    // arrive as user input; the vec_id<5 filter is the fixture
+    // arrive as user input; the annQueryIds filter is the fixture
     // stand-in): bands / ADC tables / refine queries all read the
     // checkpoint, so the raw store appears in the probe plan only as
     // the refine stage's point-fetch join — the index-only claim the
     // scaladoc makes, now true of the plan (round-10 judge item).
     // Memoized-artifact lifecycle, not a bare persist (round-12 sweep).
     val qRow = Memo.frame(spark, s"annIvfPqProbeQ:$sfDir")(
-      q8row.filter(col("vec_id") < 5))
+      q8row.filter(annQueryPred(spark, sfDir)))
     val qBands = latticeBandedOf(qRow)
       .select(col("vec_id").as("query_id"), col("band"), col("key"))
     val candIds = bands.join(broadcast(qBands), Seq("band", "key"))
