@@ -148,9 +148,15 @@ object RetrievalOps {
       .select(col("query_id"), col("vec_id").as("doc_id"),
         col("rank").as("ann_rank"))
     // the BM25 list is query-independent (one keyword query) — cross
-    // it with the distinct ANN query ids so the outer join fuses
-    // per-query; 5 × 20 rows, a literal dim
-    val bmPerQ = ann.select("query_id").distinct().crossJoin(bmRanked)
+    // it with the ANN query ids so the outer join fuses per-query;
+    // 5 × 20 rows, a literal dim. The ids come from the memoized
+    // annQueryIds literal, NOT a distinct over the ANN result —
+    // Catalyst would inline the whole ANN subtree (2 more store
+    // scans) just to re-derive ids the driver already holds
+    // (round-17 MultiScanSpec catch).
+    import spark.implicits._
+    val bmPerQ = SimilarityOps.annQueryIds(spark, sfDir)
+      .toDF("query_id").crossJoin(bmRanked)
     ann.join(bmPerQ, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
         (coalesce(expr("1000000 DIV (60 + ann_rank)"), lit(0L)) +
