@@ -541,9 +541,15 @@ object SimilarityOps {
     * estimated Jaccard = fraction of matching permutation minima. */
   /** The xxhash pipeline's banded frame (doc_id, signature, band,
     * bucket) — shared with BucketProbe's skew measurement. */
-  private[graft] def xxhashBandedBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def xxhashBandedBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    xxhashBandedOf(minhashSignatures(spark, sfDir))
+
+  /** Banding alone over a (doc_id, signature) frame — split out
+    * (round-17) so [[minhashDedup]] can materialize the 32-perm
+    * signature pass once for both self-join sides. */
+  private[graft] def xxhashBandedOf(sigs: DataFrame): DataFrame = {
     val rowsPerBand = MinhashPerms / Bands
-    minhashSignatures(spark, sfDir)
+    sigs
       .select(col("doc_id"), col("signature"),
         posexplode(transform(sequence(lit(0), lit(Bands - 1)),
           b => xxhash64(concat_ws(",",
@@ -554,7 +560,10 @@ object SimilarityOps {
 
   def minhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
     graft.GraftExtensions.register(spark)
-    val banded = xxhashBandedBuckets(spark, sfDir)
+    // localCheckpoint: one text scan + 32-perm signature pass feeds
+    // both self-join sides (round-17, guide §2.4).
+    val banded = xxhashBandedOf(
+      minhashSignatures(spark, sfDir).localCheckpoint())
     val a = banded.alias("a")
     val b = banded.alias("b")
     // native fused agreement count (graft_sigmatch): the HOF
@@ -598,7 +607,14 @@ object SimilarityOps {
     * only on bucket collisions. Candidates hit in several bands are
     * deduped on ids+hashes (8+8 bytes) before the verify. */
   def simhashDedup(spark: SparkSession, sfDir: String): DataFrame =
-    simhashPairsTiled(simhashBandedFrame(spark, sfDir),
+    // localCheckpoint: ONE text scan + signature pass feeds both
+    // self-join sides (round-17, guide §2.4). The materialized frame
+    // is 3 narrow columns per doc — at 100 TB it is ~24 B/doc of
+    // block storage vs a second full corpus scan + signature map.
+    // Within-invocation only: every timed run still computes
+    // signatures from parquet.
+    simhashPairsTiled(
+      simhashBandedOf(simhashes(spark, sfDir).localCheckpoint()),
       tiles = simhashTileFanout(spark, sfDir))
 
   /** ADAPTIVE tile fanout for [[simhashDedup]]'s bucket self-join —
@@ -630,8 +646,16 @@ object SimilarityOps {
     * histogram (the round-11 adjudication of simhash_dedup's 100×
     * line). */
   private[graft] def simhashBandedFrame(spark: SparkSession,
-      sfDir: String): DataFrame = {
-    val sh = simhashes(spark, sfDir)
+      sfDir: String): DataFrame =
+    simhashBandedOf(simhashes(spark, sfDir))
+
+  /** Banding alone, over any (doc_id, source, simhash) frame — split
+    * out (round-17 optimization) so the self-join callers can
+    * materialize the SIGNATURE pass once and band both join sides
+    * from it: the banded self-join's two sides each re-ran the text
+    * scan + native signature otherwise (guide §2.4 — share one
+    * computation; the chunk arithmetic per side is noise). */
+  private[graft] def simhashBandedOf(sh: DataFrame): DataFrame = {
     val chunks = (0 until SimhashBands).map { i =>
       val start = i * 7
       val width = if (i == SimhashBands - 1) 64 - start else 7
@@ -1663,7 +1687,14 @@ object SimilarityOps {
     * band's 16-bit subcell — the candidate join's key shape. */
   private[graft] def semanticWideBandedFrame(spark: SparkSession,
       sfDir: String): DataFrame =
-    q8CellWideOf(spark, Tables.embeddings(spark, sfDir))
+    semanticWideBandedOf(q8CellWideOf(spark, Tables.embeddings(spark, sfDir)))
+
+  /** Banding alone over a (vec_id, q8, na2, cells) frame — split out
+    * (round-17) so the wide self-join callers can materialize the
+    * quantize+sign pass once and band both sides from it (the q8
+    * frame is ~100 B/vec vs re-scanning the 8×-wider float store). */
+  private[graft] def semanticWideBandedOf(sigs: DataFrame): DataFrame =
+    sigs
       .select(col("vec_id"), col("q8"), col("na2"),
         posexplode(col("cells")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "subcell")
@@ -1698,7 +1729,12 @@ object SimilarityOps {
     * hash-green against the DuckDB replay of the same plane
     * arithmetic. */
   def semanticDedupWide(spark: SparkSession, sfDir: String): DataFrame =
-    semanticWidePairsTiled(semanticWideBandedFrame(spark, sfDir),
+    // localCheckpoint: one embeddings scan + quantize/sign pass feeds
+    // both self-join sides (round-17, guide §2.4).
+    semanticWidePairsTiled(
+      semanticWideBandedOf(
+        q8CellWideOf(spark, Tables.embeddings(spark, sfDir))
+          .localCheckpoint()),
       semanticWideTileFanout(spark, sfDir), SemTauE2)
       .orderBy("a_id", "b_id")
 
@@ -1717,7 +1753,10 @@ object SimilarityOps {
   def semanticDedupWideStats(spark: SparkSession, sfDir: String): DataFrame = {
     val docsSrc = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"))
-    val tagged = semanticWidePairsTiled(semanticWideBandedFrame(spark, sfDir),
+    val tagged = semanticWidePairsTiled(
+        semanticWideBandedOf(
+          q8CellWideOf(spark, Tables.embeddings(spark, sfDir))
+            .localCheckpoint()),
         semanticWideTileFanout(spark, sfDir), SemTauE2)
       .join(docsSrc.select(col("doc_id").as("a_id"),
         col("source").as("source_a")), Seq("a_id"))
@@ -2622,19 +2661,31 @@ object SimilarityOps {
     * nothing else. Hash-green: the poly bit construction replays in
     * DuckDB. */
   def simhashDedupWide(spark: SparkSession, sfDir: String): DataFrame =
-    simhashWidePairsTiled(simhashWideBandedFrame(spark, sfDir),
+    // localCheckpoint: one text scan + wide-signature pass for both
+    // self-join sides (round-17, guide §2.4) — same reasoning as
+    // [[simhashDedup]]; the frame is (id, source, 9 longs) per doc.
+    simhashWidePairsTiled(
+      simhashWideBandedOf(simhashWideSigs(spark, sfDir).localCheckpoint()),
       simhashWideTileFanout(spark, sfDir))
 
-  private[graft] def simhashWideBandedFrame(spark: SparkSession,
+  /** Per-doc wide signature frame (doc_id, source, chunks[9]). */
+  private[graft] def simhashWideSigs(spark: SparkSession,
       sfDir: String): DataFrame = {
     graft.GraftExtensions.register(spark)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         call_function("graft_polysimhash_wide", col("text")).as("chunks"))
+  }
+
+  private[graft] def simhashWideBandedFrame(spark: SparkSession,
+      sfDir: String): DataFrame =
+    simhashWideBandedOf(simhashWideSigs(spark, sfDir))
+
+  private[graft] def simhashWideBandedOf(sigs: DataFrame): DataFrame =
+    sigs
       .select(col("doc_id"), col("source"), col("chunks"),
         posexplode(col("chunks")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-  }
 
   /** Adaptive tile fanout for the WIDE banded self-join — the same
     * straggler-bound sizing as [[simhashTileFanout]]. A first cut

@@ -785,8 +785,12 @@ object TextOps {
     graft.GraftExtensions.register(spark)
     val bands = 16
     val rows = 2
-    val docs = shingleDocs(spark, sfDir)
-    val banded = Tables.documents(spark, sfDir)
+    // localCheckpoints (round-17, guide §2.4): docs feeds both verify
+    // fetches; the signature frame feeds both candidate self-join
+    // sides — each otherwise re-ran the text scan + shingle/minhash
+    // pass per consumer.
+    val docs = shingleDocs(spark, sfDir).localCheckpoint()
+    val sigs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         // DISTINCT-shingle size, the same currency as jaccardVerify's
         // sz (the 2× bound is a theorem about distinct set sizes)
@@ -795,6 +799,8 @@ object TextOps {
         call_function("graft_minhash", col("text"), lit(bands * rows))
           .as("sig"))
       .filter(col("sig").isNotNull)
+      .localCheckpoint()
+    val banded = sigs
       .select(col("doc_id"), col("source"), col("sz0"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",",
@@ -855,7 +861,11 @@ object TextOps {
     * prefix is a narrow `slice` of the hash-sorted shingle array —
     * candidate generation is the ONLY wide stage before the verify. */
   def ngramJaccardPrefixHash(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = shingleDocs(spark, sfDir)
+    // localCheckpoint (round-17, guide §2.4): this frame feeds both
+    // prefix self-join sides AND both verify fetches — four text
+    // scans + shingle passes collapse to one; the materialized frame
+    // is the 8 B/shingle hash array, the op's own shuffle currency.
+    val docs = shingleDocs(spark, sfDir).localCheckpoint()
     // posexplode: p = the token's 1-indexed CANONICAL POSITION in the
     // doc's sorted shingle array — the PPJoin position filter's input
     val prefix = docs.select(col("doc_id"), col("source"), col("sz"),
@@ -898,7 +908,9 @@ object TextOps {
     * total order shared by every doc of a source. */
   def ngramJaccardPrefixDf(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = shingleDocs(spark, sfDir)
+    // localCheckpoint: one shingle pass for the prefix sides + verify
+    // fetches (round-17, guide §2.4 — same as the hash regime).
+    val docs = shingleDocs(spark, sfDir).localCheckpoint()
     val toks = docs.select(col("doc_id"), col("source"), col("sz"),
       explode(col("sh")).as("tok_h"))
     // The df table is a STORED ANALYZE artifact, not a per-query pass

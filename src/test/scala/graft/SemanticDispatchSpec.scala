@@ -19,8 +19,14 @@ import graft.operators.SimilarityOps
   * absent (the ScaleAuditSpec policy). */
 class SemanticDispatchSpec extends SparkSuite {
 
+  // canonicalized STRING: the round-17 self-join optimization
+  // materializes the signature pass with localCheckpoint, so two
+  // invocations carry distinct (but structurally identical) LogicalRDD
+  // leaves — object equality would report a false dispatch mismatch;
+  // the tree string prints LogicalRDD without its rdd identity while
+  // still pinning every operator, join condition and projection.
   private def canon(df: org.apache.spark.sql.DataFrame) =
-    df.queryExecution.analyzed.canonicalized
+    df.queryExecution.analyzed.canonicalized.toString
 
   test("healthy profile routes the narrow cell form (sf fixture)") {
     val stats = SimilarityOps.q8CellStats(spark, sf).head()

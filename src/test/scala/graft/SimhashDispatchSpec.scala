@@ -19,8 +19,11 @@ import graft.operators.SimilarityOps
   */
 class SimhashDispatchSpec extends SparkSuite {
 
+  // canonicalized STRING — tolerates the round-17 localCheckpoint's
+  // per-invocation LogicalRDD leaves while pinning the full tree
+  // (see SemanticDispatchSpec.canon).
   private def canon(df: org.apache.spark.sql.DataFrame) =
-    df.queryExecution.analyzed.canonicalized
+    df.queryExecution.analyzed.canonicalized.toString
 
   test("healthy profile routes the narrow poly form (sf fixture)") {
     val stats = SimilarityOps.simhashBucketStats(spark, sf).head()
@@ -72,7 +75,7 @@ class SimhashDispatchSpec extends SparkSuite {
       s"engineered store measured only $perDoc/doc — below the cut")
     assert(graft.operators.SimilarityOps.simhashSaturated(spark, satDir))
     def canon(df: org.apache.spark.sql.DataFrame) =
-      df.queryExecution.analyzed.canonicalized
+      df.queryExecution.analyzed.canonicalized.toString
     assert(canon(SimilarityOps.simhashDedupAuto(spark, satDir)) ==
       canon(SimilarityOps.simhashDedupWide(spark, satDir)),
       "saturated store must dispatch the wide lattice")
