@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BpeTokenCount, ChunkHamming, CompressionRatio, CosineSimilarity, LatticeBands, MinHashSig, PolyMinHashSig, PolySimHash, PolySimHashWide, Q8CellSig, Q8CellSigWide, Q8Dot, Q8MomentsGen, QueryTermCounts, RollingFp, SigMatchCount, SimHash64, SortedInterCount, SpaceTokenCount,SrpBands, StripDict, TokenChunksGen, TokenChunksPosGen, TokenCountsGen, TokenNGramsGen, TokenShingles, TokenShinglesHashedGen}
+import graft.functions.{BpeTokenCount, ChunkHamming, CompressionRatio, CosineSimilarity, LatticeBands, MinHashSig, PolyMinHashSig, PolySimHash, PolySimHashWide, Q8CellSig, Q8CellSigWide, Q8Dot, Q8MomentsGen, QueryTermCounts, RepetitionStats, RollingFp, SigMatchCount, SimHash64, SortedInterCount, SpaceTokenCount,SrpBands, StripDict, TokenChunksGen, TokenChunksPosGen, TokenCountsGen, TokenNGramsGen, TokenShingles, TokenShinglesHashedGen}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for the SQL surface. Use either at session build time
@@ -76,6 +76,9 @@ object GraftExtensions {
       new ExpressionInfo(classOf[TokenNGramsGen].getName, "graft_ngrams"),
       (children: Seq[Expression]) =>
         TokenNGramsGen(children(0), litInt("graft_ngrams", children(1)))),
+    (FunctionIdentifier("graft_repstats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "graft_repstats"),
+      (children: Seq[Expression]) => RepetitionStats(children(0))),
     (FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[TokenShingles].getName, "graft_shingles"),
       (children: Seq[Expression]) =>

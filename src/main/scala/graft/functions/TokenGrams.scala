@@ -986,3 +986,138 @@ case class SrpBands(vec: Expression, planes: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(vec = newLeft, planes = newRight)
 }
+
+/** Per-document Gopher repetition statistics in ONE flat text pass:
+  * `graft_repstats(text)` → struct(top2_chars, dup5_chars) — the
+  * round-17 optimization of [[graft.operators.TextOps
+  * .gopherRepetition]]. Both statistics are PER-DOCUMENT aggregates of
+  * the doc's own n-gram multiset, so nothing about them needs a
+  * shuffle: the former plan exchanged every distinct (doc, 2-gram) and
+  * (doc, 5-gram) count through two corpus-wide hash aggregations, a
+  * per-doc window and two joins back to the doc scan (guide §2.3 —
+  * "aggregate before you shuffle" taken to its limit: aggregate so
+  * there is nothing left to shuffle).
+  *
+  * Semantics replicate the former chain (and the DuckDB oracle CTE)
+  * exactly:
+  *  - tokens = split(text, " ", -1); full n-token windows only
+  *    (i in [0, len−n]) — docs shorter than n tokens yield 0;
+  *  - top2_chars = c·length(g) of the 2-gram ranked first by
+  *    (c DESC, g ASC) — the tie-break compares UTF-8 BYTES unsigned,
+  *    matching Spark's binary string ordering (and DuckDB's default
+  *    collation) that the former `row_number().over(orderBy(desc(c),
+  *    asc(gram)))` used;
+  *  - dup5_chars = Σ c·length(g) over 5-grams with c > 1;
+  *  - length(g) counts CODE POINTS (Spark `length`, DuckDB `length`),
+  *    computed as Σ codePoints(token) + (n−1) from per-token prefix
+  *    sums — no per-gram re-scan.
+  */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_repstats expects string, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("top2_chars", LongType, nullable = false),
+    StructField("dup5_chars", LongType, nullable = false)))
+
+  override def prettyName: String = "graft_repstats"
+
+  override def nullSafeEval(t: Any): Any =
+    compute(t.asInstanceOf[UTF8String])
+
+  /** Count one n-gram family into a fresh map: gram string →
+    * (count, codePoints). Gram strings are built once per window;
+    * the code-point length comes from the token prefix sums. */
+  private def countGrams(toks: Array[String], cpPrefix: Array[Int],
+      n: Int): java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]
+    val last = toks.length - n
+    var i = 0
+    while (i <= last) {
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < i + n) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      val g = sb.toString
+      val e = m.get(g)
+      if (e != null) e(0) += 1
+      else m.put(g, Array(1, cpPrefix(i + n) - cpPrefix(i) + (n - 1)))
+      i += 1
+    }
+    m
+  }
+
+  /** Unsigned lexicographic UTF-8 byte comparison — Spark's binary
+    * string ordering (UTF8String.compareTo). */
+  private def bytesLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  def compute(text: UTF8String): InternalRow = {
+    val toks = text.toString.split(" ", -1)
+    val cpPrefix = new Array[Int](toks.length + 1)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      cpPrefix(i + 1) = cpPrefix(i) + t.codePointCount(0, t.length)
+      i += 1
+    }
+    var top2 = 0L
+    if (toks.length >= 2) {
+      val m = countGrams(toks, cpPrefix, 2)
+      var bestC = 0
+      var bestCp = 0
+      var bestBytes: Array[Byte] = null
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue()(0)
+        if (c > bestC) {
+          bestC = c; bestCp = e.getValue()(1); bestBytes = null
+          // bytes materialized lazily: only ties need the comparison
+          bestBytes = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        } else if (c == bestC && bestC > 0) {
+          val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          if (bytesLt(kb, bestBytes)) { bestCp = e.getValue()(1); bestBytes = kb }
+        }
+      }
+      top2 = bestC.toLong * bestCp
+    }
+    var dup5 = 0L
+    if (toks.length >= 5) {
+      val m = countGrams(toks, cpPrefix, 5)
+      val it = m.values().iterator()
+      while (it.hasNext) {
+        val v = it.next()
+        if (v(0) > 1) dup5 += v(0).toLong * v(1)
+      }
+    }
+    new GenericInternalRow(Array[Any](top2, dup5))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val self = ctx.addReferenceObj("repstats", this,
+        classOf[RepetitionStats].getName)
+      s"${ev.value} = $self.compute($t);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -100,6 +100,30 @@ object AggOps {
         count(lit(1)).cast("int").as("nw"))
   }
 
+  /** Attach each row's worker by modular target rank with TWO broadcast
+    * joins instead of one BroadcastNestedLoopJoin (round-17, guide
+    * §3.1 — pick the join strategy deliberately): the former single
+    * join's condition `pmod(expr, nw) + 1 = wrn` referenced BOTH sides
+    * (`nw` lives on the worker row), so Catalyst could not extract an
+    * equi-key and planned a NESTED LOOP that evaluated the predicate
+    * |rows| × |workers| times — W× work amplification that grows with
+    * the worker fleet (plan evidence: plans/r17/round_robin_assign
+    * _before.txt node (14) vs _after.txt). Attaching the 1-row worker
+    * COUNT first (broadcast, conditionless — one build row) makes the
+    * target rank a row-side column, and the worker join becomes a
+    * plain broadcast HASH join probed once per row. Same rows out:
+    * `wrn` is the dense 1-based rank, so exactly one worker matches
+    * each target value. */
+  private def joinWorkerByRank(spark: SparkSession, sfDir: String,
+      rows: DataFrame)(target: Column => Column): DataFrame = {
+    val w = workerIndex(spark, sfDir)
+    val nw = w.groupBy().agg(max("nw").as("nw"))
+    rows.join(broadcast(nw))
+      .withColumn("wrn_t", target(col("nw")))
+      .join(broadcast(w.select("worker_id", "wrn")),
+        col("wrn_t") === col("wrn"))
+  }
+
   /** Round-robin dispatch strategy as a batch query
     * (tasks/dispatcher.go:636-644): pending task i → worker (i-1) mod n.
     * The reference's cursor skips index 0 on first call — a bug we do
@@ -128,8 +152,7 @@ object AggOps {
     val ranked = pend.rdd
       .zipWithIndex().map { case (r, i) => (r.getString(0), r.getInt(1), i + 1) }
       .toDF("id", "priority", "rn")
-    val w = workerIndex(spark, sfDir)
-    ranked.join(broadcast(w), pmod(col("rn") - 1, col("nw")) + 1 === col("wrn"))
+    joinWorkerByRank(spark, sfDir, ranked)(nw => pmod(col("rn") - 1, nw) + 1)
       .select("id", "priority", "worker_id")
       .orderBy("id")
   }
@@ -176,8 +199,7 @@ object AggOps {
       .select("p", "priority", "base")
     val ranked = local.join(offsets, Seq("p", "priority"))
       .withColumn("rn", col("local_rn") + col("base") + 1)
-    val w = workerIndex(spark, sfDir)
-    ranked.join(broadcast(w), pmod(col("rn") - 1, col("nw")) + 1 === col("wrn"))
+    joinWorkerByRank(spark, sfDir, ranked)(nw => pmod(col("rn") - 1, nw) + 1)
       .select("id", "priority", "worker_id")
       .orderBy("id")
   }
@@ -190,9 +212,8 @@ object AggOps {
     val t = Tables.tasks(spark, sfDir)
       .filter(col("status") === Tables.Pending)
       .select(col("id"), col("o_orderkey"))
-    val w = workerIndex(spark, sfDir)
-    t.join(broadcast(w),
-        pmod(col("o_orderkey") * 2654435761L, col("nw")) + 1 === col("wrn"))
+    joinWorkerByRank(spark, sfDir, t)(nw =>
+        pmod(col("o_orderkey") * 2654435761L, nw) + 1)
       .select("id", "worker_id")
       .orderBy("id")
   }
@@ -229,8 +250,7 @@ object AggOps {
     val h1 = pmod(col("o_orderkey") * lit(2654435761L) + lit(seed),
       lit(4294967296L))
     val h2 = pmod(h1 * lit(48271L), lit(2147483647L))
-    val w = workerIndex(spark, sfDir)
-    t.join(broadcast(w), pmod(h2, col("nw")) + 1 === col("wrn"))
+    joinWorkerByRank(spark, sfDir, t)(nw => pmod(h2, nw) + 1)
       .select("id", "worker_id")
       .orderBy("id")
   }

@@ -409,33 +409,26 @@ object TextOps {
     * ever forms (the gram counts are per-document, unlike the
     * cross-doc chunk dictionary ops). */
   def gopherRepetition(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.GraftExtensions.register(spark)
-    // n-gram instances stream from the native graft_ngrams generator
-    // (one flat pass per doc; the HOF sequence/slice/concat_ws form
-    // measured 4.9 s at sf0.1 — interpreted lambda per gram — vs
-    // ~0.3 s native, the same trap q8CellFrame documents)
-    def grams(n: Int) = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        call_function("graft_ngrams", col("text"), lit(n)))
-    val top2 = grams(2)
-      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("doc_id").orderBy(desc("c"), asc("gram"))))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), (col("c") * length(col("gram"))).as("top2_chars"))
-    val dup5 = grams(5)
-      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1)
-      .groupBy("doc_id")
-      .agg(sum(col("c") * length(col("gram"))).as("dup5_chars"))
+    // ONE scan, ZERO joins/aggregations (round-17, guide §2.3/§2.4):
+    // both repetition statistics are aggregates of a document's OWN
+    // n-gram multiset, so the native graft_repstats expression
+    // ([[graft.functions.RepetitionStats]]) computes them inside the
+    // scan projection. The former chain shuffled every distinct
+    // (doc, 2-gram) and (doc, 5-gram) count through two corpus-wide
+    // hash aggregations + a per-doc row_number window + two joins back
+    // to a third documents scan — 14 Exchanges whose currency was the
+    // gram STRINGS (plan: plans/r17/gopher_repetition_before.txt); now
+    // the only exchange is the output orderBy. Result-identical by
+    // construction (tie-break and code-point length semantics
+    // replicated byte-for-byte — see the expression's scaladoc;
+    // oracle unchanged and hash-green).
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
-      .join(top2, Seq("doc_id"), "left")
-      .join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        call_function("graft_repstats", col("text")).as("rs"))
       .select(col("doc_id"), col("n_chars"),
-        coalesce(col("top2_chars"), lit(0L)).as("top2_chars"),
-        coalesce(col("dup5_chars"), lit(0L)).as("dup5_chars"))
+        coalesce(col("rs.top2_chars"), lit(0L)).as("top2_chars"),
+        coalesce(col("rs.dup5_chars"), lit(0L)).as("dup5_chars"))
       .withColumn("top2_milli", expr("top2_chars * 1000 div n_chars"))
       .withColumn("dup5_milli", expr("dup5_chars * 1000 div n_chars"))
       .withColumn("keep", col("top2_milli") <= 200L && col("dup5_milli") <= 150L)

@@ -194,4 +194,54 @@ class TokenGramsSpec extends SparkSuite {
       .filter(col("text").isNull).isEmpty,
       "documents fixture unexpectedly contains NULL text")
   }
+
+  test("graft_repstats ≡ the aggregate gopher-repetition chain, fixture + adversarial") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    // adversarial beyond the shared edge list:
+    //  - a tie between 2-grams whose UTF-8 byte order DISAGREES with
+    //    Java UTF-16 order (U+FFFF sorts before U+10000 in bytes,
+    //    after it in UTF-16) — the tie-break must follow Spark's
+    //    binary ordering, and the two candidates have different
+    //    code-point lengths so a wrong pick changes top2_chars;
+    //  - non-BMP chars in counted grams (code-point length ≠ UTF-16
+    //    length);
+    //  - exact 5-gram repetition windows, newlines inside tokens.
+    val ffff = "￿￿"
+    val supp = new String(Character.toChars(0x10000))
+    val adversarial = Seq(
+      s"$ffff $ffff $ffff $supp $supp $supp", // the byte-vs-UTF16 tie
+      "a b a b a b a b a b a b",              // heavy 2+5-gram repetition
+      "x\ny x\ny z x\ny y z",                 // newlines inside tokens
+      s"$supp b c d e $supp b c d e",         // repeated 5-gram, non-BMP
+      "t t t t t t")                          // single-token repetition
+    val df = fixtureAndEdges.union(adversarial.toDF("text"))
+      .withColumn("doc_id", monotonically_increasing_id())
+      .localCheckpoint()
+    def grams(n: Int) = df.select(col("doc_id"),
+      call_function("graft_ngrams", col("text"), lit(n)))
+    val top2 = grams(2)
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("c"), asc("gram"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), (col("c") * length(col("gram"))).as("t2"))
+    val dup5 = grams(5)
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .groupBy("doc_id").agg(sum(col("c") * length(col("gram"))).as("d5"))
+    val ref = df.select(col("doc_id"))
+      .join(top2, Seq("doc_id"), "left").join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("t2"), lit(0L)).as("t2"),
+        coalesce(col("d5"), lit(0L)).as("d5"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val native = df.select(col("doc_id"),
+        call_function("graft_repstats", col("text")).as("rs"))
+      .select(col("doc_id"), col("rs.top2_chars"), col("rs.dup5_chars"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ref.keySet == native.keySet)
+    ref.foreach { case (id, exp) =>
+      assert(native(id) == exp, s"doc $id: native ${native(id)} != chain $exp")
+    }
+  }
 }
