@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BpeTokenCount, ChunkHamming, CompressionRatio, CosineSimilarity, LatticeBands, MinHashSig, PolyMinHashSig, PolySimHash, PolySimHashWide, Q8CellSig, Q8CellSigWide, Q8Dot, Q8MomentsGen, QueryTermCounts, RepetitionStats, RollingFp, SigMatchCount, SimHash64, SortedInterCount, SpaceTokenCount,SrpBands, StripDict, TokenChunksGen, TokenChunksPosGen, TokenCountsGen, TokenNGramsGen, TokenShingles, TokenShinglesHashedGen}
+import graft.functions.{BpeTokenCount, ChunkHamming, CompressionRatio, CosineSimilarity, LatticeBands, MinHashSig, PolyMinHashSig, PolySimHash, PolySimHashWide, Q8CellSig, Q8CellSigWide, Q8Dot, Q8L2, Q8MomentsGen, QueryTermCounts, RepetitionStats, RollingFp, SigMatchCount, SimHash64, SortedInterCount, SpaceTokenCount,SrpBands, StripDict, TokenChunksGen, TokenChunksPosGen, TokenCountsGen, TokenNGramsGen, TokenShingles, TokenShinglesHashedGen}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for the SQL surface. Use either at session build time
@@ -125,6 +125,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_q8dot"),
       new ExpressionInfo(classOf[Q8Dot].getName, "graft_q8dot"),
       (children: Seq[Expression]) => Q8Dot(children(0), children(1))),
+    (FunctionIdentifier("graft_q8l2"),
+      new ExpressionInfo(classOf[Q8L2].getName, "graft_q8l2"),
+      (children: Seq[Expression]) => Q8L2(children(0), children(1))),
     (FunctionIdentifier("graft_hamming_chunks"),
       new ExpressionInfo(classOf[ChunkHamming].getName,
         "graft_hamming_chunks"),

@@ -147,7 +147,7 @@ object AggOps {
       // partitioning is order-preserving (partition p's keys strictly
       // before p+1's), so the global order — and hence the rank — is
       // the same whatever bounds the RangePartitioner happens to sample
-      .repartitionByRange(32, asc("create_time"), asc("id"))
+      .repartitionByRange(Tables.explicitParts(spark), asc("create_time"), asc("id"))
       .sortWithinPartitions(asc("create_time"), asc("id"))
     val ranked = pend.rdd
       .zipWithIndex().map { case (r, i) => (r.getString(0), r.getInt(1), i + 1) }
@@ -180,7 +180,7 @@ object AggOps {
     val pend = Tables.tasks(spark, sfDir)
       .filter(col("status") === Tables.Pending)
       .select(col("id"), col("priority"), col("o_orderkey"))
-      .repartitionByRange(32, asc("priority"), asc("o_orderkey"))
+      .repartitionByRange(Tables.explicitParts(spark), asc("priority"), asc("o_orderkey"))
       .sortWithinPartitions(asc("priority"), asc("o_orderkey"))
       .localCheckpoint()
       .as[(String, Int, Long)]

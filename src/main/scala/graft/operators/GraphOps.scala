@@ -32,9 +32,16 @@ object GraphOps {
     *    SQL statement); GraphOpsSpec proves equality with union-find.
     */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val comp = chunkComponents(spark, sfDir)
-    val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
-    comp.join(sizes, Seq("component"))
+    import org.apache.spark.sql.expressions.Window
+    // cluster_size via a count window over the assignment (round-17):
+    // one pass + one exchange by component instead of the former
+    // aggregate + self-join, which evaluated the assignment twice and
+    // exchanged twice on the same key (guide §2.4 — two operations
+    // keyed the same way share one exchange). Window partitions are
+    // component-sized — the same skew profile the aggregate had.
+    chunkComponents(spark, sfDir)
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("component")))
       .select(col("doc_id"), col("component"), col("cluster_size"))
       .orderBy("doc_id")
   }
@@ -354,6 +361,16 @@ object GraphOps {
     // 7.2 → 2.3 s. `spark.graft.smallGraphEdges` = 0 disables.
     val smallThreshold = session.conf
       .get("spark.graft.smallGraphEdges", "1000000").toLong
+    // Round-17 note (measured, then kept as-is): a one-job
+    // limit(threshold+1).collect() gate was tried in place of this
+    // checkpoint + count + collect chain. CollectLimit executes
+    // INCREMENTALLY (1, 4, 16… partitions per job), so a small result
+    // spread over 32 partitions costs ~4 jobs instead of 1, and
+    // skipping the checkpoint makes every probing job recompute the
+    // sparsify subtree — corpus-sized for the full-recompute families.
+    // Measured slower (fuzzy_clusters_incremental 0.99 → 1.05–1.24 s,
+    // dedup_all_verdict 0.38 → 0.43–0.48 s); materialize-once is the
+    // right shape for every caller whose edge subtree is expensive.
     if (edgeCount > 0 && edgeCount <= smallThreshold) {
       val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = new java.util.HashMap[Long, Long](es.length * 2)
@@ -476,6 +493,18 @@ object GraphOps {
     * output. `docs` must carry (doc_id, n_chars); `clusters`
     * (doc_id, component). */
   private def canonicalVerdict(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    // Round-17 note (measured, then kept as-is): a max(struct) window
+    // single-pass form was tried here — it reads `clusters` once but
+    // replaces the cluster-count-sized broadcast of `canon` with a
+    // full corpus exchange by component plus a corpus re-join by
+    // doc_id, and measured SLOWER at sf0.1 (dedup_canonical
+    // 0.31 → 0.34 s, fuzzy_dedup_canonical 0.15 → 0.21 s,
+    // dedup_all_verdict 0.38 → 0.45 s). The double evaluation of
+    // `clusters` this shape pays is two MAP-ONLY passes (the memoized
+    // families read localCheckpoint blocks; the incremental families
+    // re-run a broadcast relabel scan) — cheaper than an extra
+    // corpus-wide shuffle at any scale while #clusters ≪ corpus,
+    // which is the design point of every dedup family here.
     val canon = canonicalPick(docs, clusters)
     docs.join(clusters, Seq("doc_id"), "left")
       .join(canon, Seq("component"), "left")
@@ -680,9 +709,13 @@ object GraphOps {
       .filter(size(col("docs")) > 1)
       .select(col("src"), explode(col("docs")).as("dst"))
       .filter(col("dst") =!= col("src"))
-    val comp = componentsIncremental(stored, cross.union(batchStars))
-    val sizes = comp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
-    comp.join(sizes, Seq("comp"))
+    // cluster_size via a count window (round-17): the former aggregate
+    // + self-join evaluated the merged assignment — whose subtree is
+    // the corpus-sized relabel join — TWICE per query; the window
+    // reads it once (guide §2.4, same rewrite as [[dedupClusters]]).
+    componentsIncremental(stored, cross.union(batchStars))
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("comp")))
       .select(col("doc").as("doc_id"), col("comp").as("component"),
         col("cluster_size"))
       .orderBy("doc_id")

@@ -192,7 +192,7 @@ object LayoutOps {
     * (shard, pos) assignment). */
   def writeSharded(spark: SparkSession, sfDir: String, outDir: String): Unit =
     shardPlan(spark, sfDir)
-      .repartition(32, col("shard"))
+      .repartition(Tables.explicitParts(spark), col("shard"))
       .sortWithinPartitions("shard", "pos")
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 }

@@ -823,13 +823,12 @@ object SimilarityOps {
         transform(col("v"), x => q8Elem(x, col("max_abs"))).as("q8"))
     val q = q8row.filter(annQueryPred(spark, sfDir))
       .select(col("vec_id").as("query_id"), col("q8").as("qa"))
-    // Null-safe dot: zip_with pads the shorter array with nulls (and a
-    // null ELEMENT yields a null product) — coalesce each term to 0 so
-    // mismatched lengths score the common prefix, matching the oracle's
-    // SUM-skips-nulls semantics instead of null-poisoning the whole dot.
-    val dotQ = aggregate(
-      zip_with(col("qa"), col("q8"), (x, y) => coalesce(x * y, lit(0L))),
-      lit(0L), _ + _)
+    // Native fused dot (round-17, guide §4): graft_q8dot is the
+    // codegen'd loop with EXACTLY the zip_with/coalesce HOF semantics
+    // it replaces (common-prefix scoring, null element pairs skipped
+    // — see Q8Dot's scaladoc); the HOF ran interpreted with three
+    // lambda dispatches per element once per candidate row.
+    val dotQ = call_function("graft_q8dot", col("qa"), col("q8"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("dot"), asc("vec_id"))
     q8row.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -872,9 +871,10 @@ object SimilarityOps {
     val K = 16
     val nprobe = 6
     val q8row = q8Frame(spark, sfDir)
-    def l2(a: Column, b: Column): Column = aggregate(
-      zip_with(a, b, (x, y) => coalesce((x - y) * (x - y), lit(0L))),
-      lit(0L), _ + _)
+    // native fused integer L2 (round-17, guide §4): evaluated once per
+    // (vector, centroid) pair in the timed cell-assignment scan —
+    // graft_q8l2 keeps the HOF's exact null/prefix semantics
+    def l2(a: Column, b: Column): Column = call_function("graft_q8l2", a, b)
     def assign(centroids: DataFrame): DataFrame =
       q8row.crossJoin(broadcast(centroids))
         .withColumn("d2", l2(col("q8"), col("cv")))
@@ -908,9 +908,7 @@ object SimilarityOps {
       .withColumn("pr", row_number().over(wp))
       .filter(col("pr") <= nprobe)
       .select("query_id", "qa", "cid")
-    val dotQ = aggregate(
-      zip_with(col("qa"), col("q8"), (x, y) => coalesce(x * y, lit(0L))),
-      lit(0L), _ + _)
+    val dotQ = call_function("graft_q8dot", col("qa"), col("q8"))
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("dot"), asc("vec_id"))
     cells.join(broadcast(qprobe), Seq("cid"))
@@ -988,9 +986,7 @@ object SimilarityOps {
       .distinct()
     val qVecs = qRow
       .select(col("vec_id").as("query_id"), col("q8").as("qa"))
-    val dotQ = aggregate(
-      zip_with(col("qa"), col("q8"), (x, y) => coalesce(x * y, lit(0L))),
-      lit(0L), _ + _)
+    val dotQ = call_function("graft_q8dot", col("qa"), col("q8"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("dot"), asc("vec_id"))
     candIds.join(q8row, Seq("vec_id")).join(broadcast(qVecs), Seq("query_id"))
@@ -1226,9 +1222,7 @@ object SimilarityOps {
     // store is touched by the refine point-fetch join ONLY
     val qVecs = qRow
       .select(col("vec_id").as("query_id"), col("q8").as("qa"))
-    val dotQ = aggregate(
-      zip_with(col("qa"), col("q8"), (x, y) => coalesce(x * y, lit(0L))),
-      lit(0L), _ + _)
+    val dotQ = call_function("graft_q8dot", col("qa"), col("q8"))
     val rankW = w.partitionBy("query_id").orderBy(desc("dot"), asc("vec_id"))
     refined.join(q8row, Seq("vec_id"))
       .join(broadcast(qVecs), Seq("query_id"))

@@ -1223,7 +1223,7 @@ object TextOps {
       .select(col("doc_id"), col("source"), tokens.as("n_tokens"))
       .localCheckpoint()
     val base = counted
-      .repartitionByRange(32, asc("source"), asc("doc_id"))
+      .repartitionByRange(Tables.explicitParts(spark), asc("source"), asc("doc_id"))
       .sortWithinPartitions(asc("source"), asc("doc_id"))
       .localCheckpoint() // pin ONE sampled partitioning for both consumers
       .as[(Long, String, Long)]

@@ -31,6 +31,20 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  /** Scale-adaptive partition count for the EXPLICIT range/hash
+    * repartitions in query paths (round-17, guide §2.2/§2.5): the
+    * former hard-coded 32 was tuned to local[32] — on a cluster it
+    * would cap the distributed-rank stages at 32 tasks regardless of
+    * fleet size. Default = the session's shuffle-partition setting
+    * (what every implicit Exchange already uses; GraftSession wires it
+    * to the core count locally), overridable via
+    * `spark.graft.explicitParts` for cluster runs. Every caller's
+    * RESULT is partition-count-invariant (global ranks derived from
+    * range ordering / keyed writes), so the knob is pure performance. */
+  def explicitParts(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.graft.explicitParts").map(_.toInt)
+      .getOrElse(spark.sessionState.conf.numShufflePartitions)
+
   /** Status enum values (reference common/constants.go:37-46). */
   val Pending = 0
   val Processing = 1
