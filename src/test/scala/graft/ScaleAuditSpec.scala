@@ -63,11 +63,19 @@ class ScaleAuditSpec extends SparkSuite {
     // the dispatcher must route the HEALTHY prefix-df regime, not the
     // banded saturation path the closed-vocabulary plain fixture
     // needs at 100× (round-12 item 8's second-corpus check).
-    val dispatched = graft.operators.TextOps.ngramJaccard(spark, "/tmp/sfx10h")
-      .queryExecution.analyzed.canonicalized
-    val prefixDf = graft.operators.TextOps
-      .ngramJaccardPrefixDf(spark, "/tmp/sfx10h")
-      .queryExecution.analyzed.canonicalized
+    // canonicalized STRING, not plan-object equality (the
+    // SimhashDispatchSpec.canon idiom): the round-17 localCheckpoints
+    // give each invocation fresh LogicalRDD leaves that differ by RDD
+    // identity, not structure — object equality both fails spuriously
+    // AND makes ScalaTest render two full plan trees into the failure
+    // message (measured: OOM'd the 8g test JVM when this fixture-gated
+    // leg first ran after the change).
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.canonicalized.toString
+    val dispatched = canon(
+      graft.operators.TextOps.ngramJaccard(spark, "/tmp/sfx10h"))
+    val prefixDf = canon(
+      graft.operators.TextOps.ngramJaccardPrefixDf(spark, "/tmp/sfx10h"))
     assert(dispatched == prefixDf,
       "expected the prefix-df regime on the open-vocab hard fixture")
   }
