@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BpeTokenCount, ChunkHamming, CompressionRatio, CosineSimilarity, LatticeBands, MinHashSig, PolyMinHashSig, PolySimHash, PolySimHashWide, Q8CellSig, Q8CellSigWide, Q8Dot, Q8L2, Q8MomentsGen, QueryTermCounts, RepetitionStats, RollingFp, SigMatchCount, SimHash64, SortedInterCount, SpaceTokenCount,SrpBands, StripDict, TokenChunksGen, TokenChunksPosGen, TokenCountsGen, TokenNGramsGen, TokenShingles, TokenShinglesHashedGen}
+import graft.functions.{BpeTokenCount, ChunkHamming, CompressionRatio, CosineDotPre, CosineSimilarity, LatticeBands, MinHashSig, VecNorm2, PolyMinHashSig, PolySimHash, PolySimHashWide, Q8CellSig, Q8CellSigWide, Q8Dot, Q8L2, Q8MomentsGen, QueryTermCounts, RepetitionStats, RollingFp, SigMatchCount, SimHash64, SortedInterCount, SpaceTokenCount,SrpBands, StripDict, TokenChunksGen, TokenChunksPosGen, TokenCountsGen, TokenNGramsGen, TokenShingles, TokenShinglesHashedGen}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for the SQL surface. Use either at session build time
@@ -64,6 +64,13 @@ object GraftExtensions {
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+    (FunctionIdentifier("graft_vnorm2"),
+      new ExpressionInfo(classOf[VecNorm2].getName, "graft_vnorm2"),
+      (children: Seq[Expression]) => VecNorm2(children(0))),
+    (FunctionIdentifier("graft_cosine_pre"),
+      new ExpressionInfo(classOf[CosineDotPre].getName, "graft_cosine_pre"),
+      (children: Seq[Expression]) =>
+        CosineDotPre(children(0), children(1), children(2), children(3))),
     (FunctionIdentifier("graft_chunks"),
       new ExpressionInfo(classOf[TokenChunksGen].getName, "graft_chunks"),
       (children: Seq[Expression]) =>

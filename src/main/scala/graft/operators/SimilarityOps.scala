@@ -437,30 +437,45 @@ object SimilarityOps {
   private[graft] def embeddingDedupTiled(spark: SparkSession, sfDir: String,
       B: Int): DataFrame = {
     graft.GraftExtensions.register(spark)
+    // Round-18 (guide §1.2/§2.3/§2.4): ONE scan feeds both self-join
+    // sides — localCheckpoint the per-vector frame instead of
+    // re-running the embeddings scan per side — and the tile exchange
+    // carries the RAW float array (4 B/element), not a pre-cast
+    // array<double>: the widening moved INSIDE the kernel's fold
+    // (exact, so bit-identical), halving the (B+1)-replicated shuffle
+    // rows. The pair kernel itself is the query's dominant cost (one
+    // evaluation per same-tile CANDIDATE, quadratic by design), so the
+    // squared norms are precomputed ONCE per vector (graft_vnorm2, the
+    // same left-to-right fold) and the per-pair work drops to the dot
+    // alone (graft_cosine_pre ≡ cosine_sim bit-for-bit on equal-length
+    // vectors — CosineKernelSpec). The cheap id/tile guard sits FIRST
+    // in the join condition so the same-tile half that fails id order
+    // never pays the dot loop.
     val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"),
+      .select(col("vec_id"), col("label"), col("embedding").as("v"),
+        call_function("graft_vnorm2", col("embedding")).as("n2"),
         pmod(xxhash64(col("vec_id")), lit(B)).cast("int").as("g"))
+      .localCheckpoint()
     val left = e
-      .select(col("vec_id"), col("label"), col("v"),
+      .select(col("vec_id"), col("label"), col("v"), col("n2"),
         col("g").as("ti"), explode(sequence(col("g"), lit(B - 1))).as("tj"))
     val right = e
-      .select(col("vec_id"), col("label"), col("v"),
+      .select(col("vec_id"), col("label"), col("v"), col("n2"),
         explode(sequence(lit(0), col("g"))).as("ti"), col("g").as("tj"))
     // Cross-bucket tiles (ti < tj) hold each unordered pair exactly once
     // with roles fixed by bucket (not by id) — keep all, normalize ids
     // with least/greatest. Same-bucket tiles (ti = tj) hold both
     // orderings — id order dedups them.
+    val cosE4 = round(call_function("graft_cosine_pre",
+      col("a.v"), col("b.v"), col("a.n2"), col("b.n2")) * 10000).cast("long")
     left.alias("a").join(right.alias("b"),
         col("a.label") === col("b.label") &&
         col("a.ti") === col("b.ti") && col("a.tj") === col("b.tj") &&
-        (col("a.ti") =!= col("a.tj") || col("a.vec_id") < col("b.vec_id")))
-      .withColumn("cos_e4",
-        round(call_function("cosine_sim", col("a.v"), col("b.v")) * 10000)
-          .cast("long"))
-      .filter(col("cos_e4") >= 2500)
+        (col("a.ti") =!= col("a.tj") || col("a.vec_id") < col("b.vec_id")) &&
+        cosE4 >= 2500)
       .select(least(col("a.vec_id"), col("b.vec_id")).as("a_id"),
         greatest(col("a.vec_id"), col("b.vec_id")).as("b_id"),
-        col("a.label").as("label"), col("cos_e4"))
+        col("a.label").as("label"), cosE4.as("cos_e4"))
       .orderBy("a_id", "b_id")
   }
 
