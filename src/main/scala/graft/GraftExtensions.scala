@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BpeTokenCount, ChunkHamming, CompressionRatio, CosineDotPre, CosineSimilarity, LatticeBands, MinHashSig, VecNorm2, PolyMinHashSig, PolySimHash, PolySimHashWide, Q8CellSig, Q8CellSigWide, Q8Dot, Q8L2, Q8MomentsGen, QueryTermCounts, RepetitionStats, RollingFp, SigMatchCount, SimHash64, SortedInterCount, SpaceTokenCount,SrpBands, StripDict, TokenChunksGen, TokenChunksPosGen, TokenCountsGen, TokenNGramsGen, TokenShingles, TokenShinglesHashedGen}
+import graft.functions.{BpeTokenCount, ChunkHamming, CompressionRatio, CosineDotPre, CosineSimilarity, LatticeBands, MinHashSig, VecNorm2, PolyMinHashSig, PolySimHash, PolySimHashWide, Q8CellSig, Q8CellSigWide, Q8Dot, Q8DotBin, Q8L2, Q8Pack, Q8MomentsGen, QueryTermCounts, RepetitionStats, RollingFp, SigMatchCount, SimHash64, SortedInterCount, SpaceTokenCount,SrpBands, StripDict, TokenChunksGen, TokenChunksPosGen, TokenCountsGen, TokenNGramsGen, TokenShingles, TokenShinglesHashedGen}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for the SQL surface. Use either at session build time
@@ -132,6 +132,12 @@ object GraftExtensions {
     (FunctionIdentifier("graft_q8dot"),
       new ExpressionInfo(classOf[Q8Dot].getName, "graft_q8dot"),
       (children: Seq[Expression]) => Q8Dot(children(0), children(1))),
+    (FunctionIdentifier("graft_q8pack"),
+      new ExpressionInfo(classOf[Q8Pack].getName, "graft_q8pack"),
+      (children: Seq[Expression]) => Q8Pack(children(0))),
+    (FunctionIdentifier("graft_q8dotb"),
+      new ExpressionInfo(classOf[Q8DotBin].getName, "graft_q8dotb"),
+      (children: Seq[Expression]) => Q8DotBin(children(0), children(1))),
     (FunctionIdentifier("graft_q8l2"),
       new ExpressionInfo(classOf[Q8L2].getName, "graft_q8l2"),
       (children: Seq[Expression]) => Q8L2(children(0), children(1))),

@@ -287,6 +287,111 @@ case class Q8Dot(left: Expression, right: Expression) extends BinaryExpression {
     copy(left = newLeft, right = newRight)
 }
 
+/** BINARY packing of a q8 signature: `graft_q8pack(q8)` → binary, one
+  * signed byte per element, null element → sentinel −128 (a value the
+  * quantizer can never emit: q = floor(v·127/max|v| + 0.5) ∈ [−127,
+  * 127] by construction — enforced here with a loud failure, never a
+  * silent wrap). Round-18, guide §2.3 (narrower types): the banded
+  * semantic pair joins replicate each vector's signature per (band ×
+  * tile/shard) row, and an array<bigint> q8 costs ~8 B/element plus
+  * offsets on every replica crossing the exchange; the packed form is
+  * 1 B/element. [[Q8DotBin]] consumes it with the exact [[Q8Dot]]
+  * semantics, so pack→dot is bit-identical to the array dot
+  * (Q8PackSpec). */
+case class Q8Pack(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_q8pack expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) out(i) = -128
+      else {
+        val v = a.getLong(i)
+        if (v < -127L || v > 127L) throw new IllegalStateException(
+          s"graft_q8pack: element $v outside the q8 range [-127, 127]")
+        out(i) = v.toByte
+      }
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("q8pack", this, classOf[Q8Pack].getName)
+      s"${ev.value} = (byte[]) $self.nullSafeEval($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native integer dot over two [[Q8Pack]]-packed signatures:
+  * `graft_q8dotb(a, b)` → bigint. Same contract as [[Q8Dot]]: the
+  * −128 sentinel (a packed null) contributes 0, the shorter input
+  * scores its common prefix. Bit-identical to unpacking and running
+  * [[Q8Dot]] (Q8PackSpec pins it on the fixture and edge inputs). */
+case class Q8DotBin(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType == BinaryType)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_q8dotb expects binary inputs, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[Array[Byte]]
+    val b = r.asInstanceOf[Array[Byte]]
+    val n = math.min(a.length, b.length)
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      val x = a(i)
+      val y = b(i)
+      if (x != -128 && y != -128) dot += x.toLong * y.toLong
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.length);
+         |long $dot = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  byte $x = $a[$i]; byte $y = $b[$i];
+         |  if ($x != -128 && $y != -128) $dot += (long) $x * (long) $y;
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native chunked-signature Hamming distance:
   * `graft_hamming_chunks(a, b)` → bigint = Σᵢ popcount(aᵢ xor bᵢ) over
   * two bigint arrays — the per-CANDIDATE verify of the wide-signature

@@ -1030,23 +1030,60 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
   override def nullSafeEval(t: Any): Any =
     compute(t.asInstanceOf[UTF8String])
 
-  /** Count one n-gram family into a fresh map: gram string →
-    * (count, codePoints). Gram strings are built once per window;
-    * the code-point length comes from the token prefix sums. */
+  /** A gram as a VIEW over the token array — map key with exact
+    * (token-by-token) equality, so counts are identical to keying by
+    * the joined gram string while allocating ~32 bytes per distinct
+    * gram instead of a full copy of the gram text (round-17 advice:
+    * the string-keyed maps held ~7× the document text in transient
+    * heap; a pathological huge document concentrated that in one
+    * task). Gram BYTES are only materialized for tie-break candidates
+    * ([[gramBytes]]). */
+  private final class GramKey(val toks: Array[String], val start: Int,
+      val n: Int) {
+    override val hashCode: Int = {
+      var h = 1
+      var j = start
+      while (j < start + n) { h = h * 31 + toks(j).hashCode; j += 1 }
+      h
+    }
+    override def equals(o: Any): Boolean = o match {
+      case k: GramKey =>
+        if (k.n != n) false
+        else {
+          var j = 0
+          while (j < n) {
+            if (toks(start + j) != k.toks(k.start + j)) return false
+            j += 1
+          }
+          true
+        }
+      case _ => false
+    }
+  }
+
+  /** UTF-8 bytes of a gram view (tokens joined by ' ') — built only
+    * when the tie-break needs to compare candidates. */
+  private def gramBytes(k: GramKey): Array[Byte] = {
+    val sb = new java.lang.StringBuilder
+    var j = k.start
+    while (j < k.start + k.n) {
+      if (j > k.start) sb.append(' ')
+      sb.append(k.toks(j))
+      j += 1
+    }
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Count one n-gram family into a fresh map: gram view →
+    * (count, codePoints). The code-point length comes from the token
+    * prefix sums — no per-gram re-scan, no gram-string allocation. */
   private def countGrams(toks: Array[String], cpPrefix: Array[Int],
-      n: Int): java.util.HashMap[String, Array[Int]] = {
-    val m = new java.util.HashMap[String, Array[Int]]
+      n: Int): java.util.HashMap[GramKey, Array[Int]] = {
+    val m = new java.util.HashMap[GramKey, Array[Int]]
     val last = toks.length - n
     var i = 0
     while (i <= last) {
-      val sb = new java.lang.StringBuilder
-      var j = i
-      while (j < i + n) {
-        if (j > i) sb.append(' ')
-        sb.append(toks(j))
-        j += 1
-      }
-      val g = sb.toString
+      val g = new GramKey(toks, i, n)
       val e = m.get(g)
       if (e != null) e(0) += 1
       else m.put(g, Array(1, cpPrefix(i + n) - cpPrefix(i) + (n - 1)))
@@ -1083,18 +1120,21 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
       val m = countGrams(toks, cpPrefix, 2)
       var bestC = 0
       var bestCp = 0
-      var bestBytes: Array[Byte] = null
+      var bestKey: GramKey = null
+      var bestBytes: Array[Byte] = null // built on first tie only
       val it = m.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
         val c = e.getValue()(0)
         if (c > bestC) {
-          bestC = c; bestCp = e.getValue()(1); bestBytes = null
-          // bytes materialized lazily: only ties need the comparison
-          bestBytes = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          bestC = c; bestCp = e.getValue()(1)
+          bestKey = e.getKey; bestBytes = null
         } else if (c == bestC && bestC > 0) {
-          val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          if (bytesLt(kb, bestBytes)) { bestCp = e.getValue()(1); bestBytes = kb }
+          if (bestBytes == null) bestBytes = gramBytes(bestKey)
+          val kb = gramBytes(e.getKey)
+          if (bytesLt(kb, bestBytes)) {
+            bestCp = e.getValue()(1); bestKey = e.getKey; bestBytes = kb
+          }
         }
       }
       top2 = bestC.toLong * bestCp

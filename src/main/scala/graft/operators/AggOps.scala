@@ -100,26 +100,28 @@ object AggOps {
         count(lit(1)).cast("int").as("nw"))
   }
 
-  /** Attach each row's worker by modular target rank with TWO broadcast
-    * joins instead of one BroadcastNestedLoopJoin (round-17, guide
-    * §3.1 — pick the join strategy deliberately): the former single
-    * join's condition `pmod(expr, nw) + 1 = wrn` referenced BOTH sides
-    * (`nw` lives on the worker row), so Catalyst could not extract an
-    * equi-key and planned a NESTED LOOP that evaluated the predicate
+  /** Attach each row's worker by modular target rank with ONE broadcast
+    * hash join (round-17, guide §3.1 — pick the join strategy
+    * deliberately): the former single join's condition
+    * `pmod(expr, nw) + 1 = wrn` referenced BOTH sides (`nw` lives on
+    * the worker row), so Catalyst could not extract an equi-key and
+    * planned a NESTED LOOP that evaluated the predicate
     * |rows| × |workers| times — W× work amplification that grows with
     * the worker fleet (plan evidence: plans/r17/round_robin_assign
-    * _before.txt node (14) vs _after.txt). Attaching the 1-row worker
-    * COUNT first (broadcast, conditionless — one build row) makes the
-    * target rank a row-side column, and the worker join becomes a
-    * plain broadcast HASH join probed once per row. Same rows out:
-    * `wrn` is the dense 1-based rank, so exactly one worker matches
-    * each target value. */
+    * _before.txt node (14) vs _after.txt). Round-18: the worker COUNT
+    * is a memoized driver-side dim count ([[Tables.cachedCount]] — the
+    * `assignedTasks` modulo convention, |workers| = |supplier| row for
+    * row), baked in as a LITERAL: the former per-invocation 1-row
+    * count-attach subtree (dim×dim BNLJ + two aggregations + two
+    * exchanges + broadcast) disappears from every assignment plan.
+    * Same rows out: `wrn` is the dense 1-based rank, so exactly one
+    * worker matches each target value. */
   private def joinWorkerByRank(spark: SparkSession, sfDir: String,
       rows: DataFrame)(target: Column => Column): DataFrame = {
     val w = workerIndex(spark, sfDir)
-    val nw = w.groupBy().agg(max("nw").as("nw"))
-    rows.join(broadcast(nw))
-      .withColumn("wrn_t", target(col("nw")))
+    val nw = Tables.cachedCount(spark, sfDir, "supplier")
+    rows
+      .withColumn("wrn_t", target(lit(nw)))
       .join(broadcast(w.select("worker_id", "wrn")),
         col("wrn_t") === col("wrn"))
   }
@@ -132,14 +134,20 @@ object AggOps {
     * The global arrival rank is computed WITHOUT an unpartitioned
     * window (which funnels every pending task through one reducer):
     * range-repartition + in-partition sort put the rows in global
-    * (create_time, id) order across partitions, so zipWithIndex's
-    * partition-major index IS the global rank. zipWithIndex adds only
-    * a lightweight per-partition count job — no second shuffle, no
-    * single-reducer stage, at any scale. (One of the two sanctioned
-    * RDD uses in this engine: Catalyst has no distributed-rank
-    * primitive that avoids the unpartitioned-window funnel.) */
+    * (create_time, id) order across partitions, so a partition-major
+    * index IS the global rank. Round-18 (guide §2.2, verdict item 7):
+    * the rank comes from the [[priorityBalancedAssign]] partition-
+    * offset idiom instead of `rdd.zipWithIndex` — the zipWithIndex
+    * count job re-ran the whole scan+sort per invocation (its parent
+    * RDD is uncached) and the rdd round-trip boxed every row twice.
+    * Here `monotonically_increasing_id` over the CHECKPOINTED sorted
+    * frame supplies (partition, in-partition index) columnar-ly
+    * (mid = p·2³³ + k by its contract; partitions stay far below 2³³
+    * rows — explicitParts sizes them), the per-partition subtotal
+    * frame (≤ parts rows) cumsums into offsets, and rank = base + k +
+    * 1. The localCheckpoint pins ONE sampled range partitioning for
+    * the two consumers (rows + subtotals), docPack's reasoning. */
   def roundRobinAssign(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val pend = Tables.tasks(spark, sfDir)
       .filter(col("status") === Tables.Pending)
       .select(col("id"), col("priority"), col("create_time"))
@@ -149,9 +157,23 @@ object AggOps {
       // the same whatever bounds the RangePartitioner happens to sample
       .repartitionByRange(Tables.explicitParts(spark), asc("create_time"), asc("id"))
       .sortWithinPartitions(asc("create_time"), asc("id"))
-    val ranked = pend.rdd
-      .zipWithIndex().map { case (r, i) => (r.getString(0), r.getInt(1), i + 1) }
-      .toDF("id", "priority", "rn")
+      .localCheckpoint()
+    val local = pend
+      .select(col("id"), col("priority"),
+        monotonically_increasing_id().as("mid"))
+      .withColumn("p", shiftright(col("mid"), 33))
+      .withColumn("local_rn", col("mid").bitwiseAND(lit((1L << 33) - 1)))
+    val subs = local.groupBy("p").agg(count(lit(1)).as("sub"))
+    // exclusive cumsum over ≤ explicitParts subtotal rows via the
+    // [[workerIndex]] dim×dim idiom — parts² rows, no unpartitioned
+    // window (a constant partitionBy key gets folded away and the
+    // WindowExec warning returns)
+    val offsets = subs.alias("x")
+      .join(broadcast(subs.alias("y")), col("y.p") < col("x.p"), "left")
+      .groupBy(col("x.p").as("p"))
+      .agg(coalesce(sum(col("y.sub")), lit(0L)).as("base"))
+    val ranked = local.join(broadcast(offsets), Seq("p"))
+      .withColumn("rn", col("base") + col("local_rn") + 1)
     joinWorkerByRank(spark, sfDir, ranked)(nw => pmod(col("rn") - 1, nw) + 1)
       .select("id", "priority", "worker_id")
       .orderBy("id")

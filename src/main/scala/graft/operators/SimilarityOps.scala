@@ -1447,13 +1447,22 @@ object SimilarityOps {
     * constant is the only difference. */
   private[graft] def semanticPairs(spark: SparkSession, sfDir: String,
       tauE2: Long = SemTauE2): DataFrame = {
+    // Round-18 (guide §2.3/§2.4): one signing scan feeds both tile
+    // sides (localCheckpoint), and the replicated tile rows carry the
+    // BYTE-PACKED signature (graft_q8pack, 1 B/element) instead of the
+    // array<bigint>; the verify dot is graft_q8dotb — bit-identical
+    // (Q8PackSpec).
     val e = q8CellFrame(spark, sfDir)
-      .withColumn("g", pmod(xxhash64(col("vec_id")), lit(SemTiles)).cast("int"))
-    val left = e.select(col("vec_id"), col("q8"), col("na2"), col("cell"),
+      .select(col("vec_id"),
+        call_function("graft_q8pack", col("q8")).as("q8b"),
+        col("na2"), col("cell"),
+        pmod(xxhash64(col("vec_id")), lit(SemTiles)).cast("int").as("g"))
+      .localCheckpoint()
+    val left = e.select(col("vec_id"), col("q8b"), col("na2"), col("cell"),
       col("g").as("ti"), explode(sequence(col("g"), lit(SemTiles - 1))).as("tj"))
-    val right = e.select(col("vec_id"), col("q8"), col("na2"), col("cell"),
+    val right = e.select(col("vec_id"), col("q8b"), col("na2"), col("cell"),
       explode(sequence(lit(0), col("g"))).as("ti"), col("g").as("tj"))
-    val dot = call_function("graft_q8dot", col("a.q8"), col("b.q8"))
+    val dot = call_function("graft_q8dotb", col("a.q8b"), col("b.q8b"))
     // tile routing is by id hash (not id order), so normalize with
     // least/greatest; same-tile pairs carry both orderings → id order
     left.alias("a").join(right.alias("b"),
@@ -1523,19 +1532,31 @@ object SimilarityOps {
     val cond =
       if (within) col("p.vec_id") < col("n.vec_id")
       else lit(true)
-    val n = newCells.withColumn("shard",
+    // byte-packed signature through the shard replication (guide §2.3:
+    // the n side is replicated ×RoleShards across the exchange)
+    val n = packCells(newCells).withColumn("shard",
       explode(sequence(lit(0), lit(RoleShards - 1))))
-    val p = partnerCells.withColumn("shard",
+    val p = packCells(partnerCells).withColumn("shard",
       pmod(xxhash64(col("vec_id")), lit(RoleShards)).cast("int"))
     n.alias("n").join(p.alias("p"),
         col("n.cell") === col("p.cell") &&
         col("n.shard") === col("p.shard") && cond)
-      .withColumn("dot", call_function("graft_q8dot", col("n.q8"), col("p.q8")))
+      .withColumn("dot", call_function("graft_q8dotb", col("n.q8b"), col("p.q8b")))
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * 10000L >=
           lit(tauE2 * tauE2) * col("n.na2") * col("p.na2"))
       .select(least(col("n.vec_id"), col("p.vec_id")).as("src"),
         greatest(col("n.vec_id"), col("p.vec_id")).as("dst"))
+  }
+
+  /** (vec_id, q8b, na2, cell) projection of a q8-cell frame — the
+    * packed join currency shared by the role probes and the
+    * incremental verdict. */
+  private def packCells(cells: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(cells.sparkSession)
+    cells.select(col("vec_id"),
+      call_function("graft_q8pack", col("q8")).as("q8b"),
+      col("na2"), col("cell"))
   }
 
   /** UNSHARDED reference form of [[semanticPairsRole]] — the
@@ -1627,15 +1648,16 @@ object SimilarityOps {
     // successive nightly batches do not accumulate cache entries
     // (round-11 advice).
     val newCells = Memo.batchPersist(newCells0.sparkSession, newCells0)
-    val dotNP = call_function("graft_q8dot", col("n.q8"), col("p.q8"))
+    val dotNP = call_function("graft_q8dotb", col("n.q8b"), col("p.q8b"))
     // probes are (cell, shard)-sharded like semanticPairsRole: the
     // fixed 256-cell space makes per-cell population linear in the
     // store, and an unsharded cell-equi join serializes each hot
-    // cell's batch×cell block on one core (see RoleShards).
+    // cell's batch×cell block on one core (see RoleShards). Signatures
+    // ride the shard replication byte-packed (guide §2.3).
     def minMatch(partner: DataFrame, cond: Column, out: String): DataFrame =
-      newCells.withColumn("shard",
+      packCells(newCells).withColumn("shard",
           explode(sequence(lit(0), lit(RoleShards - 1)))).alias("n")
-        .join(partner.withColumn("shard",
+        .join(packCells(partner).withColumn("shard",
             pmod(xxhash64(col("vec_id")), lit(RoleShards)).cast("int"))
           .alias("p"),
           col("n.cell") === col("p.cell") &&
@@ -1701,10 +1723,16 @@ object SimilarityOps {
   /** Banding alone over a (vec_id, q8, na2, cells) frame — split out
     * (round-17) so the wide self-join callers can materialize the
     * quantize+sign pass once and band both sides from it (the q8
-    * frame is ~100 B/vec vs re-scanning the 8×-wider float store). */
+    * frame is ~100 B/vec vs re-scanning the 8×-wider float store).
+    * Round-18 (guide §2.3): the emitted rows carry the q8 signature
+    * BYTE-PACKED (`q8b`, graft_q8pack — 1 B/element vs the array's
+    * ~8 B + offsets), because every downstream join replicates these
+    * rows per (band × tile/shard) across an exchange; the verify dot
+    * switches to graft_q8dotb, bit-identical (Q8PackSpec). */
   private[graft] def semanticWideBandedOf(sigs: DataFrame): DataFrame =
     sigs
-      .select(col("vec_id"), col("q8"), col("na2"),
+      .select(col("vec_id"),
+        call_function("graft_q8pack", col("q8")).as("q8b"), col("na2"),
         posexplode(col("cells")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "subcell")
 
@@ -1803,11 +1831,11 @@ object SimilarityOps {
       tiles: Int, tauE2: Long): DataFrame = {
     val g = pmod(xxhash64(col("vec_id")), lit(tiles)).cast("int")
     val left = banded.withColumn("g", g)
-      .select(col("vec_id"), col("q8"), col("na2"), col("band"),
+      .select(col("vec_id"), col("q8b"), col("na2"), col("band"),
         col("subcell"), col("g").as("ti"),
         explode(sequence(col("g"), lit(tiles - 1))).as("tj"))
     val right = banded.withColumn("g", g)
-      .select(col("vec_id"), col("q8"), col("na2"), col("band"),
+      .select(col("vec_id"), col("q8b"), col("na2"), col("band"),
         col("subcell"), explode(sequence(lit(0), col("g"))).as("ti"),
         col("g").as("tj"))
     left.alias("a").join(right.alias("b"),
@@ -1816,7 +1844,7 @@ object SimilarityOps {
         col("a.ti") === col("b.ti") && col("a.tj") === col("b.tj") &&
         (col("a.ti") =!= col("a.tj") || col("a.vec_id") < col("b.vec_id")))
       .withColumn("dot",
-        call_function("graft_q8dot", col("a.q8"), col("b.q8")))
+        call_function("graft_q8dotb", col("a.q8b"), col("b.q8b")))
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * 10000L >=
           lit(tauE2 * tauE2) * col("a.na2") * col("b.na2"))
@@ -1850,7 +1878,7 @@ object SimilarityOps {
         col("n.band") === col("p.band") &&
         col("n.subcell") === col("p.subcell") &&
         col("n.shard") === col("p.shard") && cond)
-      .withColumn("dot", call_function("graft_q8dot", col("n.q8"), col("p.q8")))
+      .withColumn("dot", call_function("graft_q8dotb", col("n.q8b"), col("p.q8b")))
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * 10000L >=
           lit(tauE2 * tauE2) * col("n.na2") * col("p.na2"))
@@ -1872,7 +1900,7 @@ object SimilarityOps {
     newBanded.alias("n").join(partnerBanded.alias("p"),
         col("n.band") === col("p.band") &&
         col("n.subcell") === col("p.subcell") && cond)
-      .withColumn("dot", call_function("graft_q8dot", col("n.q8"), col("p.q8")))
+      .withColumn("dot", call_function("graft_q8dotb", col("n.q8b"), col("p.q8b")))
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * 10000L >=
           lit(tauE2 * tauE2) * col("n.na2") * col("p.na2"))
@@ -1894,11 +1922,17 @@ object SimilarityOps {
       .filter(pmod(col("vec_id"), lit(5)) =!= 0)
 
   /** Explode a (vec_id, q8, na2, cells) frame to the banded join shape
-    * — shared by the batch and stored-index sides of the wide probes. */
-  private[graft] def explodeWideCells(cells: DataFrame): DataFrame =
-    cells.select(col("vec_id"), col("q8"), col("na2"),
+    * — shared by the batch and stored-index sides of the wide probes.
+    * Emits the BYTE-PACKED signature (`q8b`) like
+    * [[semanticWideBandedOf]]: the probes replicate these rows per
+    * (band × shard) across an exchange (guide §2.3). */
+  private[graft] def explodeWideCells(cells: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(cells.sparkSession)
+    cells.select(col("vec_id"),
+        call_function("graft_q8pack", col("q8")).as("q8b"), col("na2"),
         posexplode(col("cells")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "subcell")
+  }
 
   /** The bare (vec_id, q8) store projection — [[PcaOps]]' input; same
     * native signature expression as the whole q8 family. */

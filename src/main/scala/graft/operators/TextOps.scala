@@ -1303,15 +1303,19 @@ object TextOps {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), call_function("graft_tokcounts", col("text")))
       .select(col("doc_id"), xxhash64(col("tok")).as("tok"), col("cnt"))
-    // vocab-sized model table, CACHED once (persist, not an eager
+    // vocab-sized model table, CACHED once (not an eager
     // localCheckpoint — lazy, so no blocking barrier job; the cache
     // build dedupes across consumers inside the one action): `total`
     // and `scored` both consume it, and without the materialization
     // Catalyst re-inlines the corpus scan+explode into each (3
     // documents scans measured by the round-10 plan audit; now 1
-    // model pass + 1 scoring pass).
-    val vocab = toks.groupBy("tok").agg(sum("cnt").as("freq"))
-      .persist()
+    // model pass + 1 scoring pass). Round-18 (verdict item 5's class):
+    // Memo.batchPersist, not a bare persist() — never-unpersisted
+    // model frames made bench passes 2+ a warm-cache measurement and
+    // accumulated an entry per store forever; the ring drains at
+    // end-of-action, so each invocation recomputes from parquet.
+    val vocab = Memo.batchPersist(spark,
+      toks.groupBy("tok").agg(sum("cnt").as("freq")))
     val total = vocab.agg(sum("freq").as("total_toks"))
     val scored = vocab.crossJoin(broadcast(total))
       .select(col("tok"),
@@ -1370,13 +1374,14 @@ object TextOps {
     val bi = bigramsOf(Tables.documents(spark, sfDir))
       .select(col("doc_id"), xxhash64(col("w1")).as("h1"),
         xxhash64(col("w1"), col("w2")).as("h12"))
-    // bigram-vocab model table, CACHED once (persist — lazy, no
-    // barrier job; see unigramSurprisal); c1 derives from it
-    // (Σ_w2 c12 per h1 ≡ the bigram-occurrence count by first word) so
-    // the model needs ONE corpus pass, not the three the round-10 plan
-    // audit measured (c12 / c1 / scoring each re-inlining the scan).
-    val c12 = bi.groupBy("h12", "h1").agg(count(lit(1)).as("c12"))
-      .persist()
+    // bigram-vocab model table, CACHED once (lazy, no barrier job; see
+    // unigramSurprisal — incl. the round-18 batchPersist hygiene
+    // note); c1 derives from it (Σ_w2 c12 per h1 ≡ the
+    // bigram-occurrence count by first word) so the model needs ONE
+    // corpus pass, not the three the round-10 plan audit measured
+    // (c12 / c1 / scoring each re-inlining the scan).
+    val c12 = Memo.batchPersist(spark,
+      bi.groupBy("h12", "h1").agg(count(lit(1)).as("c12")))
     val c1 = c12.groupBy("h1").agg(sum("c12").as("c1"))
     // c1 is UNIGRAM-vocab-sized — one order below c12 — and on the
     // real corpus (~700k first-words ≈ 11 MB) it sits just past AQE's

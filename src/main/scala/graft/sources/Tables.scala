@@ -42,8 +42,18 @@ object Tables {
     * RESULT is partition-count-invariant (global ranks derived from
     * range ordering / keyed writes), so the knob is pure performance. */
   def explicitParts(spark: org.apache.spark.sql.SparkSession): Int =
-    spark.conf.getOption("spark.graft.explicitParts").map(_.toInt)
-      .getOrElse(spark.sessionState.conf.numShufflePartitions)
+    spark.conf.getOption("spark.graft.explicitParts").map { raw =>
+      // validate here (round-17 advice): a malformed value otherwise
+      // surfaces as a bare NumberFormatException (or a failure deep
+      // inside repartition) with nothing naming the config key
+      val n = try raw.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.explicitParts must be a positive integer, got '$raw'")
+      }
+      require(n > 0,
+        s"spark.graft.explicitParts must be a positive integer, got '$raw'")
+      n
+    }.getOrElse(spark.sessionState.conf.numShufflePartitions)
 
   /** Status enum values (reference common/constants.go:37-46). */
   val Pending = 0

@@ -182,4 +182,28 @@ class MemoSpec extends SparkSuite {
     assert(alive(sf + "-rearm-probe").isEmpty,
       "invalidateSaturationStats must cover the full stat family")
   }
+
+  test("batch ring re-arms at re-invocation: pass 2 recomputes (round-18)") {
+    import org.apache.spark.sql.functions._
+    // a computation whose evaluations are COUNTABLE: an accumulator
+    // survives the task-closure serialization a plain counter does not
+    val hits = spark.sparkContext.longAccumulator("memoSpecHits")
+    val f = udf((s: String) => { hits.add(1); s.length })
+    def frame() = sources.Tables.documents(spark, sf)
+      .select(f(col("text")).as("n")).groupBy("n").count()
+    // invocation 1: ringed, consumed
+    val df1 = Memo.batchPersist(spark, frame())
+    df1.count()
+    val h1 = hits.value.longValue
+    assert(h1 > 0, "invocation 1 should have computed the frame")
+    // invocation 2 of the SAME plan: batchPersist must drop the prior
+    // entry before persisting (verdict item 5 — otherwise CacheManager
+    // aliases the new persist to pass 1's warm blocks and the bench's
+    // min-of-passes measures a cache read, not the batch derivation)
+    val df2 = Memo.batchPersist(spark, frame())
+    df2.count()
+    assert(hits.value.longValue > h1,
+      "re-invocation must recompute the batch frame, not read pass 1's cache")
+    Memo.invalidate(spark) // leave the session clean for other suites
+  }
 }

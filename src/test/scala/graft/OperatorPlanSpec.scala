@@ -69,10 +69,31 @@ class OperatorPlanSpec extends SparkSuite {
   }
 
   test("round_robin_assign has no unpartitioned Window over the tasks side") {
-    // the corpus-side global rank comes from zipWithIndex; the only
-    // window anywhere would be over the bounded workers dim — here: none
-    val plan = executedPlanString(graft.operators.AggOps.roundRobinAssign(spark, sf))
-    assert(!plan.contains("Window"), s"WindowExec crept back in:\n$plan")
+    // round-18: the corpus-side global rank is the partition-offset
+    // idiom (monotonically_increasing_id over the checkpointed sorted
+    // frame + subtotal cumsum); the ONLY window is over the
+    // per-partition SUBTOTAL frame (≤ explicitParts rows, keyed by a
+    // constant) — never over the task corpus
+    def allNodes(p: SparkPlan): Seq[SparkPlan] =
+      p.collectWithSubqueries { case x => x }.flatMap {
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          qs +: allNodes(qs.plan)
+        case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+        case x => Seq(x)
+      }
+    val df = graft.operators.AggOps.roundRobinAssign(spark, sf)
+    df.collect()
+    val windows = allNodes(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size <= 1, s"expected at most the subtotal window, got:\n$windows")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, "subtotal window unpartitioned")
+      // the window's input is the ≤ parts-row subtotal aggregate, not
+      // the task corpus: its output must carry the subtotal column
+      assert(w.child.output.exists(_.name == "sub"),
+        s"window is not over the subtotal frame:\n$w")
+    }
   }
 
   test("priority_balanced_assign: per-class fairness, no corpus-side window") {
